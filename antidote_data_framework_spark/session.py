@@ -1,0 +1,40 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode defaults that still encode the cluster posture:
+
+- AQE on (coalesce shuffle partitions, split skewed joins, re-plan at
+  shuffle boundaries) — at 100 TB this is what keeps a bad static plan
+  from burning the cluster.
+- ``spark.sql.shuffle.partitions`` sized to cores locally; on a real
+  cluster this would be ~2-3x total executor cores (AQE coalesces down).
+- Arrow on: every pandas exchange (the antidote gradient carrier, the
+  multimodal UDFs) crosses the Python boundary in columnar batches.
+- Session timezone pinned to UTC so timestamp semantics are identical
+  to the DuckDB oracle and independent of host TZ.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "antidote_data_framework_spark") -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
