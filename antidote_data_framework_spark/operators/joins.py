@@ -1,0 +1,258 @@
+"""Join operators — SURVEY.md §2B O-4..O-12.
+
+Physical-strategy posture for 100 TB:
+
+- fact⋈fact equi joins (lineitem⋈orders) shuffle on the join key —
+  both sides hash-partitioned; AQE splits skewed keys at runtime.
+- dim joins (nation, region, customer at small SF; part/supplier
+  dims generally) are broadcast — ``F.broadcast`` where the dimension
+  is guaranteed small, otherwise ``autoBroadcastJoinThreshold`` +
+  AQE decide from runtime stats.
+- the as-of join (no native Spark primitive) is a ranged equi-join +
+  per-key window dedup: the equi part (user key) shuffles once, the
+  window dedup rides the same partitioning, so no second shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import spark_query
+from ..sources import load_table
+
+
+@spark_query(
+    "q_join_inner",
+    oracle="""
+SELECT o.o_orderkey, o.o_totalprice, c.c_custkey, c.c_name, c.c_mktsegment
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+""",
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join orders⋈customer — Catalyst picks the physical
+    strategy (broadcast at this SF; sort-merge/shuffle-hash at scale)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return orders.join(customer, orders.o_custkey == customer.c_custkey).select(
+        "o_orderkey", "o_totalprice", "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@spark_query(
+    "q_join_broadcast",
+    oracle="""
+SELECT n.n_nationkey, n.n_name, r.r_name
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+""",
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast equi join nation⋈region: the 5-row dim ships to every
+    executor; zero shuffle regardless of the big side's size."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name", "r_name")
+
+
+@spark_query(
+    "q_join_5way_star",
+    oracle="""
+SELECT n.n_name,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem l
+JOIN orders o    ON l.l_orderkey = o.o_orderkey
+JOIN customer c  ON o.o_custkey = c.c_custkey
+JOIN nation n    ON c.c_nationkey = n.n_nationkey
+JOIN region r    ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+""",
+)
+def q_join_5way_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 5-way star join, revenue per ASIA nation.
+
+    Scale plan: lineitem⋈orders is the only fact-fact shuffle; the
+    customer/nation/region dims broadcast, and the region filter
+    prunes before the join (Catalyst pushes it below)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@spark_query(
+    "q_join_outer",
+    oracle="""
+SELECT 'left' AS join_kind, c.c_custkey, o.o_orderkey
+FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+UNION ALL
+SELECT 'full' AS join_kind, c.c_custkey, o.o_orderkey
+FROM customer c FULL JOIN orders o ON c.c_custkey = o.o_custkey
+""",
+)
+def q_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left and full outer join customer⟕/⟗orders in one tagged result —
+    customers without orders surface with NULL o_orderkey."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    cond = customer.c_custkey == orders.o_custkey
+    left = (
+        customer.join(orders, cond, "left")
+        .select(F.lit("left").alias("join_kind"), "c_custkey", "o_orderkey")
+    )
+    full = (
+        customer.join(orders, cond, "full")
+        .select(F.lit("full").alias("join_kind"), "c_custkey", "o_orderkey")
+    )
+    return left.unionAll(full)
+
+
+@spark_query(
+    "q_join_semi",
+    oracle="""
+SELECT c.c_custkey, c.c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+""",
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join: customers with at least one open order.
+    Semi joins never duplicate the left side — no post-join distinct."""
+    customer = load_table(spark, sf_dir, "customer")
+    open_orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return customer.join(
+        open_orders, customer.c_custkey == open_orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@spark_query(
+    "q_join_anti",
+    oracle="""
+SELECT p.p_partkey, p.p_name
+FROM part p
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 46)
+""",
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join: parts never shipped in bulk (no lineitem with
+    quantity > 46 — chosen so the result is non-empty at every SF)."""
+    part = load_table(spark, sf_dir, "part")
+    bulk = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 46)
+    return part.join(bulk, part.p_partkey == bulk.l_partkey, "left_anti").select(
+        "p_partkey", "p_name"
+    )
+
+
+@spark_query(
+    "q_join_cross",
+    oracle="""
+SELECT r.r_name, n.n_name
+FROM region r CROSS JOIN nation n
+WHERE r.r_regionkey <> n.n_regionkey
+""",
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join region×nation with a non-key theta filter —
+    every (region, nation) pair from different regions."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        region.crossJoin(nation)
+        .filter(F.col("r_regionkey") != F.col("n_regionkey"))
+        .select("r_name", "n_name")
+    )
+
+
+@spark_query(
+    "q_join_theta_range",
+    oracle="""
+SELECT o.o_orderpriority,
+       COUNT(*) AS n_late_ship,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 7 DAY
+GROUP BY o.o_orderpriority
+""",
+)
+def q_join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi+theta join: lineitems shipped more than 7 days after their
+    order date.  Catalyst plans the equi part as the join key and
+    applies the interval predicate as a post-join filter."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cond = (li.l_orderkey == orders.o_orderkey) & (
+        li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 7 DAYS")
+    )
+    return (
+        li.join(orders, cond)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_late_ship"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        )
+    )
+
+
+@spark_query(
+    "q_join_asof",
+    oracle="""
+SELECT event_id, ts, last_orderkey, last_orderdate
+FROM (
+  SELECT e.event_id, e.ts, o.o_orderkey AS last_orderkey,
+         o.o_orderdate AS last_orderdate,
+         ROW_NUMBER() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+  FROM events e
+  JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+) WHERE rn = 1
+""",
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event matched to the same user's latest order
+    at-or-before the event time.
+
+    Spark has no native as-of join; the scalable rewrite is a ranged
+    equi-join on the user key followed by a window dedup that rides
+    the same hash partitioning (one shuffle total).  Ties broken by
+    o_orderkey for determinism.  At 100 TB the same plan holds: the
+    equi key bounds the join fan-out, and `merge_asof` inside
+    applyInPandas per user is the fallback for dense event streams.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    events = load_table(spark, sf_dir, "events")
+    joined = events.join(
+        orders,
+        (orders.o_custkey == events.user_id) & (orders.o_orderdate <= events.ts),
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "ts",
+            F.col("o_orderkey").alias("last_orderkey"),
+            F.col("o_orderdate").alias("last_orderdate"),
+        )
+    )

@@ -1,0 +1,103 @@
+"""Scan / source / sink operators — SURVEY.md §2B O-1..O-3.
+
+O-1 demonstrates the core scan contract: the filter and the 4-column
+projection reach the parquet reader (PushedFilters + ReadSchema in the
+physical plan), so at 100 TB the scan reads only the row groups and
+columns it needs.  O-2/O-3 exercise the csv/json connectors and the
+partitioned-parquet sink with partition pruning on read-back.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import spark_query
+from ..sources import load_table
+
+# Sinks write under the repo so nothing outside /root/repo is touched.
+SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".scratch")
+
+
+def _scratch_dir(name: str) -> str:
+    os.makedirs(SCRATCH, exist_ok=True)
+    path = os.path.join(SCRATCH, name)
+    shutil.rmtree(path, ignore_errors=True)
+    return path
+
+
+@spark_query(
+    "q_scan_project_filter",
+    oracle="""
+SELECT l_orderkey, l_partkey, l_quantity,
+       l_extendedprice * (1 - l_discount) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-07-01'
+  AND l_shipdate < TIMESTAMP '1996-07-01'
+""",
+)
+def q_scan_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet scan + predicate pushdown + column pruning.
+
+    revenue is a single row-level double multiply — bit-identical
+    across engines, so no rounding is needed.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-07-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
+        )
+        .select(
+            "l_orderkey",
+            "l_partkey",
+            "l_quantity",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+    )
+
+
+@spark_query("q_source_csv_json_roundtrip")  # rows-only: exercises sinks
+def q_source_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write a lineitem slice as CSV and JSON, read both back with an
+    explicit schema (never inferred), return per-format row counts.
+
+    Rows-only: the sink side-effect is not SQL-expressible for the
+    oracle, but counts must equal the source slice.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+    schema = "l_orderkey BIGINT, l_linenumber INT, l_quantity DOUBLE, l_returnflag STRING"
+    csv_path = _scratch_dir("roundtrip_csv")
+    json_path = _scratch_dir("roundtrip_json")
+    li.write.mode("overwrite").option("header", True).csv(csv_path)
+    li.write.mode("overwrite").json(json_path)
+    n_csv = spark.read.schema(schema).option("header", True).csv(csv_path).count()
+    n_json = spark.read.schema(schema).json(json_path).count()
+    return spark.createDataFrame(
+        [(int(n_csv), int(n_json))], "n_csv BIGINT, n_json BIGINT"
+    )
+
+
+@spark_query("q_sink_partitioned_parquet")  # rows-only: exercises sinks
+def q_sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet sink + partition-pruned read-back.
+
+    Writes orders partitioned by o_orderpriority, then reads back with
+    a partition filter — the filter prunes directories, not rows
+    (dynamic file listing), which is the 100 TB layout strategy for
+    time/tenant-partitioned facts.
+    """
+    out = _scratch_dir("orders_by_priority")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("o_orderpriority") == "1-URGENT")
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_totalprice"),
+    )

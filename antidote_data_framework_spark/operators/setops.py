@@ -1,0 +1,62 @@
+"""Set operators — SURVEY.md §2B O-26/O-27.
+
+UNION/INTERSECT/EXCEPT over customer keysets.  Spark's ``intersect``/
+``subtract`` have SQL DISTINCT semantics (Catalyst plans them as
+aggregates/joins); ``unionAll`` is bag UNION ALL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import spark_query
+from ..sources import load_table
+
+
+def _status_custkeys(spark: SparkSession, sf_dir: str, status: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == status)
+        .select("o_custkey")
+        .distinct()
+    )
+
+
+@spark_query(
+    "q_set_union",
+    oracle="""
+WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+     b AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
+SELECT (SELECT COUNT(*) FROM (SELECT * FROM a UNION ALL SELECT * FROM b)) AS n_union_all,
+       (SELECT COUNT(*) FROM (SELECT * FROM a UNION SELECT * FROM b))     AS n_union_distinct
+""",
+)
+def q_set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL vs UNION DISTINCT cardinality of 'O'- and 'F'-status
+    customer keysets in one row."""
+    a = _status_custkeys(spark, sf_dir, "O")
+    b = _status_custkeys(spark, sf_dir, "F")
+    n_all = a.unionAll(b).agg(F.count(F.lit(1)).alias("n_union_all"))
+    n_dist = a.unionAll(b).distinct().agg(F.count(F.lit(1)).alias("n_union_distinct"))
+    return n_all.crossJoin(n_dist)
+
+
+@spark_query(
+    "q_set_intersect_except",
+    oracle="""
+WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+     b AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
+SELECT 'intersect' AS which, o_custkey FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+UNION ALL
+SELECT 'except' AS which, o_custkey FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+""",
+)
+def q_set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT and EXCEPT (DISTINCT semantics) of the same keysets,
+    tagged into one result."""
+    a = _status_custkeys(spark, sf_dir, "O")
+    b = _status_custkeys(spark, sf_dir, "F")
+    inter = a.intersect(b).select(F.lit("intersect").alias("which"), "o_custkey")
+    exc = a.subtract(b).select(F.lit("except").alias("which"), "o_custkey")
+    return inter.unionAll(exc)

@@ -34,6 +34,9 @@ def get_spark(app_name: str = "antidote_data_framework_spark") -> SparkSession:
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # The events fixture stores TIMESTAMP(NANOS), which Spark's parquet
+        # reader rejects; read as epoch-nanos long, converted in the loader.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

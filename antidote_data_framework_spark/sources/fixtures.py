@@ -13,6 +13,7 @@ loader for a real lakehouse catalog is a one-function change.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -29,10 +30,19 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Columnar parquet scan; Catalyst pushes filters/pruning into it."""
+    """Columnar parquet scan; Catalyst pushes filters/pruning into it.
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; with ``spark.sql.legacy.parquet.nanosAsLong``
+    (set in session.py) it arrives as epoch-nanos BIGINT and is converted
+    here with integer arithmetic (``DIV 1000`` — never float division,
+    which loses precision above 2^53 ns)."""
     if name not in TABLES:
         raise KeyError(f"unknown fixture table: {name}")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
