@@ -1,4 +1,14 @@
 """Operator inventory (SURVEY.md §2) — importing this package registers
 every implemented query in the registry."""
 
-from . import aggregates, joins, scalars, scans, setops  # noqa: F401
+from . import (  # noqa: F401
+    aggregates,
+    eventtime,
+    joins,
+    scalars,
+    scans,
+    setops,
+    text,
+    vectors,
+    windows,
+)

@@ -60,3 +60,149 @@ def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("count_order"),
         )
     )
+
+
+@spark_query(
+    "q_agg_distinct",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_supps,
+       COUNT(*)                  AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-distinct per group — Catalyst plans this with an
+    Expand (one replica per distinct column) + two-phase aggregate, so
+    distinct state is partitioned across executors, never driver-side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@spark_query("q_agg_approx_distinct")  # rows-only: HLL sketch != DuckDB's sketch
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct count (rsd=0.05).  The sketch merges
+    associatively across partitions — constant memory per executor at
+    any scale, the 100 TB answer to COUNT(DISTINCT).  Rows-only: the
+    estimate is sketch-implementation-specific."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey", 0.05).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", 0.05).alias("approx_orders"),
+    )
+
+
+@spark_query(
+    "q_agg_rollup",
+    oracle="""
+SELECT r.r_name, n.n_name,
+       GROUPING(r.r_name, n.n_name) AS grp_id,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP(r.r_name, n.n_name)
+""",
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (region, nation) revenue hierarchy with grouping-set id.
+    Spark's grouping_id() and DuckDB's GROUPING(...) emit the same bit
+    vector over the grouping columns."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.grouping_id().alias("grp_id"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+    )
+
+
+@spark_query(
+    "q_agg_cube_sets",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       GROUPING(o_orderstatus, o_orderpriority) AS grp_id,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS sum_price
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+""",
+)
+def q_agg_cube_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority) — all four grouping sets in one
+    pass via Catalyst's Expand."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().alias("grp_id"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+@spark_query(
+    "q_agg_having_stats",
+    oracle="""
+SELECT p_brand,
+       COUNT(*)                              AS n_parts,
+       ROUND(AVG(p_retailprice), 4)          AS avg_price,
+       ROUND(STDDEV_SAMP(p_retailprice), 4)  AS sd_price,
+       ROUND(VAR_POP(p_retailprice), 4)      AS var_price,
+       ROUND(quantile_cont(p_retailprice, 0.5), 4) AS median_price
+FROM part
+GROUP BY p_brand
+HAVING COUNT(*) >= 5
+""",
+)
+def q_agg_having_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand statistical aggregates with a HAVING filter and an
+    exact interpolated median (Spark percentile == DuckDB
+    quantile_cont)."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+            F.round(F.stddev_samp("p_retailprice"), 4).alias("sd_price"),
+            F.round(F.var_pop("p_retailprice"), 4).alias("var_price"),
+            F.round(F.percentile("p_retailprice", F.lit(0.5)), 4).alias("median_price"),
+        )
+        .filter(F.col("n_parts") >= 5)
+    )
+
+
+@spark_query(
+    "q_agg_collect_sorted",
+    oracle="""
+SELECT l_orderkey,
+       list(l_linenumber ORDER BY l_linenumber) AS linenumbers,
+       COUNT(*) AS n_lines
+FROM lineitem
+GROUP BY l_orderkey
+""",
+)
+def q_agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-order sorted list of line numbers — collect_list is
+    partition-order-dependent, so sort_array makes it deterministic
+    (array equality in the oracle is order-sensitive)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_linenumber")).alias("linenumbers"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )

@@ -1,0 +1,134 @@
+"""Event-time window operators (batch twins) — SURVEY.md §2B O-48..O-50.
+
+These are the batch halves of the streaming pairs in
+``streaming/stream_queries.py``: identical window semantics, so the
+streaming results can be asserted equal to these.  ``F.window`` /
+``F.session_window`` group rows by event time, not arrival time — on a
+cluster the groupBy shuffles on (window, key), and AQE coalesces the
+mostly-empty buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import spark_query
+from ..sources import load_table
+
+
+@spark_query(
+    "q_window_tumbling",
+    oracle="""
+SELECT time_bucket(INTERVAL '1 day', ts)                 AS window_start,
+       time_bucket(INTERVAL '1 day', ts) + INTERVAL 1 DAY AS window_end,
+       event_type,
+       COUNT(*)             AS n_events,
+       ROUND(SUM(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+""",
+)
+def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-day tumbling window per event type: count + value sum.
+    Spark's window() and DuckDB's time_bucket both align to the epoch,
+    so bucket boundaries agree exactly."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@spark_query(
+    "q_window_sliding",
+    oracle="""
+SELECT time_bucket(INTERVAL '1 day', e.ts, o.off)                 AS window_start,
+       time_bucket(INTERVAL '1 day', e.ts, o.off) + INTERVAL 1 DAY AS window_end,
+       COUNT(*)             AS n_events,
+       ROUND(SUM(e.value), 4) AS sum_value
+FROM events e
+CROSS JOIN (SELECT UNNEST([INTERVAL '0' HOUR, INTERVAL '6' HOUR,
+                           INTERVAL '12' HOUR, INTERVAL '18' HOUR]) AS off) o
+GROUP BY 1, 2
+""",
+)
+def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-day windows sliding every 6h — each event lands in 4 windows.
+    The oracle reproduces Spark's overlapping-window semantics by
+    unioning 4 offset tumbling bucketings (epoch-aligned, like Spark)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 day", "6 hours").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@spark_query(
+    "q_window_session",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, value,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM ordered
+)
+SELECT user_id,
+       MIN(ts)                          AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE     AS session_end,
+       COUNT(*)                         AS n_events,
+       ROUND(SUM(value), 4)             AS sum_value
+FROM sess
+GROUP BY user_id, sess_id
+""",
+)
+def q_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min inactivity gap) per user.
+
+    Spark's session_window works in batch: a session is [first_ts,
+    last_ts + gap), merging events strictly less than `gap` apart.
+    The oracle is the classic gap-and-islands rewrite with the same
+    >=-gap split rule.  At scale this is one shuffle on user_id;
+    Spark merges candidate sessions after partial aggregation."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -1,0 +1,172 @@
+"""Text analysis & deduplication operators — SURVEY.md §2B O-53..O-56.
+
+The LLM-data-pipeline surface over ``documents``.  Design rule: exact
+algorithms with SQL oracles here; the sketch-based scale variants
+(MinHash LSH) live in ``ml/dedup.py`` as rows-only twins.  Everything
+is built-in expressions — tokenization via split(), no Python in the
+hot path, so a 100 TB corpus tokenizes inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import spark_query
+from ..sources import load_table
+
+
+@spark_query(
+    "q_text_wordcount",
+    oracle="""
+SELECT word, COUNT(*) AS n
+FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
+GROUP BY word
+ORDER BY n DESC, word
+LIMIT 20
+""",
+)
+def q_text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 words across the corpus: tokenize → explode → count.
+    The canonical map-side-combine aggregation; ties broken by word
+    for a deterministic LIMIT."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(20)
+    )
+
+
+@spark_query(
+    "q_text_ngrams",
+    oracle="""
+WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+bi AS (
+  SELECT lang, t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] AS bigram
+  FROM toks, UNNEST(range(1, len(t))) AS u(i)
+)
+SELECT lang, bigram, n
+FROM (
+  SELECT lang, bigram, COUNT(*) AS n,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, bigram) AS rnk
+  FROM bi GROUP BY lang, bigram
+) WHERE rnk <= 10
+""",
+)
+def q_text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 bigrams per language.
+
+    Bigrams come from a positional self-zip of the token array
+    (zip_with over the array and its tail) — a pure higher-order-
+    function pipeline, no UDF and no self-join."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("lang", F.split("text", " ").alias("t"))
+    bigrams = toks.select(
+        "lang",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("t"), 1, F.size("t") - 1),
+                F.slice(F.col("t"), 2, F.size("t") - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("bigram"),
+    )
+    counts = bigrams.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("bigram"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("lang", "bigram", "n")
+    )
+
+
+@spark_query(
+    "q_dedup_exact",
+    oracle="""
+SELECT md5(text)     AS text_hash,
+       COUNT(*)      AS n_docs,
+       MIN(doc_id)   AS survivor_doc_id,
+       (COUNT(*) > 1) AS is_dup_group
+FROM documents
+GROUP BY 1
+""",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: every hash group with its size and
+    the deterministic survivor (min doc_id).  At 100 TB this is the
+    first dedup pass — hash is computed in the scan stage and the
+    groupBy shuffles only (hash, doc_id), not the text."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("survivor_doc_id"),
+        (F.count(F.lit(1)) > 1).alias("is_dup_group"),
+    )
+
+
+@spark_query(
+    "q_jaccard_block",
+    oracle="""
+WITH tok AS (
+  SELECT DISTINCT doc_id, lang, source, UNNEST(string_split(text, ' ')) AS w
+  FROM documents
+),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM tok a
+  JOIN tok b ON a.lang = b.lang AND a.source = b.source AND a.w = b.w
+            AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b,
+       ROUND(p.n_common * 1.0 / (ca.n + cb.n - p.n_common), 4) AS jaccard
+FROM pairs p
+JOIN cnt ca ON ca.doc_id = p.doc_a
+JOIN cnt cb ON cb.doc_id = p.doc_b
+WHERE p.n_common * 1.0 / (ca.n + cb.n - p.n_common) >= 0.6
+""",
+)
+def q_jaccard_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection: exact token-set Jaccard >= 0.6 for document
+    pairs blocked by (lang, source).
+
+    Blocking bounds the candidate pairs (the O(N²) self-join runs only
+    within blocks); the token-level join computes |A∩B| without ever
+    materializing pair token lists.  The MinHash-LSH twin
+    (q_minhash_lsh) replaces blocking at 100 TB scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", "source", F.explode(F.split("text", " ")).alias("w")
+    ).distinct()
+    cnt = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = tok.alias("a")
+    b = tok.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = cnt.alias("ca")
+    cb = cnt.alias("cb")
+    jac = (
+        pairs.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
+        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
+        .withColumn(
+            "jaccard_raw",
+            F.col("n_common") / (F.col("ca.n") + F.col("cb.n") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard_raw") >= 0.6)
+    )
+    return jac.select(
+        "doc_a", "doc_b", F.round(F.col("jaccard_raw"), 4).alias("jaccard")
+    )

@@ -1,0 +1,172 @@
+"""Window-function operators — SURVEY.md §2B O-20..O-25.
+
+Window evaluation shuffles once on the partition key and sorts within
+partitions; multiple frames over the same (partition, order) spec share
+one sort.  Determinism rule: any function whose result depends on row
+order within ties (row_number, ntile, lag/lead, running frames) gets a
+tie-breaking key appended to the ORDER BY; rank/dense_rank are
+well-defined under ties and may order by non-unique keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import spark_query
+from ..sources import load_table
+
+
+@spark_query(
+    "q_window_ranking",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       ROW_NUMBER() OVER w_unique AS rn,
+       NTILE(4)     OVER w_unique AS quartile,
+       RANK()       OVER w_year   AS yr_rank,
+       DENSE_RANK() OVER w_year   AS yr_dense_rank
+FROM orders
+WINDOW w_unique AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey),
+       w_year   AS (PARTITION BY o_custkey ORDER BY YEAR(o_orderdate))
+""",
+)
+def q_window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking functions per customer: row_number/ntile over a unique
+    sort (price desc, key) and rank/dense_rank over order-year (ties
+    expected and deterministic)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w_unique = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    w_year = Window.partitionBy("o_custkey").orderBy(F.year("o_orderdate"))
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.row_number().over(w_unique).alias("rn"),
+        F.ntile(4).over(w_unique).alias("quartile"),
+        F.rank().over(w_year).alias("yr_rank"),
+        F.dense_rank().over(w_year).alias("yr_dense_rank"),
+    )
+
+
+@spark_query(
+    "q_window_running_frame",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+       ROUND(AVG(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)         AS moving_avg3
+FROM orders
+""",
+)
+def q_window_running_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit ROWS frames: running total and 3-row moving average of
+    order value per customer in (date, key) order."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(
+            F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2
+        ).alias("running_total"),
+        F.round(F.avg("o_totalprice").over(w.rowsBetween(-2, 0)), 4).alias("moving_avg3"),
+    )
+
+
+@spark_query(
+    "q_window_lead_lag",
+    oracle="""
+SELECT event_id, user_id, ts,
+       epoch_us(ts) - epoch_us(LAG(ts) OVER w)  AS gap_us,
+       LEAD(event_type) OVER w                  AS next_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def q_window_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytics per user: microsecond gap to the previous
+    event and the next event's type.  Gaps computed on integer
+    epoch-microseconds — exact on both engines."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@spark_query(
+    "q_window_range_frame",
+    oracle="""
+SELECT c_custkey, c_mktsegment, c_acctbal,
+       COUNT(*) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal
+                      RANGE BETWEEN 50 PRECEDING AND 50 FOLLOWING) AS n_within_50
+FROM customer
+""",
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame on a numeric key: per market segment, how many
+    customers sit within ±50 of each customer's account balance.
+    RANGE frames are value-based, so tied balances are handled
+    identically in both engines."""
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal").rangeBetween(-50, 50)
+    return customer.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.count(F.lit(1)).over(w).alias("n_within_50"),
+    )
+
+
+@spark_query(
+    "q_topk_per_group",
+    oracle="""
+SELECT p_brand, p_partkey, p_retailprice, rnk
+FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         ROW_NUMBER() OVER (PARTITION BY p_brand
+                            ORDER BY p_retailprice DESC, p_partkey) AS rnk
+  FROM part
+) WHERE rnk <= 3
+""",
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 parts per brand by retail price — the window+filter top-k
+    pattern.  At scale Catalyst rewrites rank-limit windows into a
+    per-partition top-k (WindowGroupLimit) before the shuffle."""
+    part = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        part.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice", "rnk")
+    )
+
+
+@spark_query(
+    "q_orderby_limit",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+""",
+)
+def q_orderby_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-10 orders by value — Spark plans TakeOrderedAndProject
+    (per-partition heap top-k + driver merge), never a full sort.
+    Tie-break by key keeps the LIMIT deterministic."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(10)
+    )
