@@ -17,6 +17,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import antidote_data_framework_spark as engine  # noqa: E402
 import antidote_data_framework_spark.operators  # noqa: E402,F401  (registers queries)
+import antidote_data_framework_spark.ml  # noqa: E402,F401  (registers recsys/ML queries)
+import antidote_data_framework_spark.streaming  # noqa: E402,F401  (registers streaming queries)
 
 SF0001 = "/root/testdata/sf0.001"
 

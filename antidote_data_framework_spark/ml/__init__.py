@@ -1,0 +1,4 @@
+"""Recsys / antidote / ML operators — the reference-parity surface
+(SURVEY.md §2A) plus the MLlib-backed scale twins."""
+
+from . import als, antidote, lsh, recsys  # noqa: F401

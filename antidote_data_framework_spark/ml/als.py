@@ -1,0 +1,74 @@
+"""MLlib ALS matrix factorization — SURVEY.md §2A O-40/O-41.
+
+The real distributed twin of the reference's numpy ALS (paper §3,
+eq.1): ``pyspark.ml.recommendation.ALS`` solves the same regularized
+MF objective with blocked alternating least squares — user and item
+factors live in partitioned blocks, each half-iteration is a
+distributed job, and normal equations are solved per block.  This is
+the piece that actually scales the reference's 6040×3700 MovieLens
+regime to 100 TB of ratings.
+
+Semantic note (SURVEY §4.3): MLlib scales λ per-block by rating counts
+(ALS-WR); the reference uses plain λ.  Declared rows-only for exactly
+this reason — FP-nondeterministic across partitionings and not
+SQL-expressible.  The RMSE gate (O-41) converts nondeterminism into a
+stable boolean row.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.evaluation import RegressionEvaluator
+from pyspark.ml.recommendation import ALS
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import spark_query
+from .recsys_data import is_train, ratings_df
+
+ALS_PARAMS = dict(rank=10, regParam=0.1, maxIter=10, seed=42, coldStartStrategy="drop")
+
+
+def _als_fit(train: DataFrame):
+    als = ALS(
+        userCol="user_id",
+        itemCol="item_id",
+        ratingCol="rating",
+        **ALS_PARAMS,
+    )
+    return als.fit(train)
+
+
+@spark_query("q_als_train_predict")  # rows-only: iterative, FP-nondeterministic
+def q_als_train_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train ALS (rank 10, λ=0.1, 10 iters, seed 42) on the train
+    split, predict the held-out cells.  model.transform is a join of
+    the factor tables with a dot-product expression — no dense matrix
+    ever exists."""
+    r = ratings_df(spark, sf_dir)
+    flag = is_train(F.col("user_id"), F.col("item_id"))
+    model = _als_fit(r.filter(flag))
+    test = r.filter(~flag)
+    return model.transform(test).select(
+        "user_id", "item_id", "rating", F.round("prediction", 4).alias("prediction")
+    )
+
+
+@spark_query("q_als_rmse_gate")  # rows-only: stable boolean over nondeterministic fit
+def q_als_rmse_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RMSE of the ALS predictions on the holdout; emits one row
+    (rmse, n_test, passed) with passed = rmse < 1.2 — the paper §6
+    evaluation protocol as a deterministic gate."""
+    preds = q_als_train_predict(spark, sf_dir).withColumnRenamed(
+        "prediction", "raw_prediction"
+    )
+    evaluator = RegressionEvaluator(
+        metricName="rmse", labelCol="rating", predictionCol="raw_prediction"
+    )
+    preds = preds.cache()
+    rmse = evaluator.evaluate(preds)
+    n_test = preds.count()
+    preds.unpersist()
+    return spark.createDataFrame(
+        [(round(rmse, 4), int(n_test), bool(rmse < 1.2))],
+        "rmse DOUBLE, n_test BIGINT, passed BOOLEAN",
+    )

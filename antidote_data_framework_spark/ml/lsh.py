@@ -1,0 +1,95 @@
+"""Sketch-based scale twins — SURVEY.md §2B O-57/O-59/O-61.
+
+These are the 100 TB paths for the exact operators that have SQL
+oracles (q_jaccard_block, q_cosine_topk): MinHash LSH turns the
+within-block O(N²) self-join into a band-bucket join; random-
+projection LSH turns brute-force ANN into bucket probing; KMeans is
+the embedding-space partitioner for IVF-style search.  All rows-only:
+sketches are implementation-specific.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.clustering import KMeans
+from pyspark.ml.feature import CountVectorizer, MinHashLSH, BucketedRandomProjectionLSH, Tokenizer
+from pyspark.ml.functions import array_to_vector
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import spark_query
+from ..sources import load_table
+
+
+@spark_query("q_minhash_lsh")  # rows-only: sketch-specific estimates
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup join at Jaccard distance <= 0.4 — the
+    scale path for q_jaccard_block.  Pipeline: tokenize → binary
+    CountVectorizer (token-set vectors) → MinHash signatures →
+    approxSimilarityJoin (band-bucket equi-join under the hood, so
+    candidate generation is a shuffle on bucket keys, never all
+    pairs)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = Tokenizer(inputCol="text", outputCol="words")
+    words = tok.transform(docs)
+    cv = CountVectorizer(inputCol="words", outputCol="features", binary=True)
+    cv_model = cv.fit(words)
+    feats = cv_model.transform(words).filter(
+        F.expr("aggregate(words, 0, (acc, x) -> acc + 1) > 0")
+    )
+    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    model = mh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 0.4, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round(F.col("jaccard_dist"), 4).alias("jaccard_dist"),
+        )
+    )
+
+
+@spark_query("q_knn_lsh")  # rows-only: approximate neighbors
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbors of vec_id=0 via random-projection
+    LSH (Euclidean) — the ANN twin of the exact q_cosine_topk.  At
+    scale, bucketLength and numHashTables trade recall for probe
+    fan-out; approxNearestNeighbors probes only matching buckets."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "features", array_to_vector(F.col("embedding").cast("array<double>"))
+    )
+    brp = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=2.0,
+        numHashTables=4, seed=42,
+    )
+    model = brp.fit(emb)
+    key = emb.filter(F.col("vec_id") == 0).first()["features"]
+    neighbors = model.approxNearestNeighbors(
+        emb.filter(F.col("vec_id") != 0), key, 5, distCol="euclidean_dist"
+    )
+    return neighbors.select(
+        "vec_id", "label", F.round("euclidean_dist", 4).alias("euclidean_dist")
+    )
+
+
+@spark_query("q_kmeans_labels")  # rows-only: cluster ids are run-relative
+def q_kmeans_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMeans (k=10, seed 42) over the embeddings — the IVF partition
+    step for vector search and the sanity check that the 10 planted
+    label clusters are recoverable.  Emits cluster sizes ranked
+    descending (ids are run-relative, sizes are the stable part)."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "features", array_to_vector(F.col("embedding").cast("array<double>"))
+    )
+    km = KMeans(k=10, seed=42, featuresCol="features", predictionCol="cluster")
+    model = km.fit(emb)
+    sizes = (
+        model.transform(emb)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy(F.desc("n_vectors"), F.asc("cluster"))
+        .select("n_vectors")
+    )
+    return sizes.withColumn(
+        "size_rank", F.row_number().over(Window.orderBy(F.desc("n_vectors")))
+    )

@@ -1,0 +1,370 @@
+"""Reference-parity recsys operators — SURVEY.md §2A O-30..O-39.
+
+The antidote-data-framework's capability envelope (WSDM'19 paper,
+arXiv:1812.01504) re-expressed as declarative Spark plans:
+
+- ratings ingestion / matrix construction (§1 data model) → long
+  DataFrame + pivot slice (O-30/O-31);
+- train/eval protocol (paper §6) → deterministic modulo split + a
+  bias-baseline predictor with RMSE (O-32/O-33);
+- polarization (paper §5.1) in its O(n) variance form (O-34);
+- the Yao-Huang group-fairness metrics (paper §5.2; NeurIPS'17
+  "Beyond Parity") as item-level conditional aggregations
+  (O-35..O-38);
+- top-k recommendation lists (O-39).
+
+Every one of these is hash-matched against DuckDB; the iterative ALS
+and antidote-optimization twins live in ``als.py`` / ``antidote.py``
+(rows-only by declaration — see SURVEY.md §2A O-40..O-43).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import spark_query
+from ..sources import load_table
+from .recsys_data import (
+    BIAS_MODEL_CTES,
+    RATINGS_CTE,
+    bias_predictions,
+    is_train,
+    ratings_df,
+)
+
+BRANDS = [f"Brand#{i}" for i in range(1, 26)]
+
+
+@spark_query(
+    "q_ratings_from_lineitem",
+    oracle=f"""
+WITH {RATINGS_CTE.strip()}
+SELECT user_id, item_id, rating FROM ratings
+""",
+)
+def q_ratings_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratings ingestion: the long/COO ratings table (reference data
+    model D1 — the matrix is row presence, never a dense array)."""
+    return ratings_df(spark, sf_dir)
+
+
+@spark_query(
+    "q_ratings_pivot",
+    oracle="""
+WITH {ratings_cte},
+joined AS (
+  SELECT r.user_id, p.p_brand, r.rating
+  FROM ratings r JOIN part p ON r.item_id = p.p_partkey
+  WHERE r.user_id < 10
+)
+SELECT user_id, {pivot_cols}
+FROM joined
+GROUP BY user_id
+""".format(
+        ratings_cte=RATINGS_CTE.strip(),
+        pivot_cols=", ".join(
+            f"ROUND(AVG(CASE WHEN p_brand = '{b}' THEN rating END), 4) AS \"{b}\""
+            for b in BRANDS
+        ),
+    ),
+)
+def q_ratings_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide pivot: 10 users × 25 brands average-rating matrix —
+    the reference's matrix-construction step, bounded to a slice
+    (pivoting to unbounded width is an anti-pattern at scale; the
+    engine-wide rule is long format, pivot only for bounded
+    presentation slices)."""
+    r = ratings_df(spark, sf_dir).filter(F.col("user_id") < 10)
+    part = load_table(spark, sf_dir, "part")
+    return (
+        r.join(part, r.item_id == part.p_partkey)
+        .groupBy("user_id")
+        .pivot("p_brand", BRANDS)
+        .agg(F.round(F.avg("rating"), 4))
+    )
+
+
+@spark_query(
+    "q_split_train_test",
+    oracle=f"""
+WITH {RATINGS_CTE.strip()}
+SELECT SUM(CASE WHEN {"(user_id * 31 + item_id) % 10 < 8"} THEN 1 ELSE 0 END) AS n_train,
+       SUM(CASE WHEN {"(user_id * 31 + item_id) % 10 < 8"} THEN 0 ELSE 1 END) AS n_test,
+       COUNT(*) AS n_total
+FROM ratings
+""",
+)
+def q_split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/20 holdout split census — modulo arithmetic on
+    the key, identical in every engine and at every parallelism."""
+    r = ratings_df(spark, sf_dir)
+    train_flag = is_train(F.col("user_id"), F.col("item_id"))
+    return r.agg(
+        F.sum(F.when(train_flag, 1).otherwise(0)).alias("n_train"),
+        F.sum(F.when(train_flag, 0).otherwise(1)).alias("n_test"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+
+
+@spark_query(
+    "q_bias_baseline_rmse",
+    oracle=f"""
+WITH {RATINGS_CTE.strip()},{BIAS_MODEL_CTES.strip()},
+test_pred AS (
+  SELECT t.rating,
+         LEAST(5.0, GREATEST(1.0,
+               mu.mu + COALESCE(bu.bu, 0) + COALESCE(bi.bi, 0))) AS p
+  FROM test t CROSS JOIN mu
+  LEFT JOIN bu ON t.user_id = bu.user_id
+  LEFT JOIN bi ON t.item_id = bi.item_id
+)
+SELECT ROUND(SQRT(AVG((p - rating) * (p - rating))), 4) AS rmse,
+       COUNT(*) AS n_test
+FROM test_pred
+""",
+)
+def q_bias_baseline_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-predict-evaluate, SQL-expressible edition: the bias model
+    r̂ = μ + b_u + b_i (clipped to the rating box) evaluated by RMSE on
+    the held-out split — the stand-in for the reference's
+    "train MF, report RMSE" protocol (paper §6)."""
+    r = ratings_df(spark, sf_dir)
+    train_flag = is_train(F.col("user_id"), F.col("item_id"))
+    train = r.filter(train_flag)
+    test = r.filter(~train_flag)
+    mu = train.agg(F.avg("rating").alias("mu"))
+    bu = (
+        train.crossJoin(F.broadcast(mu))
+        .groupBy("user_id")
+        .agg(F.avg(F.col("rating") - F.col("mu")).alias("bu"))
+    )
+    bi = (
+        train.join(bu, "user_id")
+        .crossJoin(F.broadcast(mu))
+        .groupBy("item_id")
+        .agg(F.avg(F.col("rating") - F.col("mu") - F.col("bu")).alias("bi"))
+    )
+    pred = (
+        test.crossJoin(F.broadcast(mu))
+        .join(bu, "user_id", "left")
+        .join(bi, "item_id", "left")
+        .withColumn(
+            "p",
+            F.least(
+                F.lit(5.0),
+                F.greatest(
+                    F.lit(1.0),
+                    F.col("mu") + F.coalesce("bu", F.lit(0.0)) + F.coalesce("bi", F.lit(0.0)),
+                ),
+            ),
+        )
+    )
+    err = F.col("p") - F.col("rating")
+    return pred.agg(
+        F.round(F.sqrt(F.avg(err * err)), 4).alias("rmse"),
+        F.count(F.lit(1)).alias("n_test"),
+    )
+
+
+@spark_query(
+    "q_polarization",
+    oracle=f"""
+WITH {RATINGS_CTE.strip()},{BIAS_MODEL_CTES.strip()},
+per_item AS (
+  SELECT item_id, VAR_POP(pred) AS v, COUNT(*) AS n_users
+  FROM pred GROUP BY item_id
+)
+SELECT ROUND(AVG(v), 6) AS polarization, COUNT(*) AS n_items
+FROM per_item
+""",
+)
+def q_polarization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polarization of the predictions (paper §5.1), O(n) variance
+    form: mean over items of the across-user variance of predicted
+    ratings.  The paper defines it as normalized sum of squared
+    pairwise user distances; the identity
+    Σ_{{i<i'}}(a_i−a_{{i'}})² = n·Σ_i(a_i−ā)² makes per-item var_pop
+    the scale-safe equivalent (mandatory at 100 TB — the pairwise
+    form is quadratic in users).  Computed over the observed support
+    (see recsys_data: the dense matrix is never materialized)."""
+    pred = bias_predictions(spark, sf_dir)
+    per_item = pred.groupBy("item_id").agg(F.var_pop("pred").alias("v"))
+    return per_item.agg(
+        F.round(F.avg("v"), 6).alias("polarization"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+# ---- Yao–Huang fairness metrics (O-35..O-38) --------------------------------
+# Shared shape: per item j and group g ∈ {0,1} (g = user_id % 2),
+#   Ey_g(j) = mean predicted rating, Er_g(j) = mean actual rating,
+# restricted to items where BOTH groups are observed; each metric is a
+# mean over those items of a different distance between the two groups'
+# (Ey − Er) discrepancies.  [Yao & Huang, NeurIPS'17 §3; paper §5.2]
+
+_FAIR_CTES = f"""
+WITH {RATINGS_CTE.strip()},{BIAS_MODEL_CTES.strip()},
+grp_item AS (
+  SELECT item_id, user_id % 2 AS grp,
+         AVG(pred) AS ey, AVG(rating) AS er
+  FROM pred GROUP BY item_id, user_id % 2
+),
+both_grps AS (
+  SELECT g0.item_id,
+         g0.ey AS ey0, g0.er AS er0,
+         g1.ey AS ey1, g1.er AS er1
+  FROM grp_item g0 JOIN grp_item g1
+    ON g0.item_id = g1.item_id AND g0.grp = 0 AND g1.grp = 1
+)"""
+
+
+def _grouped_discrepancies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pred = bias_predictions(spark, sf_dir)
+    grp_item = (
+        pred.withColumn("grp", F.col("user_id") % 2)
+        .groupBy("item_id", "grp")
+        .agg(F.avg("pred").alias("ey"), F.avg("rating").alias("er"))
+    )
+    g0 = grp_item.filter(F.col("grp") == 0).select(
+        "item_id", F.col("ey").alias("ey0"), F.col("er").alias("er0")
+    )
+    g1 = grp_item.filter(F.col("grp") == 1).select(
+        "item_id", F.col("ey").alias("ey1"), F.col("er").alias("er1")
+    )
+    return g0.join(g1, "item_id")
+
+
+@spark_query(
+    "q_fairness_value",
+    oracle=_FAIR_CTES
+    + """
+SELECT ROUND(AVG(ABS((ey0 - er0) - (ey1 - er1))), 6) AS value_unfairness,
+       COUNT(*) AS n_items
+FROM both_grps
+""",
+)
+def q_fairness_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value unfairness U_val: mean over items of
+    |(Ey_0 − Er_0) − (Ey_1 − Er_1)| — signed over/under-estimation
+    inconsistency between groups [YH §3]."""
+    d = _grouped_discrepancies(spark, sf_dir)
+    term = F.abs((F.col("ey0") - F.col("er0")) - (F.col("ey1") - F.col("er1")))
+    return d.agg(
+        F.round(F.avg(term), 6).alias("value_unfairness"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@spark_query(
+    "q_fairness_absolute",
+    oracle=_FAIR_CTES
+    + """
+SELECT ROUND(AVG(ABS(ABS(ey0 - er0) - ABS(ey1 - er1))), 6) AS absolute_unfairness,
+       COUNT(*) AS n_items
+FROM both_grps
+""",
+)
+def q_fairness_absolute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Absolute unfairness U_abs: ||Ey_0−Er_0| − |Ey_1−Er_1|| averaged
+    over items — error-magnitude gap, sign-blind [YH §3]."""
+    d = _grouped_discrepancies(spark, sf_dir)
+    term = F.abs(
+        F.abs(F.col("ey0") - F.col("er0")) - F.abs(F.col("ey1") - F.col("er1"))
+    )
+    return d.agg(
+        F.round(F.avg(term), 6).alias("absolute_unfairness"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@spark_query(
+    "q_fairness_under_over",
+    oracle=_FAIR_CTES
+    + """
+SELECT ROUND(AVG(ABS(GREATEST(0, er0 - ey0) - GREATEST(0, er1 - ey1))), 6) AS under_unfairness,
+       ROUND(AVG(ABS(GREATEST(0, ey0 - er0) - GREATEST(0, ey1 - er1))), 6) AS over_unfairness,
+       COUNT(*) AS n_items
+FROM both_grps
+""",
+)
+def q_fairness_under_over(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Underestimation and overestimation unfairness U_under / U_over:
+    the clamped (max(0,·)) one-sided variants, both in one row [YH §3]."""
+    d = _grouped_discrepancies(spark, sf_dir)
+    zero = F.lit(0.0)
+    under = F.abs(
+        F.greatest(zero, F.col("er0") - F.col("ey0"))
+        - F.greatest(zero, F.col("er1") - F.col("ey1"))
+    )
+    over = F.abs(
+        F.greatest(zero, F.col("ey0") - F.col("er0"))
+        - F.greatest(zero, F.col("ey1") - F.col("er1"))
+    )
+    return d.agg(
+        F.round(F.avg(under), 6).alias("under_unfairness"),
+        F.round(F.avg(over), 6).alias("over_unfairness"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@spark_query(
+    "q_fairness_parity",
+    oracle=f"""
+WITH {RATINGS_CTE.strip()},{BIAS_MODEL_CTES.strip()}
+SELECT ROUND(ABS(AVG(CASE WHEN user_id % 2 = 0 THEN pred END)
+               - AVG(CASE WHEN user_id % 2 = 1 THEN pred END)), 6) AS parity_unfairness,
+       COUNT(*) AS n_cells
+FROM pred
+""",
+)
+def q_fairness_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-parity U_par: |E_0[ŷ] − E_1[ŷ]| — the overall predicted-
+    rating gap between groups [YH §3]."""
+    pred = bias_predictions(spark, sf_dir)
+    return pred.agg(
+        F.round(
+            F.abs(
+                F.avg(F.when(F.col("user_id") % 2 == 0, F.col("pred")))
+                - F.avg(F.when(F.col("user_id") % 2 == 1, F.col("pred")))
+            ),
+            6,
+        ).alias("parity_unfairness"),
+        F.count(F.lit(1)).alias("n_cells"),
+    )
+
+
+@spark_query(
+    "q_topk_recommendations",
+    oracle=f"""
+WITH {RATINGS_CTE.strip()},{BIAS_MODEL_CTES.strip()},
+ranked AS (
+  SELECT user_id, item_id, ROUND(pred, 4) AS score,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ROUND(pred, 6) DESC, item_id) AS rnk
+  FROM pred
+)
+SELECT user_id, item_id, score, rnk
+FROM ranked WHERE rnk <= 5
+""",
+)
+def q_topk_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 recommendations per user by predicted score (paper §6's
+    recommendation lists).  Scores are quantized to 6 decimals BEFORE
+    ranking so cross-engine last-ulp differences can't flip the order;
+    ties break by item_id.  The MLlib twin is
+    ALSModel.recommendForAllUsers (rows-only, O-40)."""
+    pred = bias_predictions(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc(F.round(F.col("pred"), 6)), F.asc("item_id")
+    )
+    return (
+        pred.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "user_id",
+            "item_id",
+            F.round("pred", 4).alias("score"),
+            "rnk",
+        )
+    )

@@ -3,12 +3,16 @@ every implemented query in the registry."""
 
 from . import (  # noqa: F401
     aggregates,
+    dedup_scale,
     eventtime,
     joins,
+    multimodal,
     scalars,
     scans,
     setops,
     text,
+    textstats,
+    udfs,
     vectors,
     windows,
 )

@@ -1,0 +1,153 @@
+"""Scale-path dedup operators — north-star mandated (BASELINE.json:
+"dedup" as a first-class component; complements q_dedup_exact /
+q_jaccard_block / q_minhash_lsh).
+
+- SimHash: a 16-bit rotation-tolerant signature built entirely from
+  higher-order array functions (no UDF, no explode blow-up), with
+  banded candidate generation — the linear-time near-dup path.
+- Embedding-cosine near-dup: semantic duplicates via exact cosine
+  within label blocks (SQL-oracled; the LSH twin is q_knn_lsh).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import spark_query
+from ..sources import load_table
+from .vectors import cosine
+
+# 60-bit signature in 4 bands of 15 bits: banding guarantees any pair
+# with hamming <= 3 collides in >= 1 band, and 2^15 band values keep
+# expected collisions ~ n²/32768 per band — linear-ish at sf0.1 (50k
+# docs -> ~300k candidates), instead of the all-pairs O(n²).
+SIMHASH_BITS = 60
+N_BANDS = 4
+BAND_WIDTH = SIMHASH_BITS // N_BANDS
+
+
+def _simhash(hashes: Column) -> Column:
+    """SimHash of a per-token 64-bit hash array: per bit j, sum ±1
+    votes of bit j over all tokens; signature bit j = (vote > 0).
+
+    Pure JVM expressions — one aggregate per bit over the materialized
+    hash array, zero Python, no row explosion."""
+
+    def bit_vote(j: int):
+        # closure factory: pyspark HOF lambdas must take exactly 2 args
+        return lambda acc, h: acc + F.when(
+            F.shiftrightunsigned(h, j) % 2 == 1, 1
+        ).otherwise(-1)
+
+    sig = F.lit(0).cast("long")
+    for j in range(SIMHASH_BITS):
+        vote = F.aggregate(hashes, F.lit(0).cast("long"), bit_vote(j))
+        sig = sig + F.when(vote > 0, F.lit(1 << j)).otherwise(0)
+    return sig
+
+
+@spark_query("q_simhash_neardup")  # rows-only: engine-specific hash basis
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates: signature → 4 bands of 15 bits →
+    band-bucket equi-join (LSH banding: any pair with hamming <= 3
+    collides in >= 1 band) → exact Hamming verify <= 3.
+
+    The banded join is the 100 TB move: candidates come from 4
+    hash-partitioned equi-joins on (band_id, band_value) instead of an
+    all-pairs comparison."""
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = docs.withColumn(
+        "tok_hashes",
+        F.transform(F.split("text", " "), lambda t: F.xxhash64(t)),
+    )
+    sigs = hashed.select("doc_id", _simhash(F.col("tok_hashes")).alias("sig"))
+    banded = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band_id"),
+                        (
+                            F.shiftrightunsigned("sig", k * BAND_WIDTH)
+                            % (1 << BAND_WIDTH)
+                        ).alias("band_val"),
+                    )
+                    for k in range(N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "sig", "band.band_id", "band.band_val")
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return (
+        cands.withColumn(
+            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+        )
+        .filter(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+@spark_query(
+    "q_embed_neardup",
+    oracle="""
+WITH sub AS (
+  SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % 10 < 2
+),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+         list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+         / (SQRT(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+            * SQRT(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))
+         AS cos_raw
+  FROM sub a JOIN sub b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, label, ROUND(cos_raw, 4) AS cosine_sim
+FROM pairs WHERE cos_raw >= 0.15
+""",
+)
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicates: exact cosine >= 0.15 between
+    vectors of the same label block, on a deterministic 20% sample.
+
+    Label blocking bounds the pair count (the IVF idea: only compare
+    within a coarse partition); the deterministic modulo sample keeps
+    the exact O(block²) verify affordable at any SF.  At 100 TB the
+    block key comes from q_kmeans_labels instead of a given label."""
+    sub = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 10 < 2)
+        .select("vec_id", "label", "embedding")
+    )
+    a, b = sub.alias("a"), sub.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        F.col("a.label").alias("label"),
+        cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos_raw"),
+    )
+    return (
+        pairs.filter(F.col("cos_raw") >= 0.15)
+        .select("vec_a", "vec_b", "label", F.round("cos_raw", 4).alias("cosine_sim"))
+    )

@@ -1,0 +1,164 @@
+"""Text-analysis operators for training-data pipelines — north-star
+mandated (BASELINE.json: "text analysis" as a first-class component).
+
+Language-ID, quality scoring, token counting, and document
+fingerprinting over ``documents`` — all pure built-in expressions
+(split/explode/conditional aggregation), all SQL-oracled.  At 100 TB
+these run inside whole-stage codegen on the scan stage; the only
+shuffle is the final per-doc or per-corpus aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import spark_query
+from ..sources import load_table
+
+# Tiny per-language marker lexicons for the n-gram/stopword heuristic.
+LANG_MARKERS = {
+    "en": ("the", "of", "and", "to", "a"),
+    "es": ("el", "de", "la", "que", "y"),
+    "de": ("der", "die", "und", "das", "ein"),
+    "fr": ("le", "la", "et", "les", "des"),
+}
+
+
+def _marker_frac(lang: str):
+    toks = F.split("text", " ")
+    hits = F.size(F.filter(toks, lambda w: w.isin(*LANG_MARKERS[lang])))
+    return hits / F.size(toks)
+
+
+def _marker_frac_sql(lang: str) -> str:
+    in_list = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+    return (
+        f"len(list_filter(string_split(text, ' '), w -> w IN ({in_list}))) * 1.0"
+        f" / len(string_split(text, ' '))"
+    )
+
+
+@spark_query(
+    "q_text_quality",
+    oracle="""
+SELECT doc_id, lang,
+       LENGTH(text)                                       AS n_chars_measured,
+       len(string_split(text, ' '))                       AS n_tokens,
+       ROUND(LENGTH(text) * 1.0 / len(string_split(text, ' ')), 4) AS avg_token_len,
+       len(list_filter(string_split(text, ' '), w -> LENGTH(w) <= 3)) AS n_short_tokens,
+       ROUND(len(list_filter(string_split(text, ' '), w -> LENGTH(w) <= 3)) * 1.0
+             / len(string_split(text, ' ')), 4)           AS short_token_ratio,
+       (LENGTH(text) BETWEEN 100 AND 400
+        AND len(string_split(text, ' ')) >= 20)           AS passes_quality
+FROM documents
+""",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: length, token count, average token
+    length, short-token ratio, and a composite pass/fail gate — the
+    filter stage of an LLM-data pipeline, fully in codegen."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    n_short = F.size(F.filter(toks, lambda w: F.length(w) <= 3))
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("n_chars_measured"),
+        n_tokens.alias("n_tokens"),
+        F.round(F.length("text") / n_tokens, 4).alias("avg_token_len"),
+        n_short.alias("n_short_tokens"),
+        F.round(n_short / n_tokens, 4).alias("short_token_ratio"),
+        (
+            F.length("text").between(100, 400) & (n_tokens >= 20)
+        ).alias("passes_quality"),
+    )
+
+
+@spark_query(
+    "q_text_langid",
+    oracle="""
+SELECT doc_id, lang AS labeled_lang,
+       ROUND({en}, 4) AS en_score,
+       ROUND({es}, 4) AS es_score,
+       ROUND({de}, 4) AS de_score,
+       ROUND({fr}, 4) AS fr_score,
+       CASE GREATEST({en}, {es}, {de}, {fr})
+            WHEN {en} THEN 'en' WHEN {es} THEN 'es'
+            WHEN {de} THEN 'de' ELSE 'fr' END AS predicted_lang
+FROM documents
+""".format(
+        en=_marker_frac_sql("en"),
+        es=_marker_frac_sql("es"),
+        de=_marker_frac_sql("de"),
+        fr=_marker_frac_sql("fr"),
+    ),
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language identification by marker-word fractions (the stopword
+    n-gram heuristic): score per candidate language, argmax with a
+    fixed precedence for ties.  A real pipeline swaps the lexicons for
+    character-n-gram tables — the plan shape is identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    scores = {lang: _marker_frac(lang) for lang in LANG_MARKERS}
+    best = F.greatest(*scores.values())
+    pred = (
+        F.when(scores["en"] == best, "en")
+        .when(scores["es"] == best, "es")
+        .when(scores["de"] == best, "de")
+        .otherwise("fr")
+    )
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[F.round(scores[lang], 4).alias(f"{lang}_score") for lang in LANG_MARKERS],
+        pred.alias("predicted_lang"),
+    )
+
+
+@spark_query(
+    "q_text_tokens",
+    oracle="""
+SELECT doc_id,
+       len(string_split(text, ' '))                   AS n_ws_tokens,
+       len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS n_re_tokens,
+       len(list_distinct(string_split(text, ' ')))    AS n_unique_tokens
+FROM documents
+""",
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways — whitespace split and a BPE-ish regex
+    ([a-z]+|[0-9]+ runs) — plus unique-token count.  The cost model
+    input for training-data budgeting."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+"), 0)).alias("n_re_tokens"),
+        F.size(F.array_distinct(F.split("text", " "))).alias("n_unique_tokens"),
+    )
+
+
+@spark_query(
+    "q_doc_fingerprint",
+    oracle="""
+SELECT d.doc_id,
+       SUM(LENGTH(w.tok) * 31 + (ord(w.tok[1]) % 97)) % 1000000007 AS bag_fingerprint,
+       COUNT(*) AS n_tokens
+FROM documents d, UNNEST(string_split(d.text, ' ')) AS w(tok)
+GROUP BY d.doc_id
+""",
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent bag fingerprint per document: an arithmetic
+    hash over the token multiset (mod a large prime), engine-portable
+    by construction (no engine hash functions).  The cheap pre-filter
+    before exact/minhash dedup: equal fingerprints → candidate dups."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    contrib = F.length("tok") * 31 + (F.ascii(F.substring("tok", 1, 1)) % 97)
+    return tok.groupBy("doc_id").agg(
+        (F.sum(contrib) % 1000000007).alias("bag_fingerprint"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )

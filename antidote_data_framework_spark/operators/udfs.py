@@ -1,0 +1,99 @@
+"""UDF / UDAF / UDTF surface — SURVEY.md §2B O-62.
+
+The escape hatch, demonstrated once each and deliberately kept OUT of
+the hash-matched set: every hot path in this engine is built-in
+expressions; Python enters only through Arrow-vectorized boundaries.
+Preference order at scale: pandas_udf (columnar batches) >
+applyInPandas/mapInPandas (grouped/partition batches) >> row-at-a-time
+udf (serde per row — shown here only to prove the capability).
+
+This module is also the plumbing template for multimodal columns
+(SURVEY north star): ``mapInPandas`` over a binary column + typed
+metadata is exactly the decode/feature-extract shape — see
+``multimodal.py`` for the stubbed decode pipeline.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..registry import spark_query
+from ..sources import load_table
+
+
+@spark_query("q_udf_surface")  # rows-only: UDF demos, not oracle targets
+def q_udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One of each Python-boundary mechanism over events, summarized
+    into a single row of counts (each count proves that path executed):
+
+    - scalar Python UDF (row-at-a-time; the slow path),
+    - pandas_udf (Arrow-vectorized scalar),
+    - applyInPandas (grouped map — the antidote-gradient carrier shape),
+    - mapInPandas (partition-batch map — the multimodal decode shape),
+    - UDTF (table function, Spark 4.x).
+    """
+    events = load_table(spark, sf_dir, "events")
+
+    @F.udf(T.StringType())
+    def slow_upper(s: str) -> str:
+        return s.upper() if s else s
+
+    @F.pandas_udf(T.DoubleType())
+    def vec_double(v: pd.Series) -> pd.Series:
+        return v * 2.0
+
+    n_udf = events.select(slow_upper("event_type").alias("et")).filter(
+        F.col("et").isin("CLICK", "VIEW", "PURCHASE", "SIGNUP", "ERROR")
+    ).count()
+    n_pandas = events.select(vec_double("value").alias("v2")).filter(
+        F.col("v2").isNotNull()
+    ).count()
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mean, std = pdf["value"].mean(), pdf["value"].std(ddof=0) or 1.0
+        return pdf.assign(z=(pdf["value"] - mean) / (std if std else 1.0))
+
+    n_grouped = (
+        events.select("event_type", "value")
+        .groupBy("event_type")
+        .applyInPandas(zscore, schema="event_type string, value double, z double")
+        .count()
+    )
+
+    def add_len(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pdf.assign(props_len=pdf["props"].str.len())
+
+    n_map = (
+        events.select("event_id", "props")
+        .mapInPandas(add_len, schema="event_id long, props string, props_len long")
+        .filter(F.col("props_len") > 0)
+        .count()
+    )
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word: string, pos: int")
+    class SplitWords:
+        def eval(self, text: str):
+            for i, w in enumerate((text or "").split(" ")):
+                yield w, i
+
+    spark.udtf.register("split_words", SplitWords)
+    first_doc = load_table(spark, sf_dir, "documents").orderBy("doc_id").limit(1)
+    first_doc.createOrReplaceTempView("udtf_first_doc")
+    n_udtf = spark.sql(
+        "SELECT sw.word, sw.pos FROM udtf_first_doc, LATERAL split_words(text) sw"
+    ).count()
+
+    return spark.createDataFrame(
+        [(int(n_udf), int(n_pandas), int(n_grouped), int(n_map), int(n_udtf))],
+        "n_scalar_udf BIGINT, n_pandas_udf BIGINT, n_apply_in_pandas BIGINT, "
+        "n_map_in_pandas BIGINT, n_udtf BIGINT",
+    )

@@ -1,0 +1,156 @@
+"""Structured Streaming operators — SURVEY.md §2B O-51/O-52.
+
+Streaming twins of the batch event-time windows (operators/eventtime).
+Both run a real streaming query over a file source: the batch events
+fixture is staged into multiple parquet files and consumed with
+``maxFilesPerTrigger=1``, so the watermark advances across several
+micro-batches exactly as it would on a live stream.  Results land in a
+memory sink and are returned as a DataFrame (rows-only by declaration:
+append-mode emission depends on watermark progression, which is a
+streaming-runtime property, not ANSI SQL).
+
+In production the same plans read Kafka/cloud storage; nothing below
+depends on the source being finite.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import spark_query
+from ..sources import load_table
+
+SCRATCH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".scratch",
+)
+
+EVENTS_SCHEMA = (
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+
+
+def _stage_events(
+    spark: SparkSession, sf_dir: str, name: str, copies: int = 1, n_files: int = 4
+) -> str:
+    """Stage the events fixture as time-range buckets with strictly
+    increasing file modification times.
+
+    The parquet file source processes oldest-mtime-first, so this makes
+    arrival order == event-time order — the realistic in-order stream.
+    With copies=2 each bucket is staged twice back-to-back (replay
+    arrives while the bucket's keys are still inside the watermark
+    horizon), which is what makes stateful dedup observable."""
+    import time
+
+    path = os.path.join(SCRATCH, name)
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    events = load_table(spark, sf_dir, "events").cache()
+    lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
+    span_us = int((hi - lo).total_seconds() * 1_000_000) + 1
+    step = span_us // n_files + 1
+    base_mtime = time.time() - 10 * n_files * copies
+    seq = 0
+    for k in range(n_files):
+        bucket = events.filter(
+            (F.unix_micros(F.col("ts")) - F.unix_micros(F.lit(lo)))
+            .between(k * step, (k + 1) * step - 1)
+        )
+        for c in range(copies):
+            before = set(os.listdir(path))
+            bucket.coalesce(1).write.mode("append").parquet(path)
+            for f in sorted(set(os.listdir(path)) - before):
+                full = os.path.join(path, f)
+                os.utime(full, (base_mtime + seq, base_mtime + seq))
+            seq += 1
+    events.unpersist()
+    return path
+
+
+def _run_stream(agg: DataFrame, mode: str) -> str:
+    sink = f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(sink)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return sink
+
+
+@spark_query("q_stream_tumbling_watermark")  # rows-only: streaming emission
+def q_stream_tumbling_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_window_tumbling: 1-day tumbling counts per
+    event type with a 1-hour watermark, append mode.
+
+    Append emits a window only once the watermark (max event time seen
+    minus 1h) passes its end — so finalized windows match the batch
+    result exactly, and the trailing window stays in state (late rows
+    beyond the watermark would be dropped).  The equivalence
+    assertion lives in tests/test_streaming.py."""
+    src = _stage_events(spark, sf_dir, "stream_tumbling_src")
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    sink = _run_stream(agg, "append")
+    return spark.table(sink)
+
+
+@spark_query("q_stream_dedup_stateful")  # rows-only: stateful streaming
+def q_stream_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup: every time bucket is staged TWICE
+    (each event arrives again as a replay one micro-batch later), and
+    dropDuplicatesWithinWatermark on event_id keeps state only within
+    the watermark horizon — the bounded-state dedup pattern for
+    infinite streams (exact global dedup state would grow without
+    bound at 100 TB/day).
+
+    Emits one row per day: distinct events surviving dedup vs the 2×
+    duplicated input, proving the state machine dropped replays."""
+    src = _stage_events(spark, sf_dir, "stream_dedup_src", copies=2, n_files=8)
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    # watermark horizon (5 days) > bucket span (~4 days at the fixture's
+    # 30-day range / 8 buckets), so every replayed key is still in state.
+    deduped = (
+        stream.withWatermark("ts", "5 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_distinct_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_distinct_events",
+        )
+    )
+    sink = _run_stream(deduped, "append")
+    return spark.table(sink)
