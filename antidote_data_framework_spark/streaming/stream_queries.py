@@ -134,16 +134,16 @@ def q_stream_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Emits one row per day: distinct events surviving dedup vs the 2×
     duplicated input, proving the state machine dropped replays."""
-    src = _stage_events(spark, sf_dir, "stream_dedup_src", copies=2, n_files=8)
+    src = _stage_events(spark, sf_dir, "stream_dedup_src", copies=2, n_files=5)
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    # watermark horizon (5 days) > bucket span (~4 days at the fixture's
-    # 30-day range / 8 buckets), so every replayed key is still in state.
+    # watermark horizon (7 days) > bucket span (~6 days at the fixture's
+    # 30-day range / 5 buckets), so every replayed key is still in state.
     deduped = (
-        stream.withWatermark("ts", "5 days")
+        stream.withWatermark("ts", "7 days")
         .dropDuplicatesWithinWatermark(["event_id"])
         .groupBy(F.window("ts", "1 day").alias("w"))
         .agg(F.count(F.lit(1)).alias("n_distinct_events"))

@@ -40,6 +40,7 @@ def main() -> None:
         try:
             fn(spark, sf_dir).collect()
             times[name] = round(time.time() - t0, 3)
+            print(f"bench: {name} {times[name]:.2f}s", file=sys.stderr)
         except Exception as exc:  # a failing query must not kill the bench
             times[name] = -1.0
             print(f"bench: {name} failed: {exc}", file=sys.stderr)

@@ -5,46 +5,47 @@ broadcast strategy, top-k, and the no-Python-on-hot-paths rule."""
 from __future__ import annotations
 
 import __spark_entry__ as entrymod
+from antidote_data_framework_spark.plans import (
+    broadcast_join_count,
+    has_partial_aggregation,
+    physical_plan,
+    pushed_filters,
+    uses_python_eval,
+)
 
 QUERIES = entrymod.queries()
 ORACLES = entrymod.oracle_sql()
 
 
-def _plan(spark, sf_dir, name: str) -> str:
-    return QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
-
-
 def test_scan_pushes_filter_and_prunes_columns(spark, sf_dir):
-    plan = _plan(spark, sf_dir, "q_scan_project_filter")
-    assert "PushedFilters: [" in plan and "IsNotNull(l_shipdate)" in plan
+    df = QUERIES["q_scan_project_filter"](spark, sf_dir)
+    assert any("l_shipdate" in f for f in pushed_filters(df))
+    plan = physical_plan(df)
     # column pruning: the scan schema must not include unused columns
     assert "l_comment" not in plan and "l_tax" not in plan
 
 
 def test_small_dim_join_is_broadcast(spark, sf_dir):
-    plan = _plan(spark, sf_dir, "q_join_broadcast")
-    assert "BroadcastHashJoin" in plan
+    assert broadcast_join_count(QUERIES["q_join_broadcast"](spark, sf_dir)) >= 1
 
 
 def test_star_join_broadcasts_dims(spark, sf_dir):
-    plan = _plan(spark, sf_dir, "q_join_5way_star")
-    assert plan.count("BroadcastHashJoin") >= 3
+    assert broadcast_join_count(QUERIES["q_join_5way_star"](spark, sf_dir)) >= 3
 
 
 def test_orderby_limit_is_take_ordered(spark, sf_dir):
-    plan = _plan(spark, sf_dir, "q_orderby_limit")
-    assert "TakeOrderedAndProject" in plan
+    assert "TakeOrderedAndProject" in physical_plan(QUERIES["q_orderby_limit"](spark, sf_dir))
 
 
 def test_flagship_uses_partial_aggregation(spark, sf_dir):
-    plan = _plan(spark, sf_dir, "q_agg_pricing_summary")
-    assert "HashAggregate" in plan and "partial" in plan.lower()
+    assert has_partial_aggregation(QUERIES["q_agg_pricing_summary"](spark, sf_dir))
 
 
 def test_no_python_udfs_on_oracled_paths(spark, sf_dir):
     """The engine-wide rule: every hash-matched query stays JVM-side
-    (BatchEvalPython / ArrowEvalPython only allowed in declared UDF /
-    multimodal / streaming demos)."""
+    (Python boundaries only in declared UDF / multimodal / streaming
+    demos, which are rows-only)."""
     for name in sorted(ORACLES):
-        plan = _plan(spark, sf_dir, name)
-        assert "EvalPython" not in plan, f"{name} runs Python in its plan"
+        assert not uses_python_eval(QUERIES[name](spark, sf_dir)), (
+            f"{name} runs Python in its plan"
+        )
