@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import spark_query
+from . import metrics
 from ..sources import load_table
 from .recsys_data import (
     BIAS_MODEL_CTES,
@@ -188,12 +189,7 @@ def q_polarization(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scale-safe equivalent (mandatory at 100 TB — the pairwise
     form is quadratic in users).  Computed over the observed support
     (see recsys_data: the dense matrix is never materialized)."""
-    pred = bias_predictions(spark, sf_dir)
-    per_item = pred.groupBy("item_id").agg(F.var_pop("pred").alias("v"))
-    return per_item.agg(
-        F.round(F.avg("v"), 6).alias("polarization"),
-        F.count(F.lit(1)).alias("n_items"),
-    )
+    return metrics.polarization(bias_predictions(spark, sf_dir))
 
 
 # ---- Yao–Huang fairness metrics (O-35..O-38) --------------------------------
@@ -219,22 +215,6 @@ both_grps AS (
 )"""
 
 
-def _grouped_discrepancies(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pred = bias_predictions(spark, sf_dir)
-    grp_item = (
-        pred.withColumn("grp", F.col("user_id") % 2)
-        .groupBy("item_id", "grp")
-        .agg(F.avg("pred").alias("ey"), F.avg("rating").alias("er"))
-    )
-    g0 = grp_item.filter(F.col("grp") == 0).select(
-        "item_id", F.col("ey").alias("ey0"), F.col("er").alias("er0")
-    )
-    g1 = grp_item.filter(F.col("grp") == 1).select(
-        "item_id", F.col("ey").alias("ey1"), F.col("er").alias("er1")
-    )
-    return g0.join(g1, "item_id")
-
-
 @spark_query(
     "q_fairness_value",
     oracle=_FAIR_CTES
@@ -248,12 +228,7 @@ def q_fairness_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Value unfairness U_val: mean over items of
     |(Ey_0 − Er_0) − (Ey_1 − Er_1)| — signed over/under-estimation
     inconsistency between groups [YH §3]."""
-    d = _grouped_discrepancies(spark, sf_dir)
-    term = F.abs((F.col("ey0") - F.col("er0")) - (F.col("ey1") - F.col("er1")))
-    return d.agg(
-        F.round(F.avg(term), 6).alias("value_unfairness"),
-        F.count(F.lit(1)).alias("n_items"),
-    )
+    return metrics.fairness_value(bias_predictions(spark, sf_dir))
 
 
 @spark_query(
@@ -268,14 +243,7 @@ FROM both_grps
 def q_fairness_absolute(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Absolute unfairness U_abs: ||Ey_0−Er_0| − |Ey_1−Er_1|| averaged
     over items — error-magnitude gap, sign-blind [YH §3]."""
-    d = _grouped_discrepancies(spark, sf_dir)
-    term = F.abs(
-        F.abs(F.col("ey0") - F.col("er0")) - F.abs(F.col("ey1") - F.col("er1"))
-    )
-    return d.agg(
-        F.round(F.avg(term), 6).alias("absolute_unfairness"),
-        F.count(F.lit(1)).alias("n_items"),
-    )
+    return metrics.fairness_absolute(bias_predictions(spark, sf_dir))
 
 
 @spark_query(
@@ -291,21 +259,7 @@ FROM both_grps
 def q_fairness_under_over(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Underestimation and overestimation unfairness U_under / U_over:
     the clamped (max(0,·)) one-sided variants, both in one row [YH §3]."""
-    d = _grouped_discrepancies(spark, sf_dir)
-    zero = F.lit(0.0)
-    under = F.abs(
-        F.greatest(zero, F.col("er0") - F.col("ey0"))
-        - F.greatest(zero, F.col("er1") - F.col("ey1"))
-    )
-    over = F.abs(
-        F.greatest(zero, F.col("ey0") - F.col("er0"))
-        - F.greatest(zero, F.col("ey1") - F.col("er1"))
-    )
-    return d.agg(
-        F.round(F.avg(under), 6).alias("under_unfairness"),
-        F.round(F.avg(over), 6).alias("over_unfairness"),
-        F.count(F.lit(1)).alias("n_items"),
-    )
+    return metrics.fairness_under_over(bias_predictions(spark, sf_dir))
 
 
 @spark_query(
@@ -321,17 +275,7 @@ FROM pred
 def q_fairness_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Non-parity U_par: |E_0[ŷ] − E_1[ŷ]| — the overall predicted-
     rating gap between groups [YH §3]."""
-    pred = bias_predictions(spark, sf_dir)
-    return pred.agg(
-        F.round(
-            F.abs(
-                F.avg(F.when(F.col("user_id") % 2 == 0, F.col("pred")))
-                - F.avg(F.when(F.col("user_id") % 2 == 1, F.col("pred")))
-            ),
-            6,
-        ).alias("parity_unfairness"),
-        F.count(F.lit(1)).alias("n_cells"),
-    )
+    return metrics.fairness_parity(bias_predictions(spark, sf_dir))
 
 
 @spark_query(

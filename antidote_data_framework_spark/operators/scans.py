@@ -101,3 +101,20 @@ def q_sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.round(F.sum("o_totalprice"), 2).alias("sum_totalprice"),
     )
+
+
+@spark_query("q_source_orc_roundtrip")  # rows-only: exercises the ORC connector
+def q_source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write a customer slice as ORC, read it back with the explicit
+    schema, and aggregate — exercises the second columnar format
+    (ORC's predicate pushdown / column pruning mirror parquet's)."""
+    out = _scratch_dir("roundtrip_orc")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    customer.write.mode("overwrite").orc(out)
+    back = spark.read.schema("c_custkey BIGINT, c_mktsegment STRING, c_acctbal DOUBLE").orc(out)
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+    )
