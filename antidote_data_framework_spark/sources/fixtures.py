@@ -29,20 +29,40 @@ TABLES = (
 )
 
 
+# DataFrame HANDLES (lazy plans, not materialized data) per
+# (session, sf_dir, table): avoids re-listing files + re-reading parquet
+# footers on every one of the ~200 load_table calls in a bench run.
+_DF_CACHE: dict[str, DataFrame] = {}
+
+
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Engine-required session confs, applied defensively because the
+    driver harness passes its OWN SparkSession (built without
+    session.py): nanos-parquet compatibility and UTC timestamp
+    semantics are correctness requirements, not tuning."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar parquet scan; Catalyst pushes filters/pruning into it.
 
     ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's
     vectorized reader rejects; with ``spark.sql.legacy.parquet.nanosAsLong``
-    (set in session.py) it arrives as epoch-nanos BIGINT and is converted
-    here with integer arithmetic (``DIV 1000`` — never float division,
-    which loses precision above 2^53 ns)."""
+    it arrives as epoch-nanos BIGINT and is converted here with integer
+    arithmetic (``DIV 1000`` — never float division, which loses
+    precision above 2^53 ns)."""
     if name not in TABLES:
         raise KeyError(f"unknown fixture table: {name}")
+    key = f"{id(spark)}:{sf_dir}:{name}"
+    if key in _DF_CACHE:
+        return _DF_CACHE[key]
+    _ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
-    return df
+    _DF_CACHE[key] = df
+    return _DF_CACHE[key]
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
