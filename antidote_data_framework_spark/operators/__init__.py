@@ -7,6 +7,7 @@ from . import (  # noqa: F401
     eventtime,
     joins,
     multimodal,
+    reshape,
     scalars,
     scans,
     setops,

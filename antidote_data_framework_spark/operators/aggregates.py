@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import spark_query
+from ..functions.money import sum_charged_price, sum_discounted_price
 from ..sources import load_table
 
 
@@ -28,8 +29,8 @@ from ..sources import load_table
 SELECT l_returnflag, l_linestatus,
        ROUND(SUM(l_quantity), 2)                                          AS sum_qty,
        ROUND(SUM(l_extendedprice), 2)                                     AS sum_base_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                  AS sum_disc_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)    AS sum_charge,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(8,2))), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(8,2)) * CAST(1 + l_tax AS DECIMAL(8,2))), 2) AS DOUBLE) AS sum_charge,
        ROUND(AVG(l_quantity), 4)                                          AS avg_qty,
        ROUND(AVG(l_extendedprice), 4)                                     AS avg_price,
        ROUND(AVG(l_discount), 4)                                          AS avg_disc,
@@ -52,8 +53,8 @@ def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            sum_discounted_price(F.col("l_extendedprice"), F.col("l_discount")).alias("sum_disc_price"),
+            sum_charged_price(F.col("l_extendedprice"), F.col("l_discount"), F.col("l_tax")).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -103,7 +104,7 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT r.r_name, n.n_name,
        GROUPING(r.r_name, n.n_name) AS grp_id,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l.l_discount AS DECIMAL(8,2))), 2) AS DOUBLE) AS revenue
 FROM lineitem l
 JOIN orders o   ON l.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -129,7 +130,7 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.rollup("r_name", "n_name").agg(
         F.grouping_id().alias("grp_id"),
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        sum_discounted_price(F.col("l_extendedprice"), F.col("l_discount")).alias("revenue"),
     )
 
 
@@ -205,4 +206,25 @@ def q_agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_list("l_linenumber")).alias("linenumbers"),
         F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@spark_query(
+    "q_agg_string_concat",
+    oracle="""
+SELECT c_mktsegment,
+       string_agg(c_name, ',' ORDER BY c_name) AS names_csv,
+       COUNT(*) AS n
+FROM (SELECT * FROM customer WHERE c_custkey % 25 = 0)
+GROUP BY c_mktsegment
+""",
+)
+def q_agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG/string_agg): concat_ws over
+    a sorted collect_list — deterministic because the list is sorted
+    before joining, regardless of partition arrival order."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 25 == 0)
+    return c.groupBy("c_mktsegment").agg(
+        F.concat_ws(",", F.sort_array(F.collect_list("c_name"))).alias("names_csv"),
+        F.count(F.lit(1)).alias("n"),
     )

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import spark_query
+from ..functions.money import sum_discounted_price
 from ..sources import load_table
 
 
@@ -60,7 +61,7 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_join_5way_star",
     oracle="""
 SELECT n.n_name,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l.l_discount AS DECIMAL(8,2))), 2) AS DOUBLE) AS revenue,
        COUNT(*) AS n_lineitems
 FROM lineitem l
 JOIN orders o    ON l.l_orderkey = o.o_orderkey
@@ -90,7 +91,7 @@ def q_join_5way_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("r_name") == "ASIA")
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            sum_discounted_price(F.col("l_extendedprice"), F.col("l_discount")).alias("revenue"),
             F.count(F.lit(1)).alias("n_lineitems"),
         )
     )
@@ -186,7 +187,7 @@ def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o.o_orderpriority,
        COUNT(*) AS n_late_ship,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l.l_discount AS DECIMAL(8,2))), 2) AS DOUBLE) AS revenue
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
             AND l.l_shipdate > o.o_orderdate + INTERVAL 7 DAY
@@ -207,7 +208,7 @@ def q_join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_late_ship"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            sum_discounted_price(F.col("l_extendedprice"), F.col("l_discount")).alias("revenue"),
         )
     )
 

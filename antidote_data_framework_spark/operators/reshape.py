@@ -1,0 +1,81 @@
+"""Reshaping / sampling / SQL-API operators — coverage beyond the §2
+inventory (pivot's inverse, deterministic sampling, and the SQL parser
+surface over registered views).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import spark_query
+from ..sources import load_table, register_views
+
+
+@spark_query(
+    "q_unpivot_stack",
+    oracle="""
+SELECT o_orderkey, 'totalprice' AS measure, o_totalprice AS val FROM orders
+UNION ALL
+SELECT o_orderkey, 'custkey' AS measure, CAST(o_custkey AS DOUBLE) AS val FROM orders
+""",
+)
+def q_unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot via stack() — the inverse of O-31's pivot.
+    stack is an Expand (row generator) in the plan: no shuffle, output
+    rows = input × measures."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.expr(
+            "stack(2, 'totalprice', o_totalprice, "
+            "'custkey', CAST(o_custkey AS DOUBLE)) AS (measure, val)"
+        ),
+    )
+
+
+@spark_query(
+    "q_sample_deterministic",
+    oracle="""
+SELECT COUNT(*) AS n_sampled,
+       ROUND(SUM(o_totalprice), 2) AS sum_price,
+       COUNT(DISTINCT o_custkey) AS n_custs
+FROM orders WHERE o_orderkey % 20 = 7
+""",
+)
+def q_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5% sample by key arithmetic — the engine-wide
+    substitute for TABLESAMPLE/rand() (reproducible across engines,
+    partitionings, and retries; sampling by hash/modulo of a key is
+    also how a 100 TB pipeline takes stable dev slices)."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 20 == 7)
+    return orders.agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.countDistinct("o_custkey").alias("n_custs"),
+    )
+
+
+_TPCH_Q3ISH = """
+SELECT l.l_orderkey,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l.l_discount AS DECIMAL(8,2))), 2) AS DOUBLE) AS revenue,
+       o.o_orderpriority
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15'
+  AND l.l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l.l_orderkey, o.o_orderpriority
+"""
+
+
+@spark_query("q_sql_api_q3", oracle=_TPCH_Q3ISH)
+def q_sql_api_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped query through the SQL API (spark.sql over
+    registered views) — same Catalyst plan as the DataFrame API, and
+    the literal same text runs on the oracle.  Demonstrates that the
+    engine's SQL surface is Spark SQL itself (SURVEY §2C: no parser of
+    our own)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_TPCH_Q3ISH)
