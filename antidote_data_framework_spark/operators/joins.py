@@ -232,11 +232,13 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     at-or-before the event time.
 
     Spark has no native as-of join; the scalable rewrite is a ranged
-    equi-join on the user key followed by a window dedup that rides
-    the same hash partitioning (one shuffle total).  Ties broken by
-    o_orderkey for determinism.  At 100 TB the same plan holds: the
-    equi key bounds the join fan-out, and `merge_asof` inside
-    applyInPandas per user is the fallback for dense event streams.
+    equi-join on the user key followed by a per-event row_number
+    dedup.  Catalyst compiles the rank-1 filter to WindowGroupLimit —
+    a partial top-1 per partition BEFORE the exchange — so the dedup
+    shuffle moves at most one candidate per (partition, event), not
+    the join fan-out.  Ties broken by o_orderkey for determinism.  At
+    100 TB the equi key bounds the join fan-out, and `merge_asof`
+    inside applyInPandas per user is the fallback for dense streams.
     """
     orders = load_table(spark, sf_dir, "orders")
     events = load_table(spark, sf_dir, "events")
