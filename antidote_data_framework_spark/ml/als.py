@@ -79,3 +79,25 @@ def q_als_rmse_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(round(rmse, 4), int(n_test), bool(rmse < 1.2))],
         "rmse DOUBLE, n_test BIGINT, passed BOOLEAN",
     )
+
+
+@spark_query("q_als_recommend_topk")  # rows-only: factor-dependent scores
+def q_als_recommend_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 ALS recommendations per user via recommendForAllUsers —
+    the MLlib twin of the SQL-oracled q_topk_recommendations (paper
+    §6's recommendation lists from the real MF model).  The blocked
+    cross-product of factor matrices happens JVM-side with per-block
+    top-k pruning — no dense score matrix."""
+    r = ratings_df(spark, sf_dir)
+    flag = is_train(F.col("user_id"), F.col("item_id"))
+    model = _als_fit_cached(spark, sf_dir, r.filter(flag))
+    recs = model.recommendForAllUsers(3)
+    return recs.select(
+        F.col("user_id"),
+        F.posexplode("recommendations").alias("rank0", "rec"),
+    ).select(
+        "user_id",
+        (F.col("rank0") + 1).alias("rnk"),
+        F.col("rec.item_id").alias("item_id"),
+        F.round(F.col("rec.rating"), 4).alias("score"),
+    )
