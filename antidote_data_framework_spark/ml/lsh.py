@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.ml.clustering import KMeans
 from pyspark.ml.feature import (
     BucketedRandomProjectionLSH,
-    CountVectorizer,
+    HashingTF,
     MinHashLSH,
     NGram,
     Tokenizer,
@@ -30,10 +30,12 @@ from ..sources import load_table
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup join — the scale path for q_jaccard_block.
 
-    Pipeline: tokenize → 2-shingles → binary CountVectorizer
-    (shingle-set vectors) → MinHash signatures → approxSimilarityJoin
-    (band-bucket equi-join under the hood, so candidate generation is
-    a shuffle on bucket keys, never all pairs).
+    Pipeline: tokenize → 2-shingles → binary HashingTF (shingle-set
+    vectors by feature hashing — no vocabulary fit, so featurization
+    is a single pass at any corpus size) → MinHash signatures →
+    approxSimilarityJoin (band-bucket equi-join under the hood, so
+    candidate generation is a shuffle on bucket keys, never all
+    pairs).
 
     Shingling is load-bearing at scale: over a small word vocabulary,
     unigram token sets collide so heavily that MinHash buckets go
@@ -45,9 +47,10 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = tok.transform(docs)
     shingler = NGram(n=2, inputCol="words", outputCol="shingles")
     shingled = shingler.transform(words).filter(F.size("shingles") > 0)
-    cv = CountVectorizer(inputCol="shingles", outputCol="features", binary=True)
-    cv_model = cv.fit(shingled)
-    feats = cv_model.transform(shingled)
+    hasher = HashingTF(
+        inputCol="shingles", outputCol="features", binary=True, numFeatures=1 << 18
+    )
+    feats = hasher.transform(shingled)
     mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=5, seed=42)
     model = mh.fit(feats)
     pairs = model.approxSimilarityJoin(feats, feats, 0.6, distCol="jaccard_dist")
