@@ -213,3 +213,72 @@ def q_antidote_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(it, round(p, 6), n) for it, p, n in trajectory],
         "iteration INT, polarization DOUBLE, n_items INT",
     )
+
+
+# ---- fairness objective (paper §5.2: antidote data for group fairness) -----
+
+
+def fairness_value_np(X_tilde: np.ndarray, V: np.ndarray, M: np.ndarray) -> float:
+    """Value unfairness of the antidote block under fixed V:
+    groups g = user index % 2, Ey from predictions X̃·B, Er from the
+    antidote ratings themselves; U_val = (1/m)·Σ_j |D_j| with
+    D_j = (Ey_0 − Er_0) − (Ey_1 − Er_1)  [YH §3; paper §5.2]."""
+    X_hat = predict_antidote(X_tilde, V, M)
+    g0 = np.arange(X_tilde.shape[0]) % 2 == 0
+    D = (X_hat[g0].mean(axis=0) - X_tilde[g0].mean(axis=0)) - (
+        X_hat[~g0].mean(axis=0) - X_tilde[~g0].mean(axis=0)
+    )
+    return float(np.abs(D).mean())
+
+
+def fairness_value_grad(
+    X_tilde: np.ndarray, V: np.ndarray, M: np.ndarray
+) -> np.ndarray:
+    """Closed-form (sub)gradient of U_val w.r.t. X̃ through the fixed-V
+    linear map: with s_u = ±1 by group, |g_u| the group size, and
+    sgn = sign(D),
+
+        ∂U/∂x̃_{u,·} = s_u/(m·|g_u|) · (B·sgn − sgn)
+
+    — B applied as V·M·Vᵀ (three skinny products; B never formed).
+    Each row differs only by the group sign/size, so the per-item
+    vector (B·sgn − sgn) is computed once: O(m·r) per step."""
+    k, m = X_tilde.shape
+    X_hat = predict_antidote(X_tilde, V, M)
+    g0 = np.arange(k) % 2 == 0
+    D = (X_hat[g0].mean(axis=0) - X_tilde[g0].mean(axis=0)) - (
+        X_hat[~g0].mean(axis=0) - X_tilde[~g0].mean(axis=0)
+    )
+    sgn = np.sign(D)
+    core = (V @ (M @ (V.T @ sgn))) - sgn  # (B − I)·sgn
+    grad = np.empty_like(X_tilde)
+    n0, n1 = int(g0.sum()), int((~g0).sum())
+    grad[g0] = core / (m * n0)
+    grad[~g0] = -core / (m * n1)
+    return grad
+
+
+@spark_query("q_antidote_step_fairness")  # rows-only: golden-tested vs numpy
+def q_antidote_step_fairness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One projected-gradient antidote step on the VALUE-UNFAIRNESS
+    objective (the paper's §5.2 direction: the same Algorithm-1
+    machinery with a different societal objective R).  Emits the
+    objective before/after plus the updated antidote cells."""
+    k, m, rank, lam, eta = 6, 20, 4, 0.1, 20.0
+    X0 = _det_init(k, m)
+    V = _det_factors(m, rank)
+    M = ridge_hat_factor(V, lam)
+    before = fairness_value_np(X0, V, M)
+    X1 = np.clip(X0 - eta * fairness_value_grad(X0, V, M), RATING_LO, RATING_HI)
+    after = fairness_value_np(X1, V, M)
+    rows = [
+        (int(u), int(j), float(X0[u, j]), round(float(X1[u, j]), 4),
+         round(before, 6), round(after, 6))
+        for u in range(k)
+        for j in range(m)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "antidote_user INT, item_idx INT, rating_before DOUBLE, rating_after DOUBLE, "
+        "unfairness_before DOUBLE, unfairness_after DOUBLE",
+    )

@@ -71,3 +71,36 @@ def test_predictions_linear_in_ratings():
     lhs = predict_antidote(2.0 * X + 0.5 * Y, V, Mfac)
     rhs = 2.0 * predict_antidote(X, V, Mfac) + 0.5 * predict_antidote(Y, V, Mfac)
     assert np.allclose(lhs, rhs, atol=1e-10)
+
+
+def test_fairness_grad_matches_finite_differences():
+    from antidote_data_framework_spark.ml.antidote import (
+        fairness_value_grad,
+        fairness_value_np,
+    )
+
+    X = _det_init(6, M)
+    V = _det_factors(M, RANK)
+    Mfac = ridge_hat_factor(V, LAM)
+    grad = fairness_value_grad(X, V, Mfac)
+    eps = 1e-6
+    for u, j in [(0, 0), (1, 3), (4, 7), (5, 11)]:
+        Xp, Xm = X.copy(), X.copy()
+        Xp[u, j] += eps
+        Xm[u, j] -= eps
+        num = (fairness_value_np(Xp, V, Mfac) - fairness_value_np(Xm, V, Mfac)) / (2 * eps)
+        assert np.isclose(grad[u, j], num, rtol=1e-4, atol=1e-10), (u, j)
+
+
+def test_fairness_step_decreases_objective():
+    from antidote_data_framework_spark.ml.antidote import (
+        fairness_value_grad,
+        fairness_value_np,
+    )
+
+    X = _det_init(6, M)
+    V = _det_factors(M, RANK)
+    Mfac = ridge_hat_factor(V, LAM)
+    before = fairness_value_np(X, V, Mfac)
+    X1 = np.clip(X - 5.0 * fairness_value_grad(X, V, Mfac), 1.0, 5.0)
+    assert fairness_value_np(X1, V, Mfac) <= before + 1e-12
