@@ -79,3 +79,76 @@ def q_sql_api_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     our own)."""
     register_views(spark, sf_dir)
     return spark.sql(_TPCH_Q3ISH)
+
+
+_Q17ISH = """
+SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) / 7.0, 2) AS DOUBLE) AS avg_yearly,
+       COUNT(*) AS n_small_lots
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#3'
+  AND l.l_quantity < (
+        SELECT 0.5 * AVG(l2.l_quantity)
+        FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey
+  )
+"""
+
+
+@spark_query("q_subquery_correlated", oracle=_Q17ISH)
+def q_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average
+    quantity threshold).  Catalyst decorrelates it into an aggregate +
+    join — the same rewrite the oracle engine performs — so the
+    correlated form stays declarative with no per-row re-execution.
+    Identical SQL text runs on both engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q17ISH)
+
+
+@spark_query(
+    "q_skew_salted_join",
+    oracle="""
+SELECT l.l_returnflag, f.flag_desc,
+       COUNT(*) AS n_items,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l.l_discount AS DECIMAL(8,2))), 2) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN (VALUES ('A', 'accepted'), ('N', 'none'), ('R', 'returned'))
+     AS f(flag_code, flag_desc)
+  ON l.l_returnflag = f.flag_code
+GROUP BY l.l_returnflag, f.flag_desc
+""",
+)
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manually salted join on a pathologically skewed key.
+
+    l_returnflag has 3 values over the whole fact table — a shuffle
+    join on it would put ~1/3 of 100 TB in three reducer tasks.  The
+    salting pattern: fact side gets salt = key-derived-but-uniform
+    (l_orderkey % SALT), the dim side is exploded SALT times, and the
+    join key becomes (flag, salt) — fan-out bounded, results
+    identical.  (With a 3-row dim, broadcast would also solve this;
+    salting is shown because it is the general fix when BOTH sides
+    are too big to broadcast and AQE's skew split needs help.)"""
+    SALT = 8
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "salt", (F.col("l_orderkey") % SALT).cast("int")
+    )
+    flags = spark.createDataFrame(
+        [("A", "accepted"), ("N", "none"), ("R", "returned")],
+        "flag_code STRING, flag_desc STRING",
+    ).withColumn("salt", F.explode(F.array(*[F.lit(i) for i in range(SALT)])))
+    joined = li.join(
+        flags,
+        (li.l_returnflag == flags.flag_code) & (li.salt == flags.salt),
+    )
+    return joined.groupBy("l_returnflag", "flag_desc").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (1 - F.col("l_discount")).cast("decimal(8,2)")
+            ),
+            2,
+        ).cast("double").alias("revenue"),
+    )
