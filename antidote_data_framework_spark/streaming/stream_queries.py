@@ -154,3 +154,56 @@ def q_stream_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sink = _run_stream(deduped, "append")
     return spark.table(sink)
+
+
+@spark_query("q_stream_custom_stateful")  # rows-only: custom streaming state
+def q_stream_custom_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    a per-event-type running aggregate (count + value sum)
+    carried in explicit state across micro-batches — the escape hatch
+    for stateful logic that watermarked windows can't express
+    (sessionization variants, CDC reducers, online feature updates).
+
+    State is one small tuple per key — bounded regardless of stream
+    length; each micro-batch updates it from Arrow-batched pandas
+    frames.  Emits the final per-type totals, which must equal the
+    batch groupBy on the same staged data."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src = _stage_events(spark, sf_dir, "stream_stateful_src", n_files=2)
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def running_totals(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"event_type": [key[0]], "n_events": [n], "sum_value": [round(total, 4)]}
+        )
+
+    out = stream.groupBy("event_type").applyInPandasWithState(
+        running_totals,
+        outputStructType="event_type STRING, n_events BIGINT, sum_value DOUBLE",
+        stateStructType="n BIGINT, total DOUBLE",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = _run_stream(out, "update")
+    # "update" emits one row per key per micro-batch; keep the final
+    # (largest-count) row per event type.
+    latest = spark.table(sink)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(F.desc("n_events"))
+    return (
+        latest.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_type", "n_events", "sum_value")
+    )
