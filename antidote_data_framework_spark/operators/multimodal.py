@@ -93,3 +93,49 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("feature_norm"), 4).alias("avg_feature_norm"),
         F.round(F.avg("n_bytes"), 2).alias("avg_bytes"),
     )
+
+
+FRAME_STRIDE = 64  # bytes per pseudo-frame in the stub
+
+
+@spark_query("q_multimodal_framesample")  # rows-only: stubbed decoder
+def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over an opaque media column: one input row →
+    N frame rows, each with its own feature vector.
+
+    The stub treats every FRAME_STRIDE-byte slice of the payload as a
+    "frame" (a real decoder yields actual video frames / audio chunks
+    at a timestamp stride — same contract).  The Spark shape is the
+    production one: mapInPandas expands rows (batch in, more rows
+    out), frame_idx carries ordering, and downstream per-frame
+    features aggregate without ever reassembling the media.  Scale:
+    expansion happens inside the scan stage, frames of one asset stay
+    in one partition, no shuffle until the final rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+
+    out_schema = "media_id BIGINT, frame_idx INT, frame_bytes BIGINT, frame_norm DOUBLE"
+
+    def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "frame_bytes": [], "frame_norm": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload)
+                for i in range(0, max(len(raw), 1), FRAME_STRIDE):
+                    frame = raw[i : i + FRAME_STRIDE]
+                    feats = _decode_batch(frame)
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i // FRAME_STRIDE)
+                    out["frame_bytes"].append(len(frame))
+                    out["frame_norm"].append(sum(x * x for x in feats) ** 0.5)
+            yield pd.DataFrame(out)
+
+    frames = media.mapInPandas(sample_frames, schema=out_schema)
+    return frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.round(F.avg("frame_norm"), 4).alias("avg_frame_norm"),
+        F.sum("frame_bytes").alias("total_bytes"),
+    )
