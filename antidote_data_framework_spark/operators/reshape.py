@@ -152,3 +152,30 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).cast("double").alias("revenue"),
     )
+
+
+@spark_query(
+    "q_agg_grouping_sets",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       GROUPING(o_orderstatus, o_orderpriority) AS grp_id,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (neither rollup nor cube): per-status,
+    per-priority, and grand-total groups in one Expand pass — the
+    general grouping-sets machinery O-16/O-17 ride on.  Spark's
+    grouping() is 1-arg, so the Spark text uses grouping_id() (same
+    bit vector as DuckDB's variadic GROUPING — verified by the
+    rollup/cube oracles)."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+SELECT o_orderstatus, o_orderpriority,
+       grouping_id() AS grp_id,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""")
