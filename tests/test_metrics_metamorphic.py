@@ -65,3 +65,11 @@ def test_items_missing_a_group_are_excluded(spark):
     rows = [(0, 0, 3.0, 4.0), (1, 0, 3.0, 2.0), (0, 1, 5.0, 5.0)]
     out = metrics.fairness_value(_pred_df(spark, rows)).first()
     assert out["n_items"] == 1
+
+
+def test_polarization_invariant_under_user_relabeling(spark):
+    # permuting user ids changes nothing: variance is computed per item
+    rows = [(u, j, 3.0, float(u * j % 5)) for u in range(6) for j in range(4)]
+    base = metrics.polarization(_pred_df(spark, rows)).first()["polarization"]
+    permuted = [((u * 5 + 1) % 6, j, r, p) for (u, j, r, p) in rows]
+    assert metrics.polarization(_pred_df(spark, permuted)).first()["polarization"] == base
