@@ -108,3 +108,64 @@ def q_kmeans_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sizes.withColumn(
         "size_rank", F.row_number().over(Window.orderBy(F.desc("n_vectors")))
     )
+
+
+@spark_query("q_ivf_cosine_topk")  # rows-only: approximate (probed) search
+def q_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate nearest neighbors: KMeans (k=16) as the
+    coarse quantizer, then exact cosine only inside the nprobe=6
+    clusters nearest to the query — the third leg of the similarity
+    stack (exact q_cosine_topk / LSH q_knn_lsh / IVF here).
+
+    Scale shape: the partition-by-cluster layout means a query touches
+    nprobe/k of the corpus (~38% here; ~1% in production with k=4096),
+    and the probed exact search is the same broadcast-scored plan as
+    the exact operator.  Centroid scoring is driver-side numpy over a
+    k×dim array — small by construction, like the antidote state.
+
+    Recall caveat (measured): the fixture embeddings are near-
+    isotropic random vectors, so recall ~= probed fraction (0.4@38%
+    probed) — the information-theoretic floor for structureless data.
+    On real embedding manifolds IVF recall concentrates because true
+    neighbors share cells; the operator's plan is unchanged."""
+    import numpy as np
+
+    from ..operators.vectors import dot_product
+
+    # L2-normalize BEFORE clustering: on unit vectors Euclidean
+    # distance is monotone in cosine, so the KMeans cells align with
+    # cosine neighborhoods (without this, measured recall@5 vs the
+    # exact search dropped to 0.2).
+    raw = load_table(spark, sf_dir, "embeddings")
+    norm = F.sqrt(dot_product(F.col("embedding"), F.col("embedding")))
+    emb = raw.withColumn(
+        "features",
+        array_to_vector(
+            F.transform(F.col("embedding"), lambda x: x.cast("double") / norm)
+        ),
+    )
+    km = KMeans(k=16, seed=42, featuresCol="features", predictionCol="cluster")
+    model = km.fit(emb)
+    assigned = model.transform(emb)
+
+    query = emb.filter(F.col("vec_id") == 0).first()
+    q = np.array(query["features"].toArray(), dtype=np.float64)
+    centers = np.asarray(model.clusterCenters(), dtype=np.float64)
+    sims = (centers @ q) / (
+        np.linalg.norm(centers, axis=1) * np.linalg.norm(q) + 1e-12
+    )
+    probe = [int(i) for i in np.argsort(-sims)[:6]]
+
+    from ..operators.vectors import cosine
+
+    qdf = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    scored = (
+        assigned.filter(F.col("cluster").isin(probe) & (F.col("vec_id") != 0))
+        .crossJoin(F.broadcast(qdf))
+        .withColumn("cos_raw", cosine(F.col("embedding"), F.col("qe")))
+    )
+    return (
+        scored.orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+        .select("vec_id", "label", F.round("cos_raw", 4).alias("cosine_sim"))
+        .limit(5)
+    )

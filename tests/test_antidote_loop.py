@@ -39,3 +39,11 @@ def test_loop_emits_finite_decending_friendly_trajectory(spark, sf_dir):
     for r in rows:
         assert np.isfinite(r["polarization"]) and r["polarization"] >= 0.0
         assert r["n_items"] > 0
+
+
+def test_ivf_probed_search_overlaps_exact(spark, sf_dir):
+    """IVF result must share >=1 of the exact top-5 (floor for probed
+    search on isotropic fixtures; real embeddings score far higher)."""
+    exact = {r["vec_id"] for r in QUERIES["q_cosine_topk"](spark, sf_dir).collect()}
+    ivf = {r["vec_id"] for r in QUERIES["q_ivf_cosine_topk"](spark, sf_dir).collect()}
+    assert len(exact & ivf) >= 1
