@@ -220,3 +220,45 @@ def q_map_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("int_value").alias("sum_int_value"),
     )
+
+
+@spark_query(
+    "q_null_semantics",
+    oracle="""
+WITH t AS (
+  SELECT o_orderkey,
+         NULLIF(o_orderstatus, 'P') AS status_or_null,
+         NULLIF(o_totalprice, 0.0)  AS price_or_null
+  FROM orders
+)
+SELECT (status_or_null IS NOT DISTINCT FROM 'O')       AS nullsafe_is_open,
+       (status_or_null IS DISTINCT FROM status_or_null) AS never_true,
+       (status_or_null IS NULL)                         AS is_null,
+       COUNT(*)                                         AS n,
+       COUNT(status_or_null)                            AS n_nonnull,
+       COUNT(*) - COUNT(status_or_null)                 AS n_null
+FROM t
+GROUP BY 1, 2, 3
+""",
+)
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued-logic surface: null-safe equality (Spark <=> ==
+    SQL IS NOT DISTINCT FROM), NULL-vs-NULL comparison, and the
+    COUNT(col)-skips-nulls rule, over a derived nullable column
+    (the fixtures themselves are fully non-null)."""
+    o = load_table(spark, sf_dir, "orders")
+    t = o.select(
+        F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("status_or_null"),
+    )
+    return (
+        t.groupBy(
+            F.col("status_or_null").eqNullSafe(F.lit("O")).alias("nullsafe_is_open"),
+            (~F.col("status_or_null").eqNullSafe(F.col("status_or_null"))).alias("never_true"),
+            F.col("status_or_null").isNull().alias("is_null"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("status_or_null").alias("n_nonnull"),
+            (F.count(F.lit(1)) - F.count("status_or_null")).alias("n_null"),
+        )
+    )

@@ -60,3 +60,38 @@ def q_set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = a.intersect(b).select(F.lit("intersect").alias("which"), "o_custkey")
     exc = a.subtract(b).select(F.lit("except").alias("which"), "o_custkey")
     return inter.unionAll(exc)
+
+
+@spark_query(
+    "q_set_bag_ops",
+    oracle="""
+WITH a AS (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'),
+     b AS (SELECT l_partkey FROM lineitem WHERE l_linestatus = 'F')
+SELECT 'intersect_all' AS which, l_partkey, COUNT(*) AS n
+FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY 2
+UNION ALL
+SELECT 'except_all' AS which, l_partkey, COUNT(*) AS n
+FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY 2
+""",
+)
+def q_set_bag_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set ops (INTERSECT ALL / EXCEPT ALL): duplicate
+    multiplicities are preserved (min / difference of counts), unlike
+    the DISTINCT variants of q_set_intersect_except.  Spark plans both
+    with a count-comparing aggregate + generate — no row explosion."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "R").select("l_partkey")
+    b = li.filter(F.col("l_linestatus") == "F").select("l_partkey")
+    inter = (
+        a.intersectAll(b)
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersect_all").alias("which"), "l_partkey", "n")
+    )
+    exc = (
+        a.exceptAll(b)
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except_all").alias("which"), "l_partkey", "n")
+    )
+    return inter.unionAll(exc)
