@@ -30,15 +30,23 @@ def test_step_query_matches_numpy_core(spark, sf_dir):
         assert 1.0 <= r["rating_after"] <= 5.0
 
 
-def test_loop_emits_finite_decending_friendly_trajectory(spark, sf_dir):
+def test_loop_reduces_polarization_vs_baseline(spark, sf_dir):
+    """The paper's headline effect: polarization of the ORIGINAL
+    users' predictions is lower with antidote data than without, and
+    the gradient steps do not undo the init's gain."""
     rows = sorted(
         QUERIES["q_antidote_loop"](spark, sf_dir).collect(),
         key=lambda r: r["iteration"],
     )
-    assert [r["iteration"] for r in rows] == [0, 1, 2]
+    assert [r["iteration"] for r in rows] == [-1, 0, 1, 2]
     for r in rows:
         assert np.isfinite(r["polarization"]) and r["polarization"] >= 0.0
         assert r["n_items"] > 0
+    baseline = rows[0]["polarization"]
+    final = rows[-1]["polarization"]
+    assert final < baseline, (baseline, final)
+    assert rows[-1]["improvement_vs_baseline"] > 0.0
+    assert final <= rows[1]["polarization"] + 1e-6  # steps never undo the init
 
 
 def test_ivf_probed_search_overlaps_exact(spark, sf_dir):
