@@ -5,6 +5,7 @@ from . import (  # noqa: F401
     aggregates,
     dedup_scale,
     eventtime,
+    funnels,
     joins,
     multimodal,
     reshape,

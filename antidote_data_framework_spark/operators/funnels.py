@@ -1,0 +1,109 @@
+"""Product-analytics operators over the event stream: funnel and
+cohort retention — the query shapes an events table exists for.
+
+Both are pure conditional-aggregation + join plans (one shuffle per
+stage on user_id); week arithmetic is integer day-diff from a fixed
+anchor on BOTH engines (epoch-aligned bucket functions differ between
+engines: DuckDB time_bucket anchors weeks to 2000-01-03, Spark window
+to 1970-01-01 — integer arithmetic sidesteps the mismatch).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import spark_query
+from ..sources import load_table
+
+
+@spark_query(
+    "q_events_funnel",
+    oracle="""
+WITH s AS (
+  SELECT user_id, MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t0
+  FROM events GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t1
+  FROM events e JOIN s ON e.user_id = s.user_id
+  WHERE e.event_type = 'click' AND e.ts > s.t0
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t1
+  GROUP BY e.user_id
+)
+SELECT (SELECT COUNT(*) FROM s WHERE t0 IS NOT NULL) AS n_signup,
+       (SELECT COUNT(*) FROM c)                      AS n_signup_click,
+       (SELECT COUNT(*) FROM p)                      AS n_signup_click_purchase
+""",
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup → click → purchase: each stage
+    counts users whose stage event strictly FOLLOWS their previous
+    stage (conditional min-timestamp per stage, then a ranged join to
+    the next stage).  Three user_id-keyed aggregations — at 100 TB
+    each is one shuffle of |users| rows, and the stages pipeline."""
+    events = load_table(spark, sf_dir, "events")
+    s = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t0")
+    ).filter(F.col("t0").isNotNull())
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    n_s = s.agg(F.count(F.lit(1)).alias("n_signup"))
+    n_c = c.agg(F.count(F.lit(1)).alias("n_signup_click"))
+    n_p = p.agg(F.count(F.lit(1)).alias("n_signup_click_purchase"))
+    return n_s.crossJoin(n_c).crossJoin(n_p)
+
+
+@spark_query(
+    "q_retention_cohort",
+    oracle="""
+WITH weeks AS (
+  SELECT user_id,
+         CAST(FLOOR(date_diff('day', TIMESTAMP '2024-01-01', ts) / 7.0) AS BIGINT) AS wk
+  FROM events
+),
+first_wk AS (SELECT user_id, MIN(wk) AS cohort_week FROM weeks GROUP BY user_id),
+activity AS (SELECT DISTINCT user_id, wk FROM weeks)
+SELECT f.cohort_week,
+       a.wk - f.cohort_week AS week_offset,
+       COUNT(*) AS n_active_users
+FROM first_wk f JOIN activity a ON a.user_id = f.user_id
+GROUP BY 1, 2
+""",
+)
+def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-activity week,
+    counted in each later week they return.  Weeks are integer
+    day-offsets from a fixed anchor (engine-portable; see module
+    docstring).  Shape: two user-keyed aggregations + one join —
+    the cohort table is |users| rows, activity is |user-weeks|."""
+    events = load_table(spark, sf_dir, "events")
+    anchor = F.lit("2024-01-01").cast("timestamp")
+    weeks = events.select(
+        "user_id",
+        F.floor(F.datediff(F.col("ts"), anchor) / 7.0).cast("long").alias("wk"),
+    )
+    first_wk = weeks.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    activity = weeks.distinct()
+    return (
+        activity.join(first_wk, "user_id")
+        .groupBy("cohort_week", (F.col("wk") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+    )
