@@ -3,6 +3,7 @@ every implemented query in the registry."""
 
 from . import (  # noqa: F401
     aggregates,
+    bucketing,
     dedup_scale,
     eventtime,
     funnels,

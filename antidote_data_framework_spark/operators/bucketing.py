@@ -1,0 +1,71 @@
+"""Bucketed-table join — the shuffle-elimination strategy for repeated
+fact⋈fact joins (SURVEY §4.2 / pyspark guide "Partitioning & shuffle").
+
+Writing both sides bucketed by the join key co-locates matching rows
+in the same bucket files; a later join reads bucket-aligned splits and
+Catalyst drops the Exchange on BOTH sides.  At 100 TB this turns the
+single biggest cost of a star-join pipeline (re-shuffling the fact
+table for every join) into a one-time layout decision — the Spark
+equivalent of a clustered index.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import spark_query
+from ..sources import load_table
+
+N_BUCKETS = 8
+
+
+@spark_query("q_bucketed_join_noshuffle")  # rows-only: catalog-table sink
+def q_bucketed_join_noshuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write lineitem and orders as tables bucketed+sorted by the join
+    key, then join them: the physical plan scans bucket-aligned files
+    and contains NO Exchange below the join (asserted in
+    tests/test_plans.py).  Output: per-orderpriority revenue — the
+    same answer any layout gives; the layout only changes the plan."""
+    for name, key, cols in (
+        ("lineitem", "l_orderkey", ["l_orderkey", "l_extendedprice", "l_discount"]),
+        ("orders", "o_orderkey", ["o_orderkey", "o_orderpriority"]),
+    ):
+        table = f"bkt_{name}"
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        # a prior SESSION's managed-table files survive in the warehouse
+        # dir while the in-memory catalog forgets them — clear the path
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        shutil.rmtree(f"{wh}/{table}", ignore_errors=True)
+        (
+            load_table(spark, sf_dir, name)
+            .select(*cols)
+            .write.mode("overwrite")
+            .bucketBy(N_BUCKETS, key)
+            .sortBy(key)
+            .format("parquet")
+            .saveAsTable(table)
+        )
+    li = spark.table("bkt_lineitem")
+    orders = spark.table("bkt_orders")
+    # hint("merge") pins a sort-merge join: at tiny SF the dim would
+    # broadcast and hide the point — the bucketed layout feeds SMJ
+    # with pre-partitioned, pre-sorted inputs (zero Exchange, zero
+    # Sort below the join).
+    return (
+        li.join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(12,2)")
+                    * (1 - F.col("l_discount")).cast("decimal(8,2)")
+                ),
+                2,
+            ).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

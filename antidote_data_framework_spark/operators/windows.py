@@ -200,3 +200,28 @@ def q_window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_totalprice").over(w_full).alias("last_price"),
         F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
     )
+
+
+@spark_query(
+    "q_window_distribution",
+    oracle="""
+SELECT c_custkey, c_mktsegment,
+       ROUND(PERCENT_RANK() OVER w, 4) AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 4)    AS cume,
+       NTILE(10) OVER w                AS decile
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+""",
+)
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution ranking per segment: percent_rank, cume_dist, and
+    deciles over account balance (unique sort via the key tiebreak)."""
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return customer.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("cume"),
+        F.ntile(10).over(w).alias("decile"),
+    )

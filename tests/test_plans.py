@@ -49,3 +49,16 @@ def test_no_python_udfs_on_oracled_paths(spark, sf_dir):
         assert not uses_python_eval(QUERIES[name](spark, sf_dir)), (
             f"{name} runs Python in its plan"
         )
+
+
+def test_bucketed_join_eliminates_join_shuffle(spark, sf_dir):
+    """Bucket-aligned scans must feed the sort-merge join directly:
+    the only Exchange allowed is the final small aggregation."""
+    df = QUERIES["q_bucketed_join_noshuffle"](spark, sf_dir)
+    df.collect()  # materialize so the AQE final plan exists
+    plan = physical_plan(df)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" in final
+    assert final.count("Bucketed: true") == 2
+    join_subtree = final[final.index("SortMergeJoin"):]
+    assert "Exchange" not in join_subtree
