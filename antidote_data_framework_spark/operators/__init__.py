@@ -15,6 +15,7 @@ from . import (  # noqa: F401
     setops,
     text,
     textstats,
+    tpch_more,
     udfs,
     vectors,
     windows,

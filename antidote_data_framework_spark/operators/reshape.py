@@ -283,3 +283,53 @@ def q_tpch_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@spark_query(
+    "q_upsert_merge",
+    oracle="""
+WITH upd AS (
+  SELECT o_custkey AS custkey, COUNT(*) AS n_urgent,
+         ROUND(SUM(o_totalprice), 2) AS urgent_spend
+  FROM orders WHERE o_orderpriority = '1-URGENT'
+  GROUP BY o_custkey
+)
+SELECT c.c_custkey, c.c_name,
+       CASE WHEN u.custkey IS NOT NULL THEN 'VIP' ELSE c.c_mktsegment END AS segment,
+       COALESCE(u.n_urgent, 0) AS n_urgent,
+       COALESCE(u.urgent_spend, 0.0) AS urgent_spend
+FROM customer c
+LEFT JOIN upd u ON u.custkey = c.c_custkey
+""",
+)
+def q_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-shaped dimension upsert (WHEN MATCHED THEN UPDATE):
+    customers matched by an updates feed (urgent-order aggregates) get
+    their segment rewritten and enriched columns; unmatched rows pass
+    through unchanged.
+
+    Without a transactional table format, MERGE is expressed as
+    left-join + conditional projection and written back with
+    partition overwrite; on Delta/Iceberg (sources/lakehouse.py) the
+    same plan becomes a native MERGE INTO.  The updates side is
+    aggregated to one row per key BEFORE the join — merge feeds must
+    be key-unique or matched rows duplicate."""
+    c = load_table(spark, sf_dir, "customer")
+    upd = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_urgent"),
+            F.round(F.sum("o_totalprice"), 2).alias("urgent_spend"),
+        )
+    )
+    return c.join(F.broadcast(upd), c.c_custkey == upd.custkey, "left").select(
+        "c_custkey",
+        "c_name",
+        F.when(F.col("custkey").isNotNull(), F.lit("VIP"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("segment"),
+        F.coalesce("n_urgent", F.lit(0)).alias("n_urgent"),
+        F.coalesce("urgent_spend", F.lit(0.0)).alias("urgent_spend"),
+    )

@@ -170,3 +170,90 @@ def q_jaccard_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jac.select(
         "doc_a", "doc_b", F.round(F.col("jaccard_raw"), 4).alias("jaccard")
     )
+
+
+@spark_query(
+    "q_dedup_ngram_jaccard",
+    oracle="""
+WITH toks AS (SELECT doc_id, lang, source, string_split(text, ' ') AS t FROM documents),
+tri AS (
+  SELECT DISTINCT doc_id, lang, source,
+         t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] || ' ' || t[CAST(i AS INT) + 2] AS g
+  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 3
+),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM tri GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM tri a
+  JOIN tri b ON a.lang = b.lang AND a.source = b.source AND a.g = b.g
+            AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b,
+       ROUND(p.n_common * 1.0 / (ca.n + cb.n - p.n_common), 4) AS jaccard3
+FROM pairs p
+JOIN cnt ca ON ca.doc_id = p.doc_a
+JOIN cnt cb ON cb.doc_id = p.doc_b
+WHERE p.n_common * 1.0 / (ca.n + cb.n - p.n_common) >= 0.35
+""",
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection on word 3-gram shingles: Jaccard >= 0.35 for
+    doc pairs blocked by (lang, source).
+
+    Word n-grams capture local word ORDER, so this catches paraphrase-
+    resistant copies the bag-of-words q_jaccard_block misses (shuffled
+    text shares unigrams but few trigrams).  Trigrams are built with a
+    higher-order transform over the token array — one sequence expr
+    and element_at calls, all inside codegen, no UDF.  Same blocked
+    self-join shape as q_jaccard_block; at 100 TB the blocking key
+    bounds pair candidates and q_minhash_lsh is the unblocked path."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "lang", "source", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= 3
+    )
+    tri = toks.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(F.col("t"), i),
+                    F.element_at(F.col("t"), i + 1),
+                    F.element_at(F.col("t"), i + 2),
+                ),
+            )
+        ).alias("g"),
+    ).distinct()
+    cnt = tri.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = tri.alias("a")
+    b = tri.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = cnt.alias("ca")
+    cb = cnt.alias("cb")
+    jac = (
+        pairs.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
+        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
+        .withColumn(
+            "jaccard_raw",
+            F.col("n_common") / (F.col("ca.n") + F.col("cb.n") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard_raw") >= 0.35)
+    )
+    return jac.select(
+        "doc_a", "doc_b", F.round(F.col("jaccard_raw"), 4).alias("jaccard3")
+    )

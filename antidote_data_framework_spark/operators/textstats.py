@@ -162,3 +162,84 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(contrib) % 1000000007).alias("bag_fingerprint"),
         F.count(F.lit(1)).alias("n_tokens"),
     )
+
+
+@spark_query(
+    "q_corpus_curation",
+    oracle="""
+WITH q AS (
+  SELECT doc_id, lang, text,
+         len(string_split(text, ' ')) AS n_tokens,
+         (LENGTH(text) BETWEEN 100 AND 400
+          AND len(string_split(text, ' ')) >= 20) AS ok
+  FROM documents
+),
+tot AS (SELECT lang, COUNT(*) AS n_total FROM q GROUP BY lang),
+qual AS (SELECT lang, COUNT(*) AS n_quality FROM q WHERE ok GROUP BY lang),
+kept AS (
+  SELECT lang, n_tokens FROM (
+    SELECT lang, n_tokens,
+           ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM q WHERE ok
+  ) WHERE rn = 1
+),
+k AS (
+  SELECT lang, COUNT(*) AS n_kept, CAST(SUM(n_tokens) AS BIGINT) AS tokens_kept
+  FROM kept GROUP BY lang
+)
+SELECT t.lang, t.n_total,
+       COALESCE(qu.n_quality, 0) AS n_quality,
+       COALESCE(k.n_kept, 0)     AS n_kept,
+       COALESCE(k.tokens_kept, 0) AS tokens_kept
+FROM tot t
+LEFT JOIN qual qu ON qu.lang = t.lang
+LEFT JOIN k       ON k.lang = t.lang
+""",
+)
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation funnel per language:
+    raw docs → quality gate (q_text_quality's criteria) → exact dedup
+    (md5 content hash, min-doc_id survivor) → kept-token budget.
+
+    This is the composed pipeline the individual text operators feed:
+    one scan computes tokens+gate, the dedup is a window over the
+    content hash (shuffle keyed on md5 — uniformly distributed, no
+    skew at any scale), and the three funnel stages aggregate to
+    lang-level rows before the final small joins."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    q = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.size(toks).alias("n_tokens"),
+        (F.length("text").between(100, 400) & (F.size(toks) >= 20)).alias("ok"),
+    )
+    tot = q.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    qual = q.filter("ok").groupBy("lang").agg(F.count(F.lit(1)).alias("n_quality"))
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(
+        W.partitionBy(F.md5("text")).orderBy("doc_id")
+    )
+    kept = (
+        q.filter("ok")
+        .withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_tokens").alias("tokens_kept"),
+        )
+    )
+    return (
+        tot.join(qual, "lang", "left")
+        .join(kept, "lang", "left")
+        .select(
+            "lang",
+            "n_total",
+            F.coalesce("n_quality", F.lit(0)).alias("n_quality"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("tokens_kept", F.lit(0)).alias("tokens_kept"),
+        )
+    )

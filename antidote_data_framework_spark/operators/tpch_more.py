@@ -1,0 +1,316 @@
+"""Additional TPC-H-shaped analytics queries (Q4/Q10/Q13/Q15/Q18/Q19/Q22).
+
+These widen the engine's relational regression surface beyond the
+SURVEY.md §2 contract with the classic decision-support shapes the
+contract rows don't already cover: EXISTS-driven semi joins, top-k
+revenue reports, outer-join histograms, argmax-by-aggregate,
+HAVING-driven IN subqueries, disjunctive multi-column pushdown, and
+scalar-subquery + anti-join combinations.
+
+Scale notes applying to the whole module: every query keeps the fact
+table (lineitem/orders) on the probe side, broadcasts dimension tables
+(customer at bench SF is small; at 100 TB it falls back to a shuffle
+join automatically once it crosses autoBroadcastJoinThreshold), and
+aggregates before joining wherever semantics allow, so shuffled bytes
+are group-level, not row-level.  All monetary sums follow the DECIMAL
+discipline of functions/money.py (see README §Determinism).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.money import sum_discounted_price
+from ..registry import spark_query
+from ..sources import load_table
+
+
+@spark_query(
+    "q_tpch_q4_priority",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+  AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+  )
+GROUP BY o_orderpriority
+""",
+)
+def q_tpch_q4_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order priority checking): orders in a 6-month
+    window having at least one line shipped >30 days after the order
+    date, counted per priority.
+
+    The EXISTS becomes a LEFT SEMI join on l_orderkey with the
+    interval predicate as a join-side filter — the semi join emits
+    each order at most once, so no post-join dedup is needed and the
+    probe side never fans out."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@spark_query(
+    "q_tpch_q10_returns",
+    oracle="""
+SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l.l_discount AS DECIMAL(8,2))), 2) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n   ON n.n_nationkey = c.c_nationkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l.l_discount AS DECIMAL(8,2))) DESC, c.c_custkey
+LIMIT 20
+""",
+)
+def q_tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): top-20 customers by
+    revenue lost to returned items, with nation.
+
+    Ordering happens on the EXACT decimal sum (ties broken by
+    c_custkey) and only the output column is rounded — sorting on a
+    rounded double could rank two near-equal customers differently
+    across engines."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    rev_exact = F.sum(
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (1 - F.col("l_discount")).cast("decimal(8,2)")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(rev_exact.alias("rev_exact"))
+        .orderBy(F.desc("rev_exact"), F.asc("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "nation",
+            F.round("rev_exact", 2).cast("double").alias("revenue"),
+        )
+    )
+
+
+@spark_query(
+    "q_tpch_q13_custdist",
+    oracle="""
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+""",
+)
+def q_tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): histogram
+    of per-customer order counts, keeping zero-order customers.
+
+    The non-key predicate lives in the LEFT JOIN's ON clause (not a
+    WHERE) so unmatched customers survive with count 0 — the classic
+    outer-join-filter placement semantics.  Two-level aggregate: the
+    first groups by the join key (pre-shuffled by the join), the
+    second shuffles only distinct counts."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@spark_query(
+    "q_tpch_q15_top_supplier",
+    oracle="""
+WITH rev AS (
+  SELECT l_suppkey AS suppkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name,
+       CAST(ROUND(r.total_rev, 2) AS DOUBLE) AS total_revenue
+FROM rev r
+JOIN supplier s ON s.s_suppkey = r.suppkey
+WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+""",
+)
+def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): supplier(s) achieving the
+    maximum quarterly revenue — argmax over an aggregate via a reused
+    subplan.
+
+    The equality test runs on the EXACT decimal revenue (never the
+    rounded double), so cross-engine max-equality cannot be perturbed
+    by FP summation order.  The rev subplan appears twice (rows +
+    scalar max); Catalyst executes the tiny grouped aggregate twice
+    rather than materializing — at 100 TB persist() the grouped rev
+    DataFrame instead, which this implementation does."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (1 - F.col("l_discount")).cast("decimal(8,2)")
+            ).alias("total_rev")
+        )
+    )
+    max_rev = rev.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        rev.join(F.broadcast(max_rev), rev.total_rev == max_rev.max_rev)
+        .join(F.broadcast(s), F.col("suppkey") == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("total_rev", 2).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@spark_query(
+    "q_tpch_q18_big_orders",
+    oracle="""
+SELECT c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       ROUND(SUM(l.l_quantity), 2) AS sum_qty
+FROM customer c
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
+)
+GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+""",
+)
+def q_tpch_q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): orders whose total
+    quantity exceeds a threshold, with customer detail.
+
+    The IN-subquery is an aggregate-then-semi-join: quantities are
+    summed per order FIRST (map-side partial agg over the fact
+    table), and only qualifying orderkeys join back — the cheapest
+    shape because the filter runs at group granularity before any
+    wide join."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("order_qty"))
+        .filter(F.col("order_qty") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big.withColumnRenamed("l_orderkey", "big_key"), F.col("o_orderkey") == F.col("big_key"), "left_semi")
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
+@spark_query(
+    "q_tpch_q19_disjunctive",
+    oracle="""
+SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l.l_discount AS DECIMAL(8,2))), 2) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1'  AND p.p_size BETWEEN 1  AND 15 AND l.l_quantity BETWEEN 1  AND 20)
+   OR (p.p_brand = 'Brand#2'  AND p.p_size BETWEEN 10 AND 30 AND l.l_quantity BETWEEN 10 AND 30)
+   OR (p.p_brand = 'Brand#3'  AND p.p_size BETWEEN 20 AND 50 AND l.l_quantity BETWEEN 20 AND 40)
+""",
+)
+def q_tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicates):
+    OR-of-ANDs mixing join-side and probe-side columns.
+
+    Catalyst derives single-side implied filters from the disjunction
+    (p_brand IN (...) on part, l_quantity BETWEEN 1 AND 40 on
+    lineitem) and pushes them below the join, so both scans shrink
+    before the join evaluates the full residual predicate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30) & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50) & F.col("l_quantity").between(20, 40))
+    )
+    return joined.filter(cond).agg(
+        sum_discounted_price(F.col("l_extendedprice"), F.col("l_discount")).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@spark_query(
+    "q_tpch_q22_idle_custs",
+    oracle="""
+SELECT c.c_mktsegment AS segment,
+       COUNT(*) AS n_custs,
+       ROUND(SUM(c.c_acctbal), 2) AS total_bal
+FROM customer c
+WHERE c.c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+  )
+GROUP BY c.c_mktsegment
+""",
+)
+def q_tpch_q22_idle_custs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global-sales opportunity): customers with
+    above-average account balance and no urgent orders, per segment.
+
+    Combines a scalar subquery (global average, broadcast as a 1-row
+    cross join) with a LEFT ANTI join (the NOT EXISTS).  The anti
+    join's build side is pre-filtered to urgent orders only, so the
+    hash table it builds is a fraction of the orders table.
+
+    The > comparison runs on the raw average: AVG is a single global
+    scalar computed from the same doubles in both engines, and fixture
+    balances are 2-dp values far from comparison boundaries."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("avg_bal"))
+    )
+    rich = c.crossJoin(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("avg_bal"))
+    idle = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return idle.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_custs"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+    )

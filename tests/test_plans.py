@@ -62,3 +62,26 @@ def test_bucketed_join_eliminates_join_shuffle(spark, sf_dir):
     assert final.count("Bucketed: true") == 2
     join_subtree = final[final.index("SortMergeJoin"):]
     assert "Exchange" not in join_subtree
+
+
+def test_q19_derives_single_side_pushdown(spark, sf_dir):
+    """The disjunctive OR-of-ANDs predicate must still shrink the part
+    scan: Catalyst extracts the implied p_brand IN (...) filter and
+    pushes it to the parquet reader."""
+    df = QUERIES["q_tpch_q19_disjunctive"](spark, sf_dir)
+    assert any("p_brand" in f for f in pushed_filters(df))
+
+
+def test_q4_semi_join_no_fanout(spark, sf_dir):
+    """The EXISTS rewrite must plan a semi join (each order emitted at
+    most once), never an inner join + distinct."""
+    plan = physical_plan(QUERIES["q_tpch_q4_priority"](spark, sf_dir))
+    assert "LeftSemi" in plan
+
+
+def test_q22_anti_join_and_scalar_broadcast(spark, sf_dir):
+    """NOT EXISTS plans as LeftAnti; the global-average scalar arrives
+    via a broadcast, not a shuffle."""
+    plan = physical_plan(QUERIES["q_tpch_q22_idle_custs"](spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
