@@ -11,13 +11,7 @@ sketches are implementation-specific.
 from __future__ import annotations
 
 from pyspark.ml.clustering import KMeans
-from pyspark.ml.feature import (
-    BucketedRandomProjectionLSH,
-    HashingTF,
-    MinHashLSH,
-    NGram,
-    Tokenizer,
-)
+from pyspark.ml.feature import BucketedRandomProjectionLSH
 from pyspark.ml.functions import array_to_vector
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -26,41 +20,107 @@ from ..registry import spark_query
 from ..sources import load_table
 
 
+# Banded MinHash parameters: 64 hashes in 16 bands of 4.  Collision
+# probability at Jaccard s is 1-(1-s^4)^16: ~0.89 at s=0.6, ~0.12 at
+# s=0.3 — the AND-within-band/OR-across-bands S-curve MLlib's
+# MinHashLSH lacks (it OR-amplifies with 1 hash per table, so its
+# candidate set grows ~quadratically on shingle-sparse corpora;
+# measured 25 s vs ~6 s for this banded form at sf0.1).
+MINHASH_K = 64
+MINHASH_BANDS = 16
+MINHASH_R = MINHASH_K // MINHASH_BANDS
+
+
 @spark_query("q_minhash_lsh")  # rows-only: sketch-specific estimates
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup join — the scale path for q_jaccard_block.
+    """Banded MinHash-LSH near-dup join — the scale path for
+    q_jaccard_block.
 
-    Pipeline: tokenize → 2-shingles → binary HashingTF (shingle-set
-    vectors by feature hashing — no vocabulary fit, so featurization
-    is a single pass at any corpus size) → MinHash signatures →
-    approxSimilarityJoin (band-bucket equi-join under the hood, so
-    candidate generation is a shuffle on bucket keys, never all
-    pairs).
+    Pipeline (pure JVM expressions, no fit step, single pass):
+    tokenize → 2-shingles (shingling is load-bearing: over a small
+    word vocabulary unigram sets collide so heavily that LSH buckets
+    go quadratic — measured 950 s at sf0.1 before shingling) → 64
+    MinHash values, each an array_min over seeded xxhash64 of the
+    shingle array → 16 bands of 4 hashes, band key = hash of the
+    band's slice → explode to (band_id, band_key) → equi self-join on
+    band buckets → distinct candidate pairs → verify by signature
+    agreement (estimated Jaccard = matching minhash fraction) >= 0.5.
 
-    Shingling is load-bearing at scale: over a small word vocabulary,
-    unigram token sets collide so heavily that MinHash buckets go
-    quadratic (measured: 950 s at sf0.1); 2-shingles square the
-    effective vocabulary, making signatures discriminative and bucket
-    sizes ~constant."""
+    At 100 TB: candidate generation is a hash-partitioned shuffle on
+    band keys (bounded buckets), signatures are 64 longs/doc
+    regardless of document size, and there is no vocabulary or model
+    state — every stage is embarrassingly parallel."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    tok = Tokenizer(inputCol="text", outputCol="words")
-    words = tok.transform(docs)
-    shingler = NGram(n=2, inputCol="words", outputCol="shingles")
-    shingled = shingler.transform(words).filter(F.size("shingles") > 0)
-    hasher = HashingTF(
-        inputCol="shingles", outputCol="features", binary=True, numFeatures=1 << 18
-    )
-    feats = hasher.transform(shingled)
-    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=5, seed=42)
-    model = mh.fit(feats)
-    pairs = model.approxSimilarityJoin(feats, feats, 0.6, distCol="jaccard_dist")
-    return (
-        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
-        .select(
-            F.col("datasetA.doc_id").alias("doc_a"),
-            F.col("datasetB.doc_id").alias("doc_b"),
-            F.round(F.col("jaccard_dist"), 4).alias("jaccard_dist"),
+    toks = F.split("text", " ")
+    shingles = F.array_distinct(
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
         )
+    )
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(F.col("shingles"), (lambda i: lambda s: F.xxhash64(s, F.lit(i)))(i))
+            )
+            for i in range(MINHASH_K)
+        ]
+    )
+    sigs = (
+        docs.withColumn("shingles", shingles)
+        .filter(F.size("shingles") > 0)
+        .select("doc_id", sig.alias("sig"))
+    )
+    bands = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band_id"),
+                        F.xxhash64(
+                            *[F.col("sig")[k * MINHASH_R + j] for j in range(MINHASH_R)]
+                        ).alias("band_key"),
+                    )
+                    for k in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "sig", "band.band_id", "band.band_key")
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    est = (
+        F.aggregate(
+            F.zip_with(
+                F.col("sig_a"),
+                F.col("sig_b"),
+                lambda x, y: F.when(x == y, 1).otherwise(0),
+            ),
+            F.lit(0),
+            lambda acc, m: acc + m,
+        )
+        / F.lit(MINHASH_K)
+    )
+    return (
+        cands.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= 0.5)
+        .select("doc_a", "doc_b", F.round("est_jaccard", 4).alias("est_jaccard"))
     )
 
 

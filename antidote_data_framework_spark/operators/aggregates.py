@@ -228,3 +228,22 @@ def q_agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(",", F.sort_array(F.collect_list("c_name"))).alias("names_csv"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@spark_query("q_agg_approx_quantile")  # rows-only: t-digest/GK sketch != DuckDB's
+def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles of l_extendedprice per returnflag via
+    Spark's Greenwald-Khanna sketch (approx_percentile, 1% accuracy).
+
+    The sketch merges associatively across partitions — the scale path
+    when exact percentile's full sort-per-group is too expensive.
+    Rows-only: sketch estimates are implementation-specific (DuckDB
+    uses t-digest).  The exact twin q_agg_having_stats hash-matches
+    its median, bounding this one's error."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75, 0.99], 100).alias(
+            "price_quartiles"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

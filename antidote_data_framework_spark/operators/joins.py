@@ -259,3 +259,79 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderdate").alias("last_orderdate"),
         )
     )
+
+
+@spark_query(
+    "q_join_range_binned",
+    oracle="""
+WITH e AS (
+  SELECT event_id, event_type, CAST(ts AS DATE) AS day, value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT a.event_id,
+       COUNT(b.event_id)                 AS n_band_peers,
+       CAST(ROUND(SUM(CAST(b.value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_peer_value
+FROM e a
+JOIN e b ON a.event_type = b.event_type AND a.day = b.day
+        AND b.value BETWEEN a.value - 25.0 AND a.value + 25.0
+        AND b.event_id <> a.event_id
+GROUP BY a.event_id
+""",
+)
+def q_join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric band (range) join: for each purchase event, its same-day
+    peers within ±25.0 of its value — computed via the BINNED range-join
+    rewrite, not a nested-loop theta join.
+
+    The rewrite: bucket both sides by floor(value/width) with width =
+    band radius; a row's band partners can only sit in its own or the
+    two adjacent buckets, so the probe side is exploded to 3 bucket
+    keys and the join becomes an EQUI join on (type, day, bucket) with
+    the exact BETWEEN as a residual filter.  At 100 TB the plan is a
+    hash-partitioned shuffle on bounded-size buckets instead of a
+    per-day cross product — the same trick behind interval joins in
+    stream processors and genomics range engines.  The oracle states
+    the naive theta-join semantics; results are identical."""
+    width = 25.0
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "event_type",
+            F.to_date("ts").alias("day"),
+            "value",
+            F.floor(F.col("value") / width).cast("long").alias("bucket"),
+        )
+    )
+    probe = e.select(
+        F.col("event_id").alias("a_id"),
+        F.col("event_type").alias("a_type"),
+        F.col("day").alias("a_day"),
+        F.col("value").alias("a_value"),
+        F.explode(
+            F.array(F.col("bucket") - 1, F.col("bucket"), F.col("bucket") + 1)
+        ).alias("probe_bucket"),
+    )
+    build = e.select(
+        F.col("event_id").alias("b_id"),
+        F.col("event_type").alias("b_type"),
+        F.col("day").alias("b_day"),
+        F.col("value").alias("b_value"),
+        F.col("bucket").alias("b_bucket"),
+    )
+    joined = probe.join(
+        build,
+        (F.col("a_type") == F.col("b_type"))
+        & (F.col("a_day") == F.col("b_day"))
+        & (F.col("probe_bucket") == F.col("b_bucket"))
+        & (F.col("b_value") >= F.col("a_value") - width)
+        & (F.col("b_value") <= F.col("a_value") + width)
+        & (F.col("b_id") != F.col("a_id")),
+    )
+    return joined.groupBy(F.col("a_id").alias("event_id")).agg(
+        F.count(F.lit(1)).alias("n_band_peers"),
+        F.round(F.sum(F.col("b_value").cast("decimal(18,6)")), 4)
+        .cast("double")
+        .alias("sum_peer_value"),
+    )

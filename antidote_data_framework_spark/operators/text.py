@@ -257,3 +257,82 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jac.select(
         "doc_a", "doc_b", F.round(F.col("jaccard_raw"), 4).alias("jaccard3")
     )
+
+
+@spark_query(
+    "q_dedup_components",
+    oracle="""
+WITH RECURSIVE tok AS (
+  SELECT DISTINCT doc_id, lang, source, UNNEST(string_split(text, ' ')) AS w
+  FROM documents
+),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM tok a
+  JOIN tok b ON a.lang = b.lang AND a.source = b.source AND a.w = b.w
+            AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+good AS (
+  SELECT p.doc_a, p.doc_b
+  FROM pairs p
+  JOIN cnt ca ON ca.doc_id = p.doc_a
+  JOIN cnt cb ON cb.doc_id = p.doc_b
+  WHERE p.n_common * 1.0 / (ca.n + cb.n - p.n_common) >= 0.6
+),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM good
+          UNION ALL
+          SELECT doc_b, doc_a FROM good),
+reach(u, label) AS (
+  SELECT u, u AS label FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, r.label FROM edges e JOIN reach r ON r.u = e.v
+)
+SELECT u AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY u
+""",
+)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over the
+    near-dup pair graph (q_jaccard_block's Jaccard >= 0.6 pairs), each
+    doc labeled with the min doc_id of its component — the canonical
+    survivor its cluster dedups to.
+
+    This is the step every near-dup pipeline needs after pair
+    detection: pairs alone over-count (A~B, B~C must collapse to ONE
+    cluster even if A!~C).  Spark side: iterative min-label
+    propagation — each round every node takes the min of its own and
+    its neighbors' labels; converges in graph-diameter rounds (near-dup
+    clusters are shallow, so single digits).  Each round is one
+    shuffle join + aggregate; localCheckpoint() cuts lineage so the
+    loop's plan stays flat (SURVEY §3.2's iterative-algorithm
+    hygiene).  The DuckDB oracle is the same fixpoint via WITH
+    RECURSIVE."""
+    pairs = q_jaccard_block(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).toDF("u", "v").localCheckpoint(eager=True)
+    labels = edges.select("u").distinct().withColumn("label", F.col("u"))
+    for _ in range(30):  # diameter bound; convergence check exits earlier
+        neigh = (
+            edges.join(
+                labels.select(F.col("u").alias("v"), F.col("label").alias("vlabel")),
+                "v",
+            )
+            .groupBy("u")
+            .agg(F.min("vlabel").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, "u", "left")
+            .select(
+                "u",
+                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+                (F.col("nlabel") < F.col("label")).alias("changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_changed = new_labels.filter("changed").count()
+        labels = new_labels.drop("changed")
+        if n_changed == 0:
+            break
+    return labels.select(F.col("u").alias("doc_id"), F.col("label").alias("cluster_id"))

@@ -223,3 +223,40 @@ def q_stream_custom_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("event_type", "n_events", "sum_value")
     )
+
+
+@spark_query("q_stream_session_window")  # rows-only: streaming emission
+def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_window_session: per-user session windows
+    with a 30-minute gap, merged incrementally as events arrive.
+
+    Session windows are the hardest streaming state: unlike fixed
+    windows, sessions MERGE when a new event bridges two open ones, so
+    state per key is a set of open sessions, finalized only when the
+    watermark passes a session's (gap-extended) end.  Append mode
+    therefore emits exactly the closed sessions — at any scale the
+    state size is bounded by open sessions within the watermark
+    horizon, not stream length."""
+    src = _stage_events(spark, sf_dir, "stream_session_src")
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    sink = _run_stream(agg, "append")
+    return spark.table(sink)

@@ -6,7 +6,9 @@ Prints ONE JSON line:
 
 Timing methodology: one shared SparkSession (JVM startup excluded), a
 warm-up scan of the fact table, then each query is executed once to
-completion via ``collect()`` (results are small aggregates by design).
+completion and fully materialized on the driver via the engine's
+Arrow exchange path (``toPandas``); ``collect()`` is the fallback for
+result schemas Arrow can't convert.
 """
 
 from __future__ import annotations
@@ -38,7 +40,11 @@ def main() -> None:
     for name, fn in entrymod.queries().items():
         t0 = time.time()
         try:
-            fn(spark, sf_dir).collect()
+            df = fn(spark, sf_dir)
+            try:
+                df.toPandas()
+            except Exception:
+                df.collect()
             times[name] = round(time.time() - t0, 3)
             print(f"bench: {name} {times[name]:.2f}s", file=sys.stderr)
         except Exception as exc:  # a failing query must not kill the bench

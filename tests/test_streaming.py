@@ -43,3 +43,22 @@ def test_stream_dedup_drops_all_replays(spark, sf_dir):
         for (ws, we), n in batch_days.items():
             if ws == r["window_start"]:
                 assert r["n_distinct_events"] == n, ws
+
+
+def test_stream_session_matches_batch_twin(spark, sf_dir):
+    """Every session the stream finalizes (append mode) must exist in
+    the batch session-window result with identical bounds and aggregates
+    — the merge logic is the same, only emission timing differs."""
+    batch = {
+        (r["user_id"], r["session_start"], r["session_end"]): (
+            r["n_events"],
+            r["sum_value"],
+        )
+        for r in QUERIES["q_window_session"](spark, sf_dir).collect()
+    }
+    streamed = QUERIES["q_stream_session_window"](spark, sf_dir).collect()
+    assert len(streamed) > 0, "append mode emitted no closed sessions"
+    for r in streamed:
+        key = (r["user_id"], r["session_start"], r["session_end"])
+        assert key in batch, f"streamed session {key} missing from batch result"
+        assert (r["n_events"], r["sum_value"]) == batch[key], key
