@@ -132,3 +132,48 @@ def q_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@spark_query(
+    "q_events_anomaly_zscore",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day, n_events,
+       ROUND((n_events - AVG(n_events) OVER (PARTITION BY event_type))
+             / NULLIF(STDDEV_SAMP(n_events) OVER (PARTITION BY event_type), 0),
+             4) AS zscore,
+       ABS((n_events - AVG(n_events) OVER (PARTITION BY event_type))
+           / NULLIF(STDDEV_SAMP(n_events) OVER (PARTITION BY event_type), 0)) > 2.0
+           AS is_anomaly
+FROM daily
+""",
+)
+def q_events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: z-score of each day's event count
+    against its event type's daily distribution, flagging |z| > 2.
+
+    Two-stage plan: the daily rollup first shrinks the fact table to
+    |types|×|days| rows, THEN the unbounded window computes μ/σ over
+    that tiny frame — the window never sees raw events, so at 100 TB
+    the windowed exchange carries a few thousand rows.  NULLIF guards
+    the σ=0 single-day types."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = W.partitionBy("event_type")
+    z = (F.col("n_events") - F.avg("n_events").over(w)) / F.nullif(
+        F.stddev_samp("n_events").over(w), F.lit(0)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.round(z, 4).alias("zscore"),
+        (F.abs(z) > 2.0).alias("is_anomaly"),
+    )

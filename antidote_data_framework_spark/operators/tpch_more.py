@@ -314,3 +314,220 @@ def q_tpch_q22_idle_custs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_custs"),
         F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
     )
+
+
+@spark_query(
+    "q_tpch_q7_volume",
+    oracle="""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       EXTRACT(YEAR FROM l.l_shipdate) AS l_year,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l.l_discount AS DECIMAL(8,2))), 2) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o    ON o.o_orderkey = l.l_orderkey
+JOIN customer c  ON c.c_custkey = o.o_custkey
+JOIN supplier s  ON s.s_suppkey = l.l_suppkey
+JOIN nation cn   ON cn.n_nationkey = c.c_nationkey
+JOIN nation sn   ON sn.n_nationkey = s.s_nationkey
+WHERE ((sn.n_name = 'NATION_18' AND cn.n_name = 'NATION_19')
+    OR (sn.n_name = 'NATION_19' AND cn.n_name = 'NATION_18'))
+GROUP BY sn.n_name, cn.n_name, EXTRACT(YEAR FROM l.l_shipdate)
+""",
+)
+def q_tpch_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): revenue flowing between an
+    ordered pair of trading nations, per ship year.
+
+    Two roles of the same dimension (nation as supplier-nation AND
+    customer-nation) require two aliased broadcast joins — the
+    self-role-join pattern.  The disjunctive nation-pair predicate is
+    evaluated after both joins; at scale both nation joins stay
+    broadcast so the fact table shuffles only for the final group."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_18") & (F.col("cust_nation") == "NATION_19"))
+        | ((F.col("supp_nation") == "NATION_19") & (F.col("cust_nation") == "NATION_18"))
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(sum_discounted_price(F.col("l_extendedprice"), F.col("l_discount")).alias("revenue"))
+    )
+
+
+@spark_query(
+    "q_tpch_q8_market_share",
+    oracle="""
+WITH region_sales AS (
+  SELECT EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
+         SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l.l_discount AS DECIMAL(8,2))) AS total,
+         SUM(CASE WHEN sn.n_name = 'NATION_3'
+             THEN CAST(l.l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l.l_discount AS DECIMAL(8,2))
+             ELSE CAST(0 AS DECIMAL(22,4)) END) AS nation_rev
+  FROM lineitem l
+  JOIN orders o   ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+  JOIN region r   ON r.r_regionkey = cn.n_regionkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+  WHERE r.r_name = 'ASIA'
+  GROUP BY EXTRACT(YEAR FROM o.o_orderdate)
+)
+SELECT o_year,
+       CAST(ROUND(nation_rev / total, 4) AS DOUBLE) AS mkt_share,
+       CAST(ROUND(total, 2) AS DOUBLE) AS region_revenue
+FROM region_sales
+""",
+)
+def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): one nation's share of a
+    region's revenue per order year — a conditional-share ratio of two
+    exact decimal sums computed in a single pass (no second join or
+    self-union), rounded once at the end."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region"))
+    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (1 - F.col("l_discount")).cast("decimal(8,2)")
+    nation_rev = F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(
+        F.lit(0).cast("decimal(22,4)")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")), F.col("cn_region") == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(rev).alias("total_exact"),
+            F.sum(nation_rev).alias("nation_exact"),
+        )
+        .select(
+            "o_year",
+            F.round(F.col("nation_exact") / F.col("total_exact"), 4)
+            .cast("double")
+            .alias("mkt_share"),
+            F.round("total_exact", 2).cast("double").alias("region_revenue"),
+        )
+    )
+
+
+@spark_query(
+    "q_tpch_q9_profit",
+    oracle="""
+SELECT sn.n_name AS supp_nation,
+       EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l.l_discount AS DECIMAL(8,2))
+                      - CAST(l.l_quantity AS DECIMAL(12,2)) * CAST(p.p_retailprice AS DECIMAL(12,2)) * CAST(0.6 AS DECIMAL(4,2))), 2) AS DOUBLE) AS profit
+FROM lineitem l
+JOIN part p     ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+WHERE p.p_name LIKE '%a%'
+GROUP BY sn.n_name, EXTRACT(YEAR FROM o.o_orderdate)
+""",
+)
+def q_tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): per supplier nation and
+    year, revenue minus modeled cost over parts matching a name
+    pattern.  The fixture has no partsupp table, so supply cost is
+    modeled as 60% of retail price — the arithmetic shape (multi-term
+    decimal expression inside SUM) is Q9's.  LIKE on p_name filters
+    the broadcast side before the join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%a%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    amount = (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (1 - F.col("l_discount")).cast("decimal(8,2)")
+        - F.col("l_quantity").cast("decimal(12,2)")
+        * F.col("p_retailprice").cast("decimal(12,2)")
+        * F.lit(0.6).cast("decimal(4,2)")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("supp_nation", F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(amount), 2).cast("double").alias("profit"))
+    )
+
+
+@spark_query(
+    "q_tpch_q21_waiting",
+    oracle="""
+WITH order_supps AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS n_supps,
+         COUNT(DISTINCT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                             THEN l_suppkey END) AS n_late_supps
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  GROUP BY l_orderkey
+),
+late AS (
+  SELECT DISTINCT l.l_orderkey, l.l_suppkey
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+)
+SELECT s.s_name, COUNT(*) AS numwait
+FROM late
+JOIN order_supps os ON os.l_orderkey = late.l_orderkey
+JOIN supplier s     ON s.s_suppkey = late.l_suppkey
+WHERE os.n_supps > 1 AND os.n_late_supps = 1
+GROUP BY s.s_name
+""",
+)
+def q_tpch_q21_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): count, per
+    supplier, the multi-supplier orders where that supplier was the
+    ONLY late one.
+
+    The classic EXISTS(other supplier) AND NOT EXISTS(other LATE
+    supplier) double correlation, rewritten as per-order conditional
+    distinct counts — one aggregate pass instead of two correlated
+    probes, then a semi-ish join back at order granularity.  Late =
+    shipped >60 days after order date (fixture has no receipt/commit
+    dates)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    lo = li.join(o, li.l_orderkey == o.o_orderkey)
+    is_late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    order_supps = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct(F.when(is_late, F.col("l_suppkey"))).alias("n_late_supps"),
+    )
+    late = lo.filter(is_late).select("l_orderkey", "l_suppkey").distinct()
+    return (
+        late.join(order_supps, "l_orderkey")
+        .filter((F.col("n_supps") > 1) & (F.col("n_late_supps") == 1))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
