@@ -117,3 +117,53 @@ def q_source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
     )
+
+
+@spark_query(
+    "q_source_custom_pyds",
+    oracle="""
+SELECT CAST(rating AS DOUBLE) AS rating,
+       COUNT(*) AS n_cells,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(DISTINCT item_id) AS n_items
+FROM (
+  SELECT u.i AS user_id, it.i AS item_id,
+         1 + (u.i * 7 + it.i * 13) % 5 AS rating
+  FROM generate_series(0, 199) AS u(i), generate_series(0, 49) AS it(i)
+)
+GROUP BY 1
+""",
+)
+def q_source_custom_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource read (Spark 4 pyspark.sql.datasource):
+    200 users x 50 items of the deterministic rating law, generated by
+    an executor-sharded connector (sources/pyds.py), rolled up per
+    rating value.
+
+    The source plans 8 InputPartitions on the driver; each partition
+    materializes only its user range on its executor — the connector
+    pattern for wrapping external systems while keeping Spark's
+    parallelism.  Python appears in this plan ONLY as the ingest
+    boundary (the engine-wide no-Python rule bans Python TRANSFORMS on
+    oracled paths; a Python connector is the data's entry point, and
+    everything downstream is JVM).  The oracle reproduces the same
+    modulo law with generate_series — the connector's output is fully
+    deterministic, so it hash-matches like any table."""
+    from ..sources.pyds import SyntheticRatingsDataSource
+
+    try:
+        spark.dataSource.register(SyntheticRatingsDataSource)
+    except Exception:
+        pass  # already registered in this session
+    df = (
+        spark.read.format("synthetic_ratings")
+        .option("n_users", 200)
+        .option("n_items", 50)
+        .option("numPartitions", 8)
+        .load()
+    )
+    return df.groupBy("rating").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("item_id").alias("n_items"),
+    )

@@ -43,8 +43,12 @@ def test_flagship_uses_partial_aggregation(spark, sf_dir):
 
 def test_no_python_udfs_on_oracled_paths(spark, sf_dir):
     """The engine-wide rule: every hash-matched query stays JVM-side
-    (Python boundaries only in declared UDF / multimodal / streaming
-    demos, which are rows-only)."""
+    in its TRANSFORMS (Python eval nodes only in declared UDF /
+    multimodal / streaming demos, which are rows-only).  A custom
+    Python DataSource (q_source_custom_pyds) is the one sanctioned
+    Python boundary on an oracled path: it is the ingest connector,
+    not a transform — everything downstream of its BatchScan is
+    JVM."""
     for name in sorted(ORACLES):
         assert not uses_python_eval(QUERIES[name](spark, sf_dir)), (
             f"{name} runs Python in its plan"
