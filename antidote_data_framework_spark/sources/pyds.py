@@ -14,7 +14,12 @@ executors, no driver materialization.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 
@@ -56,3 +61,72 @@ class SyntheticRatingsDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return SyntheticRatingsReader(self.options)
+
+
+# ---------------------------------------------------------------------------
+# Streaming flavor: a Python micro-batch source (simpleStreamReader).
+# ---------------------------------------------------------------------------
+
+N_STREAM_DAYS = 10
+EVENTS_PER_DAY = 200
+
+
+def _day_rows(day: int) -> list:
+    # Deterministic event law: replayable on any executor at any time —
+    # the property that makes offset-based recovery exact.  Returns a
+    # materialized list: the simple-stream wrapper pickles the
+    # prefetched batch for executor replay, and generators can't be
+    # pickled.
+    base = day * 86_400  # epoch seconds at day start
+    return [
+        (
+            day * EVENTS_PER_DAY + k,                    # event_id
+            base + (k * 409) % 86_400,                   # epoch_s within the day
+            f"type_{(day + k) % 4}",                     # event_type
+            float((day * 31 + k * 7) % 100),             # value
+        )
+        for k in range(EVENTS_PER_DAY)
+    ]
+
+
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    """One micro-batch per day, N_STREAM_DAYS days, then quiescent.
+
+    Offsets are plain dicts ({"day": d}); read(start) returns the next
+    day's rows plus the advanced offset, and readBetweenOffsets replays
+    any committed range identically — exactly-once recovery comes from
+    the generator being a pure function of the offset."""
+
+    def initialOffset(self) -> dict:
+        return {"day": 0}
+
+    def read(self, start: dict):
+        # Contract of the prefetch wrapper: the return must be an
+        # ITERATOR (next() is called on no-advance batches) that is
+        # also PICKLABLE (cached entries ship to the JVM) — a
+        # list_iterator is both; a generator or bare list is not.
+        d = int(start["day"])
+        if d >= N_STREAM_DAYS:
+            return iter([]), start
+        return iter(_day_rows(d)), {"day": d + 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        rows: list = []
+        for d in range(int(start["day"]), int(end["day"])):
+            rows.extend(_day_rows(d))
+        return iter(rows)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class SyntheticEventsStreamSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events_stream"
+
+    def schema(self) -> str:
+        return "event_id BIGINT, epoch_s BIGINT, event_type STRING, value DOUBLE"
+
+    def simpleStreamReader(self, schema: StructType):
+        return SyntheticEventsStreamReader()

@@ -260,3 +260,45 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sink = _run_stream(agg, "append")
     return spark.table(sink)
+
+
+@spark_query(
+    "q_stream_python_source",
+    oracle="""
+SELECT event_type, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+FROM (
+  SELECT 'type_' || CAST((d.i + k.i) % 4 AS VARCHAR) AS event_type,
+         CAST((d.i * 31 + k.i * 7) % 100 AS DOUBLE)  AS value
+  FROM generate_series(0, 9) AS d(i), generate_series(0, 199) AS k(i)
+)
+GROUP BY event_type
+""",
+)
+def q_stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming read from a custom PYTHON micro-batch source
+    (sources/pyds.SyntheticEventsStreamSource, Spark 4
+    simpleStreamReader API): 10 daily micro-batches of a deterministic
+    event law, aggregated per event type in complete mode.
+
+    The source's offsets are pure functions of the data
+    (readBetweenOffsets replays any range identically), so the
+    post-quiescence aggregate is exactly reproducible — which is why
+    this STREAMING query can carry a full SQL oracle (generate_series
+    restates the same law) instead of the rows-only waiver the
+    file-source streams need.  The connector shape is how a production
+    pipeline wraps a REST/paginated/queue source: driver tracks
+    offsets, executors fetch batches, recovery = re-read committed
+    offset ranges."""
+    from ..sources.pyds import SyntheticEventsStreamSource
+
+    try:
+        spark.dataSource.register(SyntheticEventsStreamSource)
+    except Exception:
+        pass  # already registered in this session
+    stream = spark.readStream.format("synthetic_events_stream").load()
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+    sink = _run_stream(agg, "complete")
+    return spark.table(sink)
