@@ -107,3 +107,76 @@ def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", (F.col("wk") - F.col("cohort_week")).alias("week_offset"))
         .agg(F.count(F.lit(1)).alias("n_active_users"))
     )
+
+
+@spark_query(
+    "q_scd2_intervals",
+    oracle="""
+SELECT user_id, event_type,
+       ts                                           AS valid_from,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+       (LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
+                                                    AS is_current
+FROM events
+""",
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 interval construction: turn a change log into
+    [valid_from, valid_to) validity intervals per key — each event's
+    interval closes at the NEXT event's timestamp (NULL = still
+    current).
+
+    One window per user (lead over ts, event_id tie-break).  This is
+    the standard dimension-history builder: at 100 TB it is one
+    shuffle on the key, and the result joins back to facts with the
+    as-of pattern (q_join_asof) for point-in-time lookups."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    valid_to = F.lead("ts").over(w)
+    return e.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        valid_to.alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+    )
+
+
+@spark_query(
+    "q_path_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS next_type
+  FROM events
+)
+SELECT event_type, next_type, COUNT(*) AS n_transitions
+FROM seq WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+""",
+)
+def q_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-path transition matrix: counts of consecutive event-type
+    pairs per user ordered by time — the Markov-chain input for
+    journey analysis (what follows a signup? what precedes an
+    error?).
+
+    The lead window rides one shuffle on user_id; the transition
+    aggregate then shrinks to |types|² rows, so the expensive stage is
+    a single pass regardless of scale."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+    return (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
