@@ -90,8 +90,8 @@ def q_ratings_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_split_train_test",
     oracle=f"""
 WITH {RATINGS_CTE.strip()}
-SELECT SUM(CASE WHEN {"(user_id * 31 + item_id) % 10 < 8"} THEN 1 ELSE 0 END) AS n_train,
-       SUM(CASE WHEN {"(user_id * 31 + item_id) % 10 < 8"} THEN 0 ELSE 1 END) AS n_test,
+SELECT CAST(SUM(CASE WHEN {"(user_id * 31 + item_id) % 10 < 8"} THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+       CAST(SUM(CASE WHEN {"(user_id * 31 + item_id) % 10 < 8"} THEN 0 ELSE 1 END) AS BIGINT) AS n_test,
        COUNT(*) AS n_total
 FROM ratings
 """,

@@ -124,7 +124,7 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region")
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
@@ -192,7 +192,7 @@ def q_agg_having_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_collect_sorted",
     oracle="""
 SELECT l_orderkey,
-       list(l_linenumber ORDER BY l_linenumber) AS linenumbers,
+       array_to_string(list(l_linenumber ORDER BY l_linenumber), ',') AS linenumbers,
        COUNT(*) AS n_lines
 FROM lineitem
 GROUP BY l_orderkey
@@ -200,11 +200,21 @@ GROUP BY l_orderkey
 )
 def q_agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-order sorted list of line numbers — collect_list is
-    partition-order-dependent, so sort_array makes it deterministic
-    (array equality in the oracle is order-sensitive)."""
+    partition-order-dependent, so sort_array makes it deterministic.
+
+    The list is emitted as an order-sensitive CSV string (not ARRAY):
+    the driver's canonicalizer cannot hash array cells (r01 red row).
+    Numeric sort happens BEFORE the string cast, so "10" sorts after
+    "2" — same semantics the array version tested."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_list("l_linenumber")).alias("linenumbers"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("l_linenumber")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("linenumbers"),
         F.count(F.lit(1)).alias("n_lines"),
     )
 
@@ -241,9 +251,18 @@ def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     uses t-digest).  The exact twin q_agg_having_stats hash-matches
     its median, bounding this one's error."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75, 0.99], 100).alias(
-            "price_quartiles"
-        ),
-        F.count(F.lit(1)).alias("n_rows"),
+    q = F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75, 0.99], 100)
+    # One scalar column per quantile — array outputs crash the driver's
+    # rows-only hasher (r01 red row; ADVICE.md medium finding).
+    return (
+        li.groupBy("l_returnflag")
+        .agg(q.alias("qs"), F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            "l_returnflag",
+            F.round(F.element_at("qs", 1), 4).alias("price_p25"),
+            F.round(F.element_at("qs", 2), 4).alias("price_p50"),
+            F.round(F.element_at("qs", 3), 4).alias("price_p75"),
+            F.round(F.element_at("qs", 4), 4).alias("price_p99"),
+            "n_rows",
+        )
     )

@@ -75,9 +75,10 @@ GROUP BY n.n_name
 def q_join_5way_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-shaped 5-way star join, revenue per ASIA nation.
 
-    Scale plan: lineitem⋈orders is the only fact-fact shuffle; the
-    customer/nation/region dims broadcast, and the region filter
-    prunes before the join (Catalyst pushes it below)."""
+    Scale plan: lineitem⋈orders is the only fact-fact shuffle; nation/
+    region broadcast by structural smallness (25/5 rows).  customer is
+    SF-proportional so it carries NO hint — stats/AQE broadcast it
+    while it fits and shuffle it at scale."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
@@ -85,7 +86,7 @@ def q_join_5way_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .filter(F.col("r_name") == "ASIA")

@@ -222,8 +222,8 @@ def q_tpch_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q12_shipmode",
     oracle="""
 SELECT o.o_orderpriority,
-       SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_returned,
-       SUM(CASE WHEN l.l_returnflag <> 'R' THEN 1 ELSE 0 END) AS n_kept
+       CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
+       CAST(SUM(CASE WHEN l.l_returnflag <> 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
 FROM orders o
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
@@ -313,7 +313,9 @@ def q_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition overwrite; on Delta/Iceberg (sources/lakehouse.py) the
     same plan becomes a native MERGE INTO.  The updates side is
     aggregated to one row per key BEFORE the join — merge feeds must
-    be key-unique or matched rows duplicate."""
+    be key-unique or matched rows duplicate.  No broadcast hint: the
+    updates feed is keyed by o_custkey (cardinality up to |customer|,
+    SF-proportional), so the planner/AQE picks the join strategy."""
     c = load_table(spark, sf_dir, "customer")
     upd = (
         load_table(spark, sf_dir, "orders")
@@ -324,7 +326,7 @@ def q_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("urgent_spend"),
         )
     )
-    return c.join(F.broadcast(upd), c.c_custkey == upd.custkey, "left").select(
+    return c.join(upd, c.c_custkey == upd.custkey, "left").select(
         "c_custkey",
         "c_name",
         F.when(F.col("custkey").isNotNull(), F.lit("VIP"))

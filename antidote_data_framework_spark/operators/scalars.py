@@ -35,7 +35,7 @@ SELECT p_partkey,
        REPLACE(p_type, ' ', '_')            AS type_snake,
        (p_name LIKE '%a%')                  AS has_a,
        regexp_extract(p_name, '[a-z]+')     AS first_word,
-       string_split(p_name, ' ')            AS name_tokens
+       array_to_string(string_split(p_name, ' '), '|') AS name_tokens
 FROM part
 """,
 )
@@ -54,7 +54,9 @@ def q_scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
         F.col("p_name").like("%a%").alias("has_a"),
         F.regexp_extract("p_name", "[a-z]+", 0).alias("first_word"),
-        F.split("p_name", " ").alias("name_tokens"),
+        # split still exercised; joined back to a scalar string because
+        # array cells crash the driver's canonicalizer (r01 red row)
+        F.array_join(F.split("p_name", " "), "|").alias("name_tokens"),
     )
 
 
@@ -96,8 +98,8 @@ def q_scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT l_orderkey, l_linenumber,
        ABS(l_extendedprice - l_quantity * 1000)   AS abs_diff,
-       CEIL(l_extendedprice / 100)                AS price_ceil,
-       FLOOR(l_discount * 100)                    AS disc_pct,
+       CAST(CEIL(l_extendedprice / 100) AS BIGINT)  AS price_ceil,
+       CAST(FLOOR(l_discount * 100) AS BIGINT)      AS disc_pct,
        ROUND(l_extendedprice, 1)                  AS price_round,
        ROUND(SQRT(l_extendedprice), 4)            AS price_sqrt,
        ROUND(LN(l_extendedprice + 1), 4)          AS price_ln,
@@ -172,8 +174,9 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT vec_id,
        len(embedding)                           AS n_dims,
-       embedding[1]                             AS first_val,
-       embedding[1:3]                           AS first3,
+       ROUND(CAST(embedding[1] AS DOUBLE), 4)   AS first_val,
+       array_to_string(list_transform(embedding[1:3],
+             x -> CAST(CAST(ROUND(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT) AS VARCHAR)), ',') AS first3,
        ROUND(SQRT(list_sum(list_transform(embedding,
              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm
 FROM embeddings
@@ -183,7 +186,12 @@ def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array surface over embeddings: size, element access, slice, and
     an L2 norm via higher-order functions — the no-UDF pattern that
     keeps 100 TB of vectors inside codegen.  Squares accumulate in
-    DOUBLE on both engines (float32 accumulation would diverge)."""
+    DOUBLE on both engines (float32 accumulation would diverge).
+
+    The slice is emitted as a CSV of 1e-4-quantized integers, not an
+    ARRAY (driver hasher cannot hash lists) and not a double→string
+    cast (Spark renders small doubles in scientific notation, DuckDB
+    decimal — integer quantization sidesteps both)."""
     emb = load_table(spark, sf_dir, "embeddings")
     sq_sum = F.aggregate(
         F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")),
@@ -193,8 +201,14 @@ def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id",
         F.size("embedding").alias("n_dims"),
-        F.element_at("embedding", 1).alias("first_val"),
-        F.slice("embedding", 1, 3).alias("first3"),
+        F.round(F.element_at("embedding", 1).cast("double"), 4).alias("first_val"),
+        F.array_join(
+            F.transform(
+                F.slice("embedding", 1, 3),
+                lambda x: F.round(x.cast("double") * 10000, 0).cast("bigint").cast("string"),
+            ),
+            ",",
+        ).alias("first3"),
         F.round(F.sqrt(sq_sum), 4).alias("l2_norm"),
     )
 
@@ -204,7 +218,7 @@ def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT k.key                                                   AS prop_key,
        COUNT(*)                                                AS n_rows,
-       SUM(CAST(json_extract_string(e.props, '$.' || k.key) AS INTEGER)) AS sum_int_value
+       CAST(SUM(CAST(json_extract_string(e.props, '$.' || k.key) AS INTEGER)) AS BIGINT) AS sum_int_value
 FROM events e, UNNEST(json_keys(e.props)) AS k(key)
 GROUP BY k.key
 """,

@@ -144,7 +144,7 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_doc_fingerprint",
     oracle="""
 SELECT d.doc_id,
-       SUM(LENGTH(w.tok) * 31 + (ord(w.tok[1]) % 97)) % 1000000007 AS bag_fingerprint,
+       CAST(SUM(LENGTH(w.tok) * 31 + (ord(w.tok[1]) % 97)) % 1000000007 AS BIGINT) AS bag_fingerprint,
        COUNT(*) AS n_tokens
 FROM documents d, UNNEST(string_split(d.text, ' ')) AS w(tok)
 GROUP BY d.doc_id

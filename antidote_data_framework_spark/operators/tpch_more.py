@@ -8,12 +8,16 @@ HAVING-driven IN subqueries, disjunctive multi-column pushdown, and
 scalar-subquery + anti-join combinations.
 
 Scale notes applying to the whole module: every query keeps the fact
-table (lineitem/orders) on the probe side, broadcasts dimension tables
-(customer at bench SF is small; at 100 TB it falls back to a shuffle
-join automatically once it crosses autoBroadcastJoinThreshold), and
-aggregates before joining wherever semantics allow, so shuffled bytes
-are group-level, not row-level.  All monetary sums follow the DECIMAL
-discipline of functions/money.py (see README §Determinism).
+table (lineitem/orders) on the probe side and aggregates before
+joining wherever semantics allow, so shuffled bytes are group-level,
+not row-level.  Explicit ``F.broadcast`` hints appear ONLY where
+smallness is structural (region=5 rows, nation=25 rows, or 1-row
+scalar aggregates) — a hint is honored unconditionally regardless of
+autoBroadcastJoinThreshold, so hinting an SF-proportional table
+(customer/supplier/part/orders) would OOM the build side at 100 TB.
+Those joins carry no hint; stats + AQE pick broadcast when the side
+happens to be small at the current SF.  All monetary sums follow the
+DECIMAL discipline of functions/money.py (see README §Determinism).
 """
 
 from __future__ import annotations
@@ -97,7 +101,7 @@ def q_tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
         .agg(rev_exact.alias("rev_exact"))
@@ -171,9 +175,9 @@ def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     The equality test runs on the EXACT decimal revenue (never the
     rounded double), so cross-engine max-equality cannot be perturbed
     by FP summation order.  The rev subplan appears twice (rows +
-    scalar max); Catalyst executes the tiny grouped aggregate twice
-    rather than materializing — at 100 TB persist() the grouped rev
-    DataFrame instead, which this implementation does."""
+    scalar max), so the grouped aggregate is persist()ed — one
+    lineitem scan feeds both uses; the cached frame is supplier-count
+    sized (group-level), safe to cache at any SF."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
@@ -187,11 +191,12 @@ def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * (1 - F.col("l_discount")).cast("decimal(8,2)")
             ).alias("total_rev")
         )
+        .persist()
     )
     max_rev = rev.agg(F.max("total_rev").alias("max_rev"))
     return (
         rev.join(F.broadcast(max_rev), rev.total_rev == max_rev.max_rev)
-        .join(F.broadcast(s), F.col("suppkey") == s.s_suppkey)
+        .join(s, F.col("suppkey") == s.s_suppkey)
         .select(
             "s_suppkey",
             "s_name",
@@ -234,7 +239,7 @@ def q_tpch_q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         o.join(big.withColumnRenamed("l_orderkey", "big_key"), F.col("o_orderkey") == F.col("big_key"), "left_semi")
-        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
         .join(li, F.col("o_orderkey") == li.l_orderkey)
         .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
@@ -263,7 +268,7 @@ def q_tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the join evaluates the full residual predicate."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    joined = li.join(p, li.l_partkey == p.p_partkey)
     cond = (
         ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 20))
         | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30) & F.col("l_quantity").between(10, 30))
@@ -359,8 +364,8 @@ def q_tpch_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
         .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
         .filter(pair)
@@ -413,10 +418,10 @@ def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
         .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")), F.col("cn_region") == r.r_regionkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
@@ -454,8 +459,10 @@ def q_tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     year, revenue minus modeled cost over parts matching a name
     pattern.  The fixture has no partsupp table, so supply cost is
     modeled as 60% of retail price — the arithmetic shape (multi-term
-    decimal expression inside SUM) is Q9's.  LIKE on p_name filters
-    the broadcast side before the join."""
+    decimal expression inside SUM) is Q9's.  LIKE '%a%' keeps most of
+    part, so part and supplier join WITHOUT broadcast hints (both are
+    SF-proportional; r01 VERDICT flagged the forced broadcast here as
+    a 100× OOM) — AQE picks the strategy from runtime sizes."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%a%"))
     s = load_table(spark, sf_dir, "supplier")
@@ -470,8 +477,8 @@ def q_tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.lit(0.6).cast("decimal(4,2)")
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
         .join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("supp_nation", F.year("o_orderdate").alias("o_year"))
@@ -527,7 +534,7 @@ def q_tpch_q21_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         late.join(order_supps, "l_orderkey")
         .filter((F.col("n_supps") > 1) & (F.col("n_late_supps") == 1))
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )

@@ -82,7 +82,7 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_embed_centroids",
     oracle="""
 SELECT label, CAST(p AS INT) AS pos,
-       ROUND(AVG(CAST(embedding[CAST(p AS INT)] AS DOUBLE)), 4) AS centroid_val,
+       ROUND(AVG(CAST(embedding[CAST(p AS INT)] AS DOUBLE)), 4) + 0.0 AS centroid_val,
        COUNT(*) AS n_vectors
 FROM embeddings, (SELECT UNNEST(range(1, 65)) AS p) ps
 GROUP BY label, p
@@ -103,7 +103,12 @@ def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         exploded.groupBy("label", (F.col("pos0") + 1).alias("pos"))
         .agg(
-            F.round(F.avg(F.col("component").cast("double")), 4).alias("centroid_val"),
+            # + 0.0 normalizes IEEE -0.0 to +0.0 on both engines —
+            # ROUND of a tiny negative average yields -0.0, which the
+            # strict canonicalizer renders as "-0.0" != "0.0"
+            (F.round(F.avg(F.col("component").cast("double")), 4) + F.lit(0.0)).alias(
+                "centroid_val"
+            ),
             F.count(F.lit(1)).alias("n_vectors"),
         )
     )

@@ -37,7 +37,7 @@ EVENTS_SCHEMA = (
 
 
 def _stage_events(
-    spark: SparkSession, sf_dir: str, name: str, copies: int = 1, n_files: int = 4
+    spark: SparkSession, sf_dir: str, copies: int = 1, n_files: int = 4
 ) -> str:
     """Stage the events fixture as time-range buckets with strictly
     increasing file modification times.
@@ -48,16 +48,25 @@ def _stage_events(
     arrives while the bucket's keys are still inside the watermark
     horizon), which is what makes stateful dedup observable.
 
-    Staging is idempotent per (sf_dir, copies, n_files): a marker file
-    records the config and the staged tree is reused on later calls —
-    relative mtime order (what the file source sorts on) survives reuse,
-    so replays behave identically without paying the write again."""
+    Cost discipline (r01 VERDICT: ~5-8 s of staging dominated every
+    q_stream_* bench number):
+
+    - The staged dir is keyed by CONFIG (sf, copies, n_files), not by
+      caller — queries with the same layout (tumbling + session) share
+      one staging; a marker file makes reuse free across calls AND
+      across processes.
+    - One Spark job stages all buckets: a single ``partitionBy(bucket)``
+      write replaces the old n_files×copies separate filtered writes.
+      Replay copies are plain file copies (identical bytes are exactly
+      what a replay is), never a second Spark job.
+    """
     import json
     import time
 
+    config = {"sf_dir": os.path.abspath(sf_dir), "copies": copies, "n_files": n_files}
+    name = f"events_{os.path.basename(sf_dir.rstrip('/'))}_{copies}x{n_files}"
     path = os.path.join(SCRATCH, name)
     marker = os.path.join(path, "_staged.json")
-    config = {"sf_dir": os.path.abspath(sf_dir), "copies": copies, "n_files": n_files}
     try:
         with open(marker) as fh:
             if json.load(fh) == config:
@@ -66,25 +75,36 @@ def _stage_events(
         pass
     shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
-    events = load_table(spark, sf_dir, "events").cache()
+    tmp = path + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    events = load_table(spark, sf_dir, "events")
     lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
     span_us = int((hi - lo).total_seconds() * 1_000_000) + 1
     step = span_us // n_files + 1
+    bucket = F.floor(
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.lit(lo))) / F.lit(step)
+    ).alias("bucket")
+    # one job: each bucket lands in exactly one task -> one file each
+    (
+        events.withColumn("bucket", bucket)
+        .repartition("bucket")
+        .write.partitionBy("bucket")
+        .parquet(tmp)
+    )
     base_mtime = time.time() - 10 * n_files * copies
     seq = 0
     for k in range(n_files):
-        bucket = events.filter(
-            (F.unix_micros(F.col("ts")) - F.unix_micros(F.lit(lo)))
-            .between(k * step, (k + 1) * step - 1)
-        )
+        bdir = os.path.join(tmp, f"bucket={k}")
+        parts = sorted(f for f in os.listdir(bdir) if f.endswith(".parquet")) if os.path.isdir(bdir) else []
+        assert len(parts) == 1, f"bucket {k}: expected 1 file, got {parts}"
+        src_file = os.path.join(bdir, parts[0])
         for c in range(copies):
-            before = set(os.listdir(path))
-            bucket.coalesce(1).write.mode("append").parquet(path)
-            for f in sorted(set(os.listdir(path)) - before):
-                full = os.path.join(path, f)
-                os.utime(full, (base_mtime + seq, base_mtime + seq))
+            dst = os.path.join(path, f"b{k:03d}_c{c}.parquet")
+            shutil.copyfile(src_file, dst)
+            os.utime(dst, (base_mtime + seq, base_mtime + seq))
             seq += 1
-    events.unpersist()
+    shutil.rmtree(tmp, ignore_errors=True)
     with open(marker, "w") as fh:
         json.dump(config, fh)
     return path
@@ -114,7 +134,7 @@ def q_stream_tumbling_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     result exactly, and the trailing window stays in state (late rows
     beyond the watermark would be dropped).  The equivalence
     assertion lives in tests/test_streaming.py."""
-    src = _stage_events(spark, sf_dir, "stream_tumbling_src")
+    src = _stage_events(spark, sf_dir)
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
@@ -150,7 +170,7 @@ def q_stream_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Emits one row per day: distinct events surviving dedup vs the 2×
     duplicated input, proving the state machine dropped replays."""
-    src = _stage_events(spark, sf_dir, "stream_dedup_src", copies=2, n_files=5)
+    src = _stage_events(spark, sf_dir, copies=2, n_files=5)
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
@@ -187,7 +207,7 @@ def q_stream_custom_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    src = _stage_events(spark, sf_dir, "stream_stateful_src", n_files=2)
+    src = _stage_events(spark, sf_dir, n_files=2)
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
@@ -237,7 +257,7 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     therefore emits exactly the closed sessions — at any scale the
     state size is bounded by open sessions within the watermark
     horizon, not stream length."""
-    src = _stage_events(spark, sf_dir, "stream_session_src")
+    src = _stage_events(spark, sf_dir)
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 1)

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import datetime as dt
+import decimal
 import math
 import sys
 import time
@@ -37,11 +38,37 @@ def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+class CanonError(TypeError):
+    """A result cell the driver's canonicalizer cannot hash (or renders
+    engine-dependently).  Any query raising this is driver-red."""
+
+
 def _canon_value(v) -> str:
-    if v is None:
+    """STRICT canonicalization — at least as strict as the driver's.
+
+    Round-1 lesson (VERDICT.md §what's-wrong): the old lenient version
+    int-ified ``15.0`` -> ``"15"`` and stringified list cells, hiding
+    exactly the divergences the driver catches.  Rules now:
+
+    - list/tuple/ndarray/dict/set cells RAISE (driver: pandas
+      sort_values -> ``unhashable type: 'list'``).
+    - decimal.Decimal RAISES (DuckDB fetchdf renders DECIMAL/HUGEINT as
+      float64 — queries must cast explicitly to BIGINT/DOUBLE instead).
+    - float stays float: ``15.0`` renders ``"15.0"``, never ``"15"``.
+    """
+    if v is None or v is pd.NaT:
         return "NULL"
-    if isinstance(v, (list, tuple, np.ndarray)):
-        return "[" + ",".join(_canon_value(x) for x in v) + "]"
+    if isinstance(v, (list, tuple, np.ndarray, dict, set, frozenset)):
+        raise CanonError(
+            f"unhashable result cell of type {type(v).__name__}: "
+            "registered queries must emit scalar columns only "
+            "(array_join/to_json in Spark, array_to_string in DuckDB)"
+        )
+    if isinstance(v, decimal.Decimal):
+        raise CanonError(
+            "Decimal result cell: cast explicitly to DOUBLE or BIGINT on "
+            "both engines (DuckDB DECIMAL/HUGEINT round-trips as float64)"
+        )
     if isinstance(v, (bool, np.bool_)):
         return "true" if v else "false"
     if isinstance(v, (int, np.integer)):
@@ -50,8 +77,6 @@ def _canon_value(v) -> str:
         f = float(v)
         if math.isnan(f):
             return "NULL"
-        if f == int(f) and abs(f) < 1e15:
-            return str(int(f))
         return repr(f)
     if isinstance(v, (pd.Timestamp, dt.datetime)):
         if pd.isna(v):
@@ -61,8 +86,6 @@ def _canon_value(v) -> str:
         return v.isoformat()
     if isinstance(v, bytes):
         return v.hex()
-    if v is pd.NaT:
-        return "NULL"
     try:
         if pd.isna(v):
             return "NULL"
@@ -84,10 +107,13 @@ def compare_one(spark, con, name: str, fn, sql: str | None, sf_dir: str) -> tupl
     t0 = time.time()
     sdf = fn(spark, sf_dir).toPandas()
     spark_s = time.time() - t0
+    # The driver canonicalizes EVERY result, including rows-only ones
+    # (r01: q_agg_approx_quantile, no oracle, still crashed its hasher) —
+    # so strict canon must succeed even when there is no oracle SQL.
+    scols, srows = canon_rows(sdf)
     if sql is None:
         return True, f"rows-only ok ({len(sdf)} rows, {spark_s:.1f}s)"
     ddf = con.execute(sql).fetchdf()
-    scols, srows = canon_rows(sdf)
     dcols, drows = canon_rows(ddf)
     if scols != dcols:
         return False, f"COLUMN MISMATCH spark={scols} duck={dcols}"

@@ -16,12 +16,15 @@ ORACLES = entrymod.oracle_sql()
 def test_query_vs_oracle(name, spark, duck, sf_dir):
     sdf = QUERIES[name](spark, sf_dir).toPandas()
     sql = ORACLES.get(name)
+    # Strict canon must succeed for EVERY registered query — the driver
+    # canonicalizes rows-only results too (r01 lesson: array columns
+    # crash its hasher even without an oracle).
+    scols, srows = canon_rows(sdf)
     if sql is None:
-        # rows-only contract: runs and yields a well-formed result
+        # rows-only contract: runs, well-formed, hashable result
         assert len(sdf.columns) > 0
         return
     ddf = duck.execute(sql).fetchdf()
-    scols, srows = canon_rows(sdf)
     dcols, drows = canon_rows(ddf)
     assert scols == dcols
     assert len(srows) == len(drows)

@@ -83,6 +83,32 @@ def test_q4_semi_join_no_fanout(spark, sf_dir):
     assert "LeftSemi" in plan
 
 
+def test_no_forced_broadcast_of_sf_proportional_tables():
+    """r01 VERDICT anti-pattern: an explicit F.broadcast hint is honored
+    unconditionally (it bypasses autoBroadcastJoinThreshold), so hinting
+    an SF-proportional table = build-side OOM at 100 TB.  Source-scan
+    every operator/ml module: each F.broadcast argument must be a
+    structurally small frame — region (5 rows), nation (25 rows, incl.
+    cn/sn role aliases), or a named 1-row/k-row scalar aggregate."""
+    import pathlib
+    import re
+
+    allowed = re.compile(
+        r"F\.broadcast\(\s*("
+        r"region|nation|n|cn|sn|r\.filter|"        # structural dims
+        r"max_rev|avg_bal|mu|stats|qdf|q\b|query|centroids"  # bounded scalars
+        r")"
+    )
+    pkg = pathlib.Path(__file__).resolve().parent.parent / "antidote_data_framework_spark"
+    bad: list[str] = []
+    for py in sorted(pkg.rglob("*.py")):
+        for i, line in enumerate(py.read_text().splitlines(), 1):
+            if "F.broadcast(" in line and "``F.broadcast``" not in line:
+                if not allowed.search(line):
+                    bad.append(f"{py.name}:{i}: {line.strip()}")
+    assert not bad, "forced broadcast of non-structural table:\n" + "\n".join(bad)
+
+
 def test_q22_anti_join_and_scalar_broadcast(spark, sf_dir):
     """NOT EXISTS plans as LeftAnti; the global-average scalar arrives
     via a broadcast, not a shuffle."""
