@@ -47,11 +47,22 @@ def _ensure_session_confs(spark: SparkSession) -> None:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar parquet scan; Catalyst pushes filters/pruning into it.
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; with ``spark.sql.legacy.parquet.nanosAsLong``
-    it arrives as epoch-nanos BIGINT and is converted here with integer
-    arithmetic (``DIV 1000`` — never float division, which loses
-    precision above 2^53 ns)."""
+    ``events.ts`` is normalized to TIMESTAMP (with local-timezone
+    semantics, under the UTC session timezone) regardless of how the
+    fixture stored it — parquet timestamp encodings have varied across
+    driver versions:
+
+    - TIMESTAMP(NANOS): rejected by the vectorized reader; with
+      ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as epoch-nanos
+      BIGINT and is converted with integer arithmetic (``DIV 1000`` —
+      never float division, which loses precision above 2^53 ns).
+    - ``timestamp[us]`` with no timezone: Spark 4 reads TIMESTAMP_NTZ;
+      cast to TIMESTAMP is lossless under the UTC session timezone.
+    - ``timestamp[us, tz=UTC]``: already TIMESTAMP — pass through.
+
+    Normalizing in ONE place means every downstream consumer
+    (``unix_micros`` windows, watermarked streams, DuckDB oracles) sees
+    a single timestamp type whatever the fixtures contain."""
     if name not in TABLES:
         raise KeyError(f"unknown fixture table: {name}")
     key = f"{id(spark)}:{sf_dir}:{name}"
@@ -59,8 +70,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return _DF_CACHE[key]
     _ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":  # TIMESTAMP(NANOS) read via nanosAsLong
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     _DF_CACHE[key] = df
     return _DF_CACHE[key]
 

@@ -30,10 +30,13 @@ SCRATCH = os.path.join(
     ".scratch",
 )
 
-EVENTS_SCHEMA = (
-    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
-    "value DOUBLE, props STRING"
-)
+def _staged_schema(spark: SparkSession, src: str):
+    """Schema for the file-source stream, read from the staged parquet
+    footers themselves (a metadata-only read).  Hard-coding a schema
+    literal broke round 2 when the fixtures changed timestamp flavor —
+    the staged data is written from ``load_table``'s normalized frame,
+    so its own footer is the single source of truth."""
+    return spark.read.parquet(src).schema
 
 
 def _stage_events(
@@ -136,7 +139,7 @@ def q_stream_tumbling_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     assertion lives in tests/test_streaming.py."""
     src = _stage_events(spark, sf_dir)
     stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(_staged_schema(spark, src))
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
@@ -172,7 +175,7 @@ def q_stream_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicated input, proving the state machine dropped replays."""
     src = _stage_events(spark, sf_dir, copies=2, n_files=5)
     stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(_staged_schema(spark, src))
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
@@ -209,7 +212,7 @@ def q_stream_custom_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = _stage_events(spark, sf_dir, n_files=2)
     stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(_staged_schema(spark, src))
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
@@ -259,7 +262,7 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     horizon, not stream length."""
     src = _stage_events(spark, sf_dir)
     stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(_staged_schema(spark, src))
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
