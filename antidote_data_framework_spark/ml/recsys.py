@@ -29,6 +29,7 @@ from ..sources import load_table
 from .recsys_data import (
     BIAS_MODEL_CTES,
     RATINGS_CTE,
+    bias_components,
     bias_predictions,
     is_train,
     ratings_df,
@@ -132,20 +133,11 @@ def q_bias_baseline_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
     "train MF, report RMSE" protocol (paper §6)."""
     r = ratings_df(spark, sf_dir)
     train_flag = is_train(F.col("user_id"), F.col("item_id"))
-    train = r.filter(train_flag)
     test = r.filter(~train_flag)
-    mu = train.agg(F.avg("rating").alias("mu"))
-    bu = (
-        train.crossJoin(F.broadcast(mu))
-        .groupBy("user_id")
-        .agg(F.avg(F.col("rating") - F.col("mu")).alias("bu"))
-    )
-    bi = (
-        train.join(bu, "user_id")
-        .crossJoin(F.broadcast(mu))
-        .groupBy("item_id")
-        .agg(F.avg(F.col("rating") - F.col("mu") - F.col("bu")).alias("bi"))
-    )
+    # shared, persisted fit — the six social-metric queries score with
+    # the exact same mu/bu/bi DataFrames (one materialization per
+    # session instead of seven)
+    mu, bu, bi = bias_components(spark, sf_dir)
     pred = (
         test.crossJoin(F.broadcast(mu))
         .join(bu, "user_id", "left")

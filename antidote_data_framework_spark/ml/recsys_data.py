@@ -82,9 +82,41 @@ def is_train(user_col, item_col):
     return (user_col * 31 + item_col) % 10 < 8
 
 
-# All six social-metric queries aggregate the same prediction table;
-# one cached copy per (session, sf_dir) computes the model pipeline once.
+# All seven bias-model queries (RMSE gate + six social metrics) share
+# one fitted model per (session, sf_dir): the mu/bu/bi component
+# DataFrames are persisted once, and the prediction table over the
+# observed support is persisted once on top of them.
+_COMPONENT_CACHE: dict[str, tuple[DataFrame, DataFrame, DataFrame]] = {}
 _PRED_CACHE: dict[str, DataFrame] = {}
+
+
+def bias_components(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The fitted bias model (mu, bu, bi) on the train split — shared
+    and cached across every query that scores with it.  bu/bi are
+    |users|- and |items|-row tables (tiny next to the facts), so
+    persisting them trades negligible memory for skipping the
+    3-aggregation fit in six follow-on queries."""
+    key = f"{id(spark)}:{sf_dir}"
+    if key in _COMPONENT_CACHE:
+        return _COMPONENT_CACHE[key]
+    r = ratings_df(spark, sf_dir)
+    train = r.filter(is_train(F.col("user_id"), F.col("item_id")))
+    mu = train.agg(F.avg("rating").alias("mu"))
+    bu = (
+        train.crossJoin(F.broadcast(mu))
+        .groupBy("user_id")
+        .agg(F.avg(F.col("rating") - F.col("mu")).alias("bu"))
+    )
+    bi = (
+        train.join(bu, "user_id")
+        .crossJoin(F.broadcast(mu))
+        .groupBy("item_id")
+        .agg(F.avg(F.col("rating") - F.col("mu") - F.col("bu")).alias("bi"))
+    )
+    _COMPONENT_CACHE[key] = (mu, bu.cache(), bi.cache())
+    return _COMPONENT_CACHE[key]
 
 
 def bias_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -102,20 +134,8 @@ def bias_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = f"{id(spark)}:{sf_dir}"
     if key in _PRED_CACHE:
         return _PRED_CACHE[key]
+    mu, bu, bi = bias_components(spark, sf_dir)
     r = ratings_df(spark, sf_dir)
-    train = r.filter(is_train(F.col("user_id"), F.col("item_id")))
-    mu = train.agg(F.avg("rating").alias("mu"))
-    bu = (
-        train.crossJoin(F.broadcast(mu))
-        .groupBy("user_id")
-        .agg(F.avg(F.col("rating") - F.col("mu")).alias("bu"))
-    )
-    bi = (
-        train.join(bu, "user_id")
-        .crossJoin(F.broadcast(mu))
-        .groupBy("item_id")
-        .agg(F.avg(F.col("rating") - F.col("mu") - F.col("bu")).alias("bi"))
-    )
     cells = r.groupBy("user_id", "item_id").agg(F.avg("rating").alias("rating"))
     pred = (
         cells.crossJoin(F.broadcast(mu))

@@ -31,20 +31,36 @@ def _simhash(hashes: Column) -> Column:
     """SimHash of a per-token 64-bit hash array: per bit j, sum ±1
     votes of bit j over all tokens; signature bit j = (vote > 0).
 
-    Pure JVM expressions — one aggregate per bit over the materialized
-    hash array, zero Python, no row explosion."""
-
-    def bit_vote(j: int):
-        # closure factory: pyspark HOF lambdas must take exactly 2 args
-        return lambda acc, h: acc + F.when(
-            F.shiftrightunsigned(h, j) % 2 == 1, 1
-        ).otherwise(-1)
-
-    sig = F.lit(0).cast("long")
-    for j in range(SIMHASH_BITS):
-        vote = F.aggregate(hashes, F.lit(0).cast("long"), bit_vote(j))
-        sig = sig + F.when(vote > 0, F.lit(1 << j)).otherwise(0)
-    return sig
+    Pure JVM expressions in a SINGLE traversal of the token array
+    (r3 VERDICT: the previous form ran 60 sequential ``F.aggregate``
+    passes — O(60·tokens) array scans and a 60× larger codegen tree;
+    this one carries all 60 vote counters through one ``F.aggregate``
+    whose accumulator is an ARRAY<LONG>).  Zero Python, no row
+    explosion, no shuffle."""
+    bit_idx = F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS),
+        # per token: acc[j] += (bit j of h) ? +1 : -1, for all j at once
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(bit_idx, lambda j: (F.getbit(h, j) * 2 - 1).cast("long")),
+            lambda a, v: a + v,
+        ),
+    )
+    powers = F.array(*[F.lit(1 << j).cast("long") for j in range(SIMHASH_BITS)])
+    sig = F.aggregate(
+        F.zip_with(
+            votes,
+            powers,
+            lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    # null token array -> signature 0 (the pre-rewrite behavior: a null
+    # vote never satisfied `vote > 0`, so every bit stayed 0)
+    return F.coalesce(sig, F.lit(0).cast("long"))
 
 
 @spark_query("q_simhash_neardup")  # rows-only: engine-specific hash basis

@@ -20,8 +20,8 @@ from ..sources import load_table
 @spark_query(
     "q_window_tumbling",
     oracle="""
-SELECT time_bucket(INTERVAL '1 day', ts)                 AS window_start,
-       time_bucket(INTERVAL '1 day', ts) + INTERVAL 1 DAY AS window_end,
+SELECT CAST(time_bucket(INTERVAL '1 day', ts) AS TIMESTAMP)                 AS window_start,
+       CAST(time_bucket(INTERVAL '1 day', ts) + INTERVAL 1 DAY AS TIMESTAMP) AS window_end,
        event_type,
        COUNT(*)             AS n_events,
        ROUND(SUM(value), 4) AS sum_value
@@ -53,8 +53,8 @@ def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 @spark_query(
     "q_window_sliding",
     oracle="""
-SELECT time_bucket(INTERVAL '1 day', e.ts, o.off)                 AS window_start,
-       time_bucket(INTERVAL '1 day', e.ts, o.off) + INTERVAL 1 DAY AS window_end,
+SELECT CAST(time_bucket(INTERVAL '1 day', e.ts, o.off) AS TIMESTAMP)                 AS window_start,
+       CAST(time_bucket(INTERVAL '1 day', e.ts, o.off) + INTERVAL 1 DAY AS TIMESTAMP) AS window_end,
        COUNT(*)             AS n_events,
        ROUND(SUM(e.value), 4) AS sum_value
 FROM events e
@@ -101,8 +101,8 @@ sess AS (
   FROM ordered
 )
 SELECT user_id,
-       MIN(ts)                          AS session_start,
-       MAX(ts) + INTERVAL 30 MINUTE     AS session_end,
+       CAST(MIN(ts) AS TIMESTAMP)                      AS session_start,
+       CAST(MAX(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
        COUNT(*)                         AS n_events,
        ROUND(SUM(value), 4)             AS sum_value
 FROM sess
@@ -138,7 +138,7 @@ def q_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_events_anomaly_zscore",
     oracle="""
 WITH daily AS (
-  SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS n_events
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, COUNT(*) AS n_events
   FROM events GROUP BY 1, 2
 )
 SELECT event_type, day, n_events,

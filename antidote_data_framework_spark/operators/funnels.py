@@ -113,8 +113,8 @@ def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_scd2_intervals",
     oracle="""
 SELECT user_id, event_type,
-       ts                                           AS valid_from,
-       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+       CAST(ts AS TIMESTAMP)                        AS valid_from,
+       CAST(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS TIMESTAMP) AS valid_to,
        (LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
                                                     AS is_current
 FROM events

@@ -219,7 +219,7 @@ def q_join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_id, ts, last_orderkey, last_orderdate
 FROM (
-  SELECT e.event_id, e.ts, o.o_orderkey AS last_orderkey,
+  SELECT e.event_id, CAST(e.ts AS TIMESTAMP) AS ts, o.o_orderkey AS last_orderkey,
          o.o_orderdate AS last_orderdate,
          ROW_NUMBER() OVER (PARTITION BY e.event_id
                             ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn

@@ -80,7 +80,7 @@ def q_window_running_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 @spark_query(
     "q_window_lead_lag",
     oracle="""
-SELECT event_id, user_id, ts,
+SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
        epoch_us(ts) - epoch_us(LAG(ts) OVER w)  AS gap_us,
        LEAD(event_type) OVER w                  AS next_type
 FROM events

@@ -41,3 +41,36 @@ def get_spark(app_name: str = "antidote_data_framework_spark") -> SparkSession:
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def clear_derived_caches(spark: SparkSession) -> None:
+    """Drop every cross-query derived-state cache (fitted models,
+    persisted intermediate DataFrames) so the next query run re-pays
+    its eager work.  Used by bench.py between measurement sweeps: a
+    sweep starts cold, and within a sweep the caches make cross-query
+    sharing visible (q_als_rmse_gate rides q_als_train_predict's fit,
+    the six social-metric queries share one bias-prediction pipeline)
+    — exactly the cost structure a production session would have.
+
+    Lazy plan HANDLES (sources.fixtures._DF_CACHE) and on-disk stream
+    staging are fixture plumbing, not query work, and are NOT cleared.
+    """
+    from .ml import als, recsys_data
+
+    for df in recsys_data._PRED_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    recsys_data._PRED_CACHE.clear()
+    for mu, bu, bi in recsys_data._COMPONENT_CACHE.values():
+        for df in (bu, bi):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+    recsys_data._COMPONENT_CACHE.clear()
+    als._MODEL_CACHE.clear()
+    # Anything still pinned in the storage layer (MLlib internal caches,
+    # stray persists) goes too — sweeps must not inherit warm blocks.
+    spark.catalog.clearCache()

@@ -57,7 +57,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       BIGINT and is converted with integer arithmetic (``DIV 1000`` —
       never float division, which loses precision above 2^53 ns).
     - ``timestamp[us]`` with no timezone: Spark 4 reads TIMESTAMP_NTZ;
-      cast to TIMESTAMP is lossless under the UTC session timezone.
+      converted with session-timezone-INDEPENDENT arithmetic (r3
+      ADVICE: a plain ``cast`` evaluates the session timezone at
+      action time, so a harness resetting the conf after load would
+      silently shift every event).  Wall-clock parts of an NTZ value
+      are tz-free, so epoch-micros is assembled from them directly.
     - ``timestamp[us, tz=UTC]``: already TIMESTAMP — pass through.
 
     Normalizing in ONE place means every downstream consumer
@@ -75,7 +79,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if ts_type == "bigint":  # TIMESTAMP(NANOS) read via nanosAsLong
             df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
         elif ts_type == "timestamp_ntz":
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+            # NTZ wall-clock -> UTC instant without consulting the
+            # session timezone: date/hour/minute/fractional-second of
+            # an NTZ value are all timezone-free, and timestamp_micros
+            # maps epoch-micros to an instant unconditionally.
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "timestamp_micros("
+                    "(CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT)"
+                    " * 86400 + hour(ts) * 3600 + minute(ts) * 60) * 1000000"
+                    " + CAST(extract(SECOND FROM ts) * 1000000 AS BIGINT))"
+                ),
+            )
     _DF_CACHE[key] = df
     return _DF_CACHE[key]
 

@@ -66,7 +66,18 @@ def _stage_events(
     import json
     import time
 
-    config = {"sf_dir": os.path.abspath(sf_dir), "copies": copies, "n_files": n_files}
+    # The marker config includes the SOURCE fixture's mtime+size (r3
+    # ADVICE): if the driver regenerates events.parquet in place, the
+    # staged copy invalidates instead of silently serving stale events.
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    config = {
+        "sf_dir": os.path.abspath(sf_dir),
+        "copies": copies,
+        "n_files": n_files,
+        "src_mtime_ns": st.st_mtime_ns,
+        "src_size": st.st_size,
+    }
     name = f"events_{os.path.basename(sf_dir.rstrip('/'))}_{copies}x{n_files}"
     path = os.path.join(SCRATCH, name)
     marker = os.path.join(path, "_staged.json")

@@ -10,31 +10,53 @@ BENCH_r01.json recorded ``"parsed": null``):
 - stdout last line: a COMPACT headline (metric/value/unit/sf +
   queries_file pointer) that stays complete even when only the tail
   of stdout is captured.
-- the per-query second map is also written to ``bench_queries.json``
-  next to this script (and echoed per-query on stderr as it runs).
+- the full per-query stats (median/min/all runs) are written to
+  ``bench_queries.json`` next to this script (and echoed per-run on
+  stderr as it runs).
 
-Timing methodology: one shared SparkSession (JVM startup excluded), a
-warm-up scan of the fact table, then each query is executed once to
-completion and fully materialized on the driver.  The materialization
-path is chosen BEFORE the timer starts from the result schema (Arrow
-``toPandas`` for Arrow-convertible schemas, ``collect`` otherwise) —
-r01 ADVICE: timing a failed toPandas + retry double-counted exactly
-the queries most likely to need the fallback.  If the pre-chosen path
-still fails, the timer RESTARTS before the fallback run so the
-recorded time covers one execution only.
+Timing methodology (r2+r3 ADVICE, fixed for good this round):
+
+- **The timer wraps ``fn(spark, sf_dir)`` AND the materialization.**
+  Eager work inside ``fn`` — ALS/KMeans fits, the antidote loop,
+  streaming executions, iterative connected components — is measured.
+  For lazy queries the plan construction adds only milliseconds.
+- **Median of N sweeps** (``SPARK_GRAFT_BENCH_RUNS``, default 3):
+  r2→r3 showed 3–8× code-invariant single-shot swings (minhash
+  54→6.9 s with zero code change), so one-shot numbers cannot
+  distinguish regression from noise.  The suite is swept N times and
+  each query reports its median; min + raw runs go to
+  bench_queries.json.
+- **Sweeps start cold, queries within a sweep share.**  Derived-state
+  caches (ALS model, bias-prediction pipeline) are cleared at the top
+  of every sweep, so each sweep re-pays every eager fit exactly once
+  — the first query that needs a shared artifact pays for it, later
+  ones ride it, mirroring a production session.  Sweep order is the
+  registration order and identical across sweeps, so per-query
+  medians compare like with like.
+- **Wall-clock budget** (``SPARK_GRAFT_BENCH_BUDGET_SEC``, default
+  1500): a new sweep only starts while under budget; medians are then
+  taken over the sweeps that ran (n_runs recorded per query).
+- The driver-side materialization path (Arrow ``toPandas`` vs
+  ``collect``) is chosen from the result schema after the plan is
+  built, before any execution.  If the chosen path still fails, the
+  timer restarts before the fallback so the recorded time covers one
+  execution (the rebuilt ``fn`` may ride caches populated by the
+  failed attempt; acceptable for an error path that never fires in a
+  green run).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entrymod  # noqa: E402
-from antidote_data_framework_spark.session import get_spark  # noqa: E402
+from antidote_data_framework_spark.session import clear_derived_caches, get_spark  # noqa: E402
 from antidote_data_framework_spark.sources import load_table  # noqa: E402
 
 from pyspark.sql import types as T  # noqa: E402
@@ -44,12 +66,31 @@ _ARROW_UNFRIENDLY = (T.ArrayType, T.MapType, T.StructType)
 
 def _wants_collect(df) -> bool:
     """Pick the driver-side materialization path from the schema alone
-    (before any execution starts)."""
+    (plan analysis only — no execution)."""
     return any(isinstance(f.dataType, _ARROW_UNFRIENDLY) for f in df.schema.fields)
+
+
+def _run_once(spark, sf_dir: str, fn) -> float:
+    """One timed execution: plan construction + eager work + full
+    driver-side materialization."""
+    t0 = time.time()
+    df = fn(spark, sf_dir)
+    use_collect = _wants_collect(df)
+    try:
+        df.collect() if use_collect else df.toPandas()
+    except Exception:
+        # unexpected conversion failure: restart the timer so the
+        # recorded number covers ONE execution, not two
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.collect()
+    return time.time() - t0
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_sweeps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "1500"))
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:
@@ -59,29 +100,55 @@ def main() -> None:
     # Warm-up: JIT + parquet footer caches, excluded from per-query time.
     load_table(spark, sf_dir, "lineitem").count()
 
-    times: dict[str, float] = {}
-    for name, fn in entrymod.queries().items():
-        try:
-            df = fn(spark, sf_dir)
-            use_collect = _wants_collect(df)
-            t0 = time.time()
+    qs = entrymod.queries()
+    runs: dict[str, list[float]] = {name: [] for name in qs}
+    t_start = time.time()
+    sweeps_done = 0
+    for sweep in range(n_sweeps):
+        if sweep > 0 and time.time() - t_start > budget:
+            print(
+                f"bench: budget {budget:.0f}s reached after sweep {sweep} — "
+                f"medians use {sweep} run(s)",
+                file=sys.stderr,
+            )
+            break
+        clear_derived_caches(spark)
+        for name, fn in qs.items():
             try:
-                df.collect() if use_collect else df.toPandas()
-            except Exception:
-                # unexpected conversion failure: restart the timer so the
-                # recorded number covers ONE execution, not two
-                t0 = time.time()
-                df.collect()
-            times[name] = round(time.time() - t0, 3)
-            print(f"bench: {name} {times[name]:.2f}s", file=sys.stderr)
-        except Exception as exc:  # a failing query must not kill the bench
+                sec = _run_once(spark, sf_dir, fn)
+                runs[name].append(sec)
+                print(f"bench[{sweep + 1}/{n_sweeps}]: {name} {sec:.2f}s", file=sys.stderr)
+            except Exception as exc:  # a failing query must not kill the bench
+                print(f"bench[{sweep + 1}/{n_sweeps}]: {name} failed: {exc}", file=sys.stderr)
+        sweeps_done = sweep + 1
+
+    times: dict[str, float] = {}
+    stats: dict[str, dict] = {}
+    for name, rs in runs.items():
+        if rs:
+            times[name] = round(statistics.median(rs), 3)
+            stats[name] = {
+                "median": times[name],
+                "min": round(min(rs), 3),
+                "runs": [round(r, 3) for r in rs],
+            }
+        else:
             times[name] = -1.0
-            print(f"bench: {name} failed: {exc}", file=sys.stderr)
+            stats[name] = {"median": -1.0, "min": -1.0, "runs": []}
 
     total = round(sum(t for t in times.values() if t >= 0), 3)
     queries_file = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_queries.json")
     with open(queries_file, "w") as f:
-        json.dump({"sf": sf, "total_query_sec": total, "queries": times}, f, indent=1)
+        json.dump(
+            {
+                "sf": sf,
+                "total_query_sec": total,
+                "sweeps": sweeps_done,
+                "queries": stats,
+            },
+            f,
+            indent=1,
+        )
 
     # Line 1: the full driver-contract JSON (metric + per-query map).
     print(
@@ -106,6 +173,7 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(times),
                 "n_failed": sum(1 for t in times.values() if t < 0),
+                "sweeps": sweeps_done,
                 "queries_file": "bench_queries.json",
             }
         )

@@ -81,7 +81,16 @@ def _canon_value(v) -> str:
     if isinstance(v, (pd.Timestamp, dt.datetime)):
         if pd.isna(v):
             return "NULL"
-        return pd.Timestamp(v).isoformat()
+        ts = pd.Timestamp(v)
+        # tz-aware values canonicalize by INSTANT (UTC wall clock, no
+        # offset suffix) — r3 ADVICE: a tz-annotated parquet flavor
+        # makes DuckDB emit TIMESTAMPTZ whose "+00:00" isoformat would
+        # spuriously mismatch Spark's naive-UTC rendering of the same
+        # instant.  (The oracle SQLs also CAST ts outputs to TIMESTAMP
+        # so the driver's own canon never sees a tz-aware cell.)
+        if ts.tzinfo is not None:
+            ts = ts.tz_convert("UTC").tz_localize(None)
+        return ts.isoformat()
     if isinstance(v, dt.date):
         return v.isoformat()
     if isinstance(v, bytes):

@@ -37,16 +37,22 @@ def test_groupby_aggregates_match_duckdb(spark, rows):
     sdf = spark.createDataFrame(pdf)
     sdf.createOrReplaceTempView("fuzz_t")
     # integer aggregates are exact; double aggregates rounded per the
-    # engine-wide determinism rules (4 dp on both sides)
+    # engine-wide determinism rules (4 dp on both sides).  Two extra
+    # rules the fuzzer itself re-discovered (SURVEY §2 rule 2):
+    # - CAST(SUM(int)) — DuckDB types it HUGEINT, which fetchdf lowers
+    #   to float64 ("0.0" vs Spark's BIGINT "0").
+    # - `+ 0.0` after every double aggregate — DuckDB preserves -0.0
+    #   through ROUND/MIN where Spark normalizes it; IEEE 754 says
+    #   -0.0 + 0.0 = +0.0 in both engines, so this pins the sign.
     sql = """
         SELECT k,
-               COUNT(*)            AS n,
-               SUM(i)              AS sum_i,
-               MIN(i)              AS min_i,
-               MAX(i)              AS max_i,
-               ROUND(AVG(x), 4)    AS avg_x,
-               ROUND(MIN(x), 4)    AS min_x,
-               ROUND(MAX(x), 4)    AS max_x
+               COUNT(*)                  AS n,
+               CAST(SUM(i) AS BIGINT)    AS sum_i,
+               MIN(i)                    AS min_i,
+               MAX(i)                    AS max_i,
+               ROUND(AVG(x), 4) + 0.0    AS avg_x,
+               ROUND(MIN(x), 4) + 0.0    AS min_x,
+               ROUND(MAX(x), 4) + 0.0    AS max_x
         FROM fuzz_t GROUP BY k
     """
     spark_out = spark.sql(sql).toPandas()
