@@ -96,8 +96,13 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "sig", "band.band_id", "band.band_val")
+    # Materialize the banded signature table ONCE (n_docs×N_BANDS tiny
+    # rows): a lazy self-join would re-run the scan+tokenize+signature
+    # pipeline for BOTH sides — measured 2× the whole query's cost at
+    # sf0.1.  At cluster scale this is a persisted/temp table.
+    banded = banded.localCheckpoint()
     a, b = banded.alias("a"), banded.alias("b")
-    cands = (
+    return (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -107,17 +112,14 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
+            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias("hamming"),
         )
-        .distinct()
-    )
-    return (
-        cands.withColumn(
-            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-        )
+        # verify BEFORE dedup: banding makes the same true pair collide
+        # in several bands, but the hamming filter kills the (huge,
+        # skewed-bucket) false-candidate mass first, so distinct sees
+        # thousands of rows, not hundreds of thousands
         .filter(F.col("hamming") <= 3)
-        .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
 
 

@@ -1,0 +1,87 @@
+"""Timestamp-flavor robustness (r3 ADVICE): the loader must normalize
+every parquet encoding of events.ts the driver has shipped — NANOS
+(read as bigint under nanosAsLong), plain microseconds (TIMESTAMP_NTZ)
+— plus the documented tz-annotated pass-through, and DuckDB-oracle
+parity must hold for each.  Until this file, the tz-annotated flavor
+was an untested claim.
+
+Also pins session-timezone independence: the loaded instants must not
+change if the session timezone is mutated AFTER the plan is built
+(the NTZ conversion is arithmetic, not a tz-consulting cast).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from antidote_data_framework_spark.sources import TABLES, load_table
+from oracle_check import canon_rows
+
+SF = "/root/testdata/sf0.001"
+
+FLAVORS = {
+    "ntz_us": None,  # the fixture's own encoding — staged unchanged
+    "tz_utc": pa.timestamp("us", tz="UTC"),
+    "nanos": pa.timestamp("ns"),
+}
+
+
+def _stage_flavor(dst_dir: str, flavor: str) -> str:
+    os.makedirs(dst_dir, exist_ok=True)
+    for t in TABLES:
+        src = f"{SF}/{t}.parquet"
+        dst = f"{dst_dir}/{t}.parquet"
+        ts_type = FLAVORS[flavor]
+        if t == "events" and ts_type is not None:
+            tbl = pq.read_table(src)
+            idx = tbl.schema.get_field_index("ts")
+            tbl = tbl.set_column(idx, "ts", tbl["ts"].cast(ts_type))
+            # version 2.6 keeps NANOS physical annotation instead of
+            # silently coercing back to micros
+            pq.write_table(tbl, dst, version="2.6")
+        else:
+            shutil.copyfile(src, dst)
+    return dst_dir
+
+
+@pytest.mark.parametrize("flavor", sorted(FLAVORS))
+def test_tumbling_window_oracle_parity_per_flavor(flavor, spark, tmp_path):
+    sf_dir = _stage_flavor(str(tmp_path / flavor), flavor)
+    sdf = entrymod.queries()["q_window_tumbling"](spark, sf_dir).toPandas()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    ddf = con.execute(entrymod.oracle_sql()["q_window_tumbling"]).fetchdf()
+    con.close()
+    assert canon_rows(sdf) == canon_rows(ddf), f"flavor {flavor} diverges"
+
+
+@pytest.mark.parametrize("flavor", sorted(FLAVORS))
+def test_loaded_instants_survive_session_tz_mutation(flavor, spark, tmp_path):
+    """Build the plan under UTC, evaluate under America/New_York: the
+    instant-level aggregate must not move (r3 ADVICE: a lazy cast
+    would consult the mutated timezone at action time)."""
+    sf_dir = _stage_flavor(str(tmp_path / flavor), flavor)
+    probe = load_table(spark, sf_dir, "events").agg(
+        F.sum(F.unix_micros("ts")).alias("s"),
+        F.min(F.unix_micros("ts")).alias("lo"),
+        F.max(F.unix_micros("ts")).alias("hi"),
+    )
+    base = probe.first()
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        shifted = probe.first()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    assert (base.s, base.lo, base.hi) == (shifted.s, shifted.lo, shifted.hi)
