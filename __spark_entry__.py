@@ -109,6 +109,7 @@ CONTRACT_ORDER: list[str] = [
     "q_multimodal_framesample",
     "q_als_recommend_topk",
     "q_antidote_step_fairness",
+    "q_antidote_grad_sharded",
     "q_stream_custom_stateful",
     "q_stream_session_window",
     "q_stream_python_source",

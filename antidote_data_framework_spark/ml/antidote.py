@@ -282,6 +282,128 @@ def q_antidote_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spark_query("q_antidote_grad_sharded")  # rows-only: golden-tested vs numpy
+def q_antidote_grad_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed fixed-V antidote gradient — the 100 TB sharding of
+    q_antidote_step that the module header promises ("at 100 TB the
+    same math shards by item block").  m = every distinct item in the
+    fixture's ratings; NOTHING m-sized ever reaches the driver:
+
+      pass 1 (one distributed agg): S = VᵀV (r×r) and XV = X̃V (k×r)
+      driver:  M = (S + λI)⁻¹,  C = XV·M    — so X̂ = C·Vᵀ
+      pass 2 (one distributed agg): GV = ĜV (k×r), where per item j
+        Ĝ[:,j] = (2/(k·m))·(X̂[:,j] − mean_u X̂[:,j]) is rebuilt from
+        C and v_j inside the aggregation expressions
+      driver:  D = GV·M
+      pass 3 (projection, no shuffle): grad[:,j] = D·v_j; every
+        antidote cell (user, item, grad, projected update) is emitted
+        as a distributed result — k×m rows that live on executors.
+
+    Driver state is k×r + r×r.  X̃ and V are deterministic modulo laws
+    of (user, item_id), so every executor reconstructs its item shard
+    locally — the same role a co-partitioned itemFactors table plays
+    when V comes from a trained model.  All three passes compile to
+    whole-stage codegen (k·r literal-injected expressions, k=5 r=8);
+    ``applyInPandas`` over item blocks is the documented fallback once
+    k·r outgrows expression injection.  Gradient math is identical to
+    ml/antidote.polarization_grad — golden-tested against it on the
+    real fixture items in tests/test_antidote_sharded.py."""
+    k, rank, lam, eta = 5, 8, 0.1, 5.0
+
+    def v_col(p: int):  # deterministic item-factor law (matches _det_factors)
+        return (((F.col("item_id") + 1) * 7 + (p + 1) * 13) % 11) / 11.0 - 0.5
+
+    def x_col(u: int):  # deterministic antidote-rating law (matches _det_init)
+        return (1 + (F.lit(u) * 7 + F.col("item_id") * 13) % 5).cast("double")
+
+    items = ratings_df(spark, sf_dir).select("item_id").distinct()
+    wf = items.select(
+        "item_id",
+        *[v_col(p).alias(f"v{p}") for p in range(rank)],
+        *[x_col(u).alias(f"x{u}") for u in range(k)],
+    )
+    # materialize the m-row factor shard table once — all three passes
+    # read it (exactly the role of a persisted itemFactors table; a
+    # lazy plan would re-run the ratings join + distinct per pass)
+    wf = wf.localCheckpoint()
+
+    # pass 1: S = VᵀV and XV = X̃V in a single wide aggregation
+    row = wf.agg(
+        F.count(F.lit(1)).alias("m"),
+        *[
+            F.sum(F.col(f"v{p}") * F.col(f"v{q}")).alias(f"s{p}_{q}")
+            for p in range(rank)
+            for q in range(p, rank)
+        ],
+        *[
+            F.sum(F.col(f"x{u}") * F.col(f"v{p}")).alias(f"xv{u}_{p}")
+            for u in range(k)
+            for p in range(rank)
+        ],
+    ).first()
+    m = int(row["m"])
+    S = np.empty((rank, rank))
+    for p in range(rank):
+        for q in range(p, rank):
+            S[p, q] = S[q, p] = row[f"s{p}_{q}"]
+    XV = np.array([[row[f"xv{u}_{p}"] for p in range(rank)] for u in range(k)])
+    M = np.linalg.inv(S + lam * np.eye(rank))
+    C = XV @ M  # k×r: X̂ = C·Vᵀ
+
+    # pass 2: GV = ĜV — Ĝ[:,j] rebuilt per item from C (literals) and v_j
+    xhat = [
+        sum(F.lit(float(C[u, p])) * F.col(f"v{p}") for p in range(rank))
+        for u in range(k)
+    ]
+    mean_hat = sum(xhat) / F.lit(float(k))
+    scale = 2.0 / (k * m)
+    ghat = [(xh - mean_hat) * F.lit(scale) for xh in xhat]
+    row2 = wf.agg(
+        *[
+            F.sum(ghat[u] * F.col(f"v{p}")).alias(f"gv{u}_{p}")
+            for u in range(k)
+            for p in range(rank)
+        ]
+    ).first()
+    GV = np.array([[row2[f"gv{u}_{p}"] for p in range(rank)] for u in range(k)])
+    D = GV @ M  # k×r: grad = D·Vᵀ
+
+    # pass 3: per-item gradient + projected step, emitted distributed
+    grads = [
+        sum(F.lit(float(D[u, p])) * F.col(f"v{p}") for p in range(rank))
+        for u in range(k)
+    ]
+    cells = wf.select(
+        "item_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(u).alias("antidote_user"),
+                        x_col(u).alias("rating_before"),
+                        F.round(grads[u], 10).alias("grad"),
+                        F.round(
+                            F.least(
+                                F.lit(RATING_HI),
+                                F.greatest(F.lit(RATING_LO), x_col(u) - eta * grads[u]),
+                            ),
+                            4,
+                        ).alias("rating_after"),
+                    )
+                    for u in range(k)
+                ]
+            )
+        ).alias("c"),
+    )
+    return cells.select(
+        F.col("c.antidote_user").alias("antidote_user"),
+        "item_id",
+        F.col("c.rating_before").alias("rating_before"),
+        F.col("c.grad").alias("grad"),
+        F.col("c.rating_after").alias("rating_after"),
+    )
+
+
 # ---- fairness objective (paper §5.2: antidote data for group fairness) -----
 
 
