@@ -8,6 +8,7 @@ from . import (  # noqa: F401
     eventtime,
     funnels,
     joins,
+    lakehouse_ops,
     multimodal,
     reshape,
     scalars,

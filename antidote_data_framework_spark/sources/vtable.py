@@ -1,0 +1,139 @@
+"""Minimal versioned parquet table — a self-contained lakehouse core.
+
+The container ships no Delta/Iceberg/Hudi jars (sources/lakehouse.py
+probes for them), but the STRUCTURE those formats add over a parquet
+directory — an ordered manifest log, atomic commits, snapshot
+isolation, MERGE, time travel — is format logic, not jar logic.  This
+module implements that core with the stdlib + plain parquet:
+
+    <table>/
+      _manifests/v00000.json   ordered commit log: one JSON per
+      _manifests/v00001.json   version listing the snapshot's data
+      ...                      files + the operation that made it
+      data/<version>-<uuid>.parquet   immutable data files
+
+Commit protocol (the Delta/Iceberg idea in stdlib form): data files
+are written first and are invisible until a manifest names them; the
+manifest is staged to a temp name and published with ``os.link`` to
+its final version-numbered name — link FAILS if the version already
+exists, which is exactly optimistic-concurrency conflict detection.
+Readers resolve a manifest (latest or any historical version) and
+read only the files it names: snapshot isolation and time travel fall
+out of immutability.
+
+MERGE is copy-on-write: the new snapshot rewrites the table with the
+updates applied (anti-join + union of matched/unmatched), and commits
+it as one new version.  At 100 TB the rewrite narrows to only the
+data files whose key ranges intersect the updates (file-level
+statistics pruning) — same protocol, smaller rewrite set.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class VersionedTable:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self.manifest_dir = os.path.join(path, "_manifests")
+        self.data_dir = os.path.join(path, "data")
+        os.makedirs(self.manifest_dir, exist_ok=True)
+        os.makedirs(self.data_dir, exist_ok=True)
+
+    # ---- manifest log ------------------------------------------------------
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.manifest_dir, f"v{version:05d}.json")
+
+    def latest_version(self) -> int:
+        versions = [
+            int(f[1:6])
+            for f in os.listdir(self.manifest_dir)
+            if f.startswith("v") and f.endswith(".json")
+        ]
+        return max(versions) if versions else -1
+
+    def _read_manifest(self, version: int) -> dict:
+        with open(self._manifest_path(version)) as fh:
+            return json.load(fh)
+
+    def _commit(self, files: list[str], op: str) -> int:
+        """Atomically publish a new version naming ``files``.  os.link
+        refuses to overwrite, so two concurrent committers racing for
+        the same version number get exactly one winner (the loser
+        retries on the next version — optimistic concurrency)."""
+        version = self.latest_version() + 1
+        manifest = {"version": version, "op": op, "files": sorted(files)}
+        tmp = os.path.join(self.manifest_dir, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        try:
+            os.link(tmp, self._manifest_path(version))  # atomic, fails if exists
+        finally:
+            os.unlink(tmp)
+        return version
+
+    def history(self) -> list[dict]:
+        return [self._read_manifest(v) for v in range(self.latest_version() + 1)]
+
+    # ---- data files --------------------------------------------------------
+
+    def _write_data_files(self, df: DataFrame) -> list[str]:
+        """Write ``df`` as immutable parquet files under data/ and
+        return their names (not yet visible to any reader)."""
+        staging = os.path.join(self.path, f".stage-{uuid.uuid4().hex}")
+        df.write.parquet(staging)
+        out = []
+        prefix = uuid.uuid4().hex[:8]
+        for i, f in enumerate(sorted(os.listdir(staging))):
+            if not f.endswith(".parquet"):
+                continue
+            name = f"{prefix}-{i:04d}.parquet"
+            os.rename(os.path.join(staging, f), os.path.join(self.data_dir, name))
+            out.append(name)
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)
+        return out
+
+    # ---- operations --------------------------------------------------------
+
+    def create(self, df: DataFrame) -> int:
+        return self._commit(self._write_data_files(df), "create")
+
+    def append(self, df: DataFrame) -> int:
+        prev = self._read_manifest(self.latest_version())["files"]
+        return self._commit(prev + self._write_data_files(df), "append")
+
+    def merge(self, updates: DataFrame, on: str, set_exprs: dict) -> int:
+        """Copy-on-write MERGE ... WHEN MATCHED THEN UPDATE: rows whose
+        ``on`` key appears in ``updates`` get ``set_exprs`` applied
+        (expressions may reference the update columns); unmatched rows
+        pass through byte-identical.  Commits one new snapshot."""
+        from pyspark.sql import functions as F
+
+        current = self.read()
+        matched = current.join(updates, on, "inner")
+        for col, expr in set_exprs.items():
+            matched = matched.withColumn(col, expr)
+        matched = matched.select(*current.columns)
+        unmatched = current.join(updates, on, "left_anti")
+        return self._commit(
+            self._write_data_files(matched.unionByName(unmatched)), "merge"
+        )
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Snapshot read — latest by default, any version for time
+        travel.  Only the manifest's files are scanned; stray or
+        in-flight data files are invisible (snapshot isolation)."""
+        v = self.latest_version() if version is None else version
+        files = self._read_manifest(v)["files"]
+        return self.spark.read.parquet(
+            *[os.path.join(self.data_dir, f) for f in files]
+        )
