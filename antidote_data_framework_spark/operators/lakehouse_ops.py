@@ -104,3 +104,70 @@ def q_lakehouse_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(version).alias("version"), "n_rows", "n_vip", "sum_acctbal")
 
     return summary(vt.read(0), 0).unionByName(summary(vt.read(1), 1))
+
+
+@spark_query(
+    "q_lakehouse_changefeed",
+    oracle="""
+WITH upd AS (
+  SELECT o_custkey AS c_custkey, COUNT(*) AS n_urgent
+  FROM orders WHERE o_orderpriority = '1-URGENT'
+  GROUP BY o_custkey
+)
+SELECT c.c_custkey,
+       c.c_mktsegment                         AS seg_before,
+       'URGENT-VIP'                           AS seg_after,
+       CAST(ROUND(CAST(u.n_urgent AS DECIMAL(14,2)), 2) AS DOUBLE) AS acctbal_delta
+FROM customer c JOIN upd u ON c.c_custkey = u.c_custkey
+""",
+)
+def q_lakehouse_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC change feed between two table versions: diff the v0 and v1
+    snapshots BY KEY and emit one row per changed key with before/
+    after values and the numeric delta — the read side of a
+    change-data-capture pipeline (what Delta's CDF / Iceberg's
+    incremental reads provide), derived purely from the manifest log's
+    immutable snapshots.  The oracle recomputes the expected changes
+    from the base tables, so the diff itself is hash-verified.
+
+    Scale shape: one equi-join of two snapshots on the table key —
+    co-partitioned by construction when both versions share data
+    files; only rewritten files actually differ, so at 100 TB the
+    diff reads the touched files plus a pruned scan of the rest."""
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    upd = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.count(F.lit(1)).alias("n_urgent"))
+    )
+    vt = VersionedTable(spark, os.path.join(_SCRATCH, uuid.uuid4().hex))
+    vt.create(customer)
+    vt.merge(
+        upd,
+        "c_custkey",
+        {
+            "c_mktsegment": F.lit("URGENT-VIP"),
+            "c_acctbal": F.col("c_acctbal") + F.col("n_urgent"),
+        },
+    )
+    v0, v1 = vt.read(0).alias("v0"), vt.read(1).alias("v1")
+    return (
+        v0.join(v1, "c_custkey")
+        .filter(
+            (F.col("v0.c_mktsegment") != F.col("v1.c_mktsegment"))
+            | (F.col("v0.c_acctbal") != F.col("v1.c_acctbal"))
+        )
+        .select(
+            "c_custkey",
+            F.col("v0.c_mktsegment").alias("seg_before"),
+            F.col("v1.c_mktsegment").alias("seg_after"),
+            F.round(
+                (F.col("v1.c_acctbal") - F.col("v0.c_acctbal")).cast("decimal(14,2)"), 2
+            )
+            .cast("double")
+            .alias("acctbal_delta"),
+        )
+    )
