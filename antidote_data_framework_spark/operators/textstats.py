@@ -243,3 +243,73 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("tokens_kept", F.lit(0)).alias("tokens_kept"),
         )
     )
+
+
+@spark_query(
+    "q_text_repetition",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+),
+m AS (
+  SELECT doc_id, lang, len(toks) AS n_tokens,
+         list_max(list_transform(list_distinct(toks),
+                  x -> len(list_filter(toks, w -> w = x))))          AS top_cnt,
+         CASE WHEN len(toks) >= 2 THEN
+           list_transform(list_zip(list_slice(toks, 1, len(toks)-1),
+                                   list_slice(toks, 2, len(toks))),
+                          p -> p[1] || ' ' || p[2])
+         ELSE [] END                                                 AS bigrams
+  FROM t
+)
+SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+       ROUND(top_cnt * 1.0 / NULLIF(n_tokens, 0), 4)                 AS top_token_frac,
+       ROUND(COALESCE(1 - len(list_distinct(bigrams)) * 1.0
+                          / NULLIF(len(bigrams), 0), 0.0), 4)        AS dup_bigram_frac,
+       (top_cnt * 1.0 / NULLIF(n_tokens, 0) > 0.14
+        OR COALESCE(1 - len(list_distinct(bigrams)) * 1.0
+                        / NULLIF(len(bigrams), 0), 0.0) > 0.06)      AS is_repetitive
+FROM m
+""",
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition / boilerplate detection — the
+    Gopher-style repetition filter of an LLM-data curation pipeline:
+    the fraction of tokens taken by the single most frequent token,
+    and the fraction of duplicated bigram instances; documents beyond
+    either threshold are flagged for removal.
+
+    Pure higher-order array functions on the scan stage (no explode,
+    no shuffle until output): per row, token counts come from
+    filter/transform over the token array and bigrams from zipping
+    the array with its own tail — O(distinct x tokens) per document,
+    embarrassingly parallel at any corpus size."""
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda x: F.size(F.filter(toks, lambda w: w == x)),
+        )
+    )
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, F.lit(1), n - 1),
+            F.slice(toks, F.lit(2), n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    top_frac = top_cnt / F.nullif(n, F.lit(0))
+    dup_frac = F.coalesce(
+        1 - F.size(F.array_distinct(bigrams)) / F.nullif(F.size(bigrams), F.lit(0)),
+        F.lit(0.0),
+    )
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        F.round(top_frac, 4).alias("top_token_frac"),
+        F.round(dup_frac, 4).alias("dup_bigram_frac"),
+        ((top_frac > 0.14) | (dup_frac > 0.06)).alias("is_repetitive"),
+    )
