@@ -89,6 +89,11 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "sig", "band.band_id", "band.band_key")
+    # Materialize the banded signature table ONCE (n_docs×bands small
+    # rows): a lazy self-join recomputes the 64-minhash pipeline for
+    # BOTH sides — the same double-cost the simhash operator had.  At
+    # cluster scale this is a persisted signatures table.
+    bands = bands.localCheckpoint()
     a, b = bands.alias("a"), bands.alias("b")
     cands = (
         a.join(

@@ -64,3 +64,103 @@ def test_groupby_aggregates_match_duckdb(spark, rows):
     dcols, drows = canon_rows(duck_out)
     assert scols == dcols
     assert srows == drows
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=rows_strategy)
+def test_window_functions_match_duckdb(spark, rows):
+    """Window parity: ranking, running frames, and lag over a TOTAL
+    order (rid breaks ties — duplicate rows make (i, x) orders
+    engine-ambiguous, which is exactly the determinism rule the
+    contract queries follow)."""
+    pdf = pd.DataFrame(rows, columns=["k", "i", "x"])
+    pdf["rid"] = range(len(pdf))
+    sdf = spark.createDataFrame(pdf)
+    sdf.createOrReplaceTempView("fuzz_w")
+    sql = """
+        SELECT k, rid,
+               ROW_NUMBER() OVER w_total                        AS rn,
+               RANK()       OVER w_i                            AS rnk,
+               DENSE_RANK() OVER w_i                            AS drnk,
+               CAST(SUM(i) OVER (PARTITION BY k ORDER BY i, rid
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT)        AS run_sum,
+               LAG(i) OVER w_total                              AS prev_i,
+               ROUND(AVG(x) OVER (PARTITION BY k ORDER BY i, rid
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) + 0.0 AS mov_avg
+        FROM fuzz_w
+        WINDOW w_total AS (PARTITION BY k ORDER BY i, rid),
+               w_i     AS (PARTITION BY k ORDER BY i)
+    """
+    spark_out = spark.sql(sql).toPandas()
+    con = duckdb.connect()
+    con.register("fuzz_w", pdf)
+    duck_out = con.execute(sql).fetchdf()
+    con.close()
+    scols, srows = canon_rows(spark_out)
+    dcols, drows = canon_rows(duck_out)
+    assert scols == dcols
+    assert srows == drows
+
+
+two_tables_strategy = st.tuples(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-2, max_value=2),
+            st.integers(min_value=-100, max_value=100),
+        ),
+        min_size=0,
+        max_size=15,
+    ),
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-2, max_value=2),
+            st.integers(min_value=-100, max_value=100),
+        ),
+        min_size=0,
+        max_size=15,
+    ),
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(tables=two_tables_strategy)
+def test_joins_match_duckdb(spark, tables):
+    """Join parity on duplicate-heavy keys: inner, left (null
+    padding), and semi/anti shapes — the multiset compare catches
+    wrong duplicate multiplicities that row counts alone would not."""
+    la, lb = tables
+    pa = pd.DataFrame(la or [(0, 0)], columns=["k", "v"])
+    pb = pd.DataFrame(lb or [(1, 1)], columns=["k", "w"])
+    spark.createDataFrame(pa).createOrReplaceTempView("fuzz_a")
+    spark.createDataFrame(pb).createOrReplaceTempView("fuzz_b")
+    sql = """
+        SELECT a.k, a.v, b.w, 'inner' AS tag
+        FROM fuzz_a a JOIN fuzz_b b ON a.k = b.k
+        UNION ALL
+        SELECT a.k, a.v, b.w, 'left' AS tag
+        FROM fuzz_a a LEFT JOIN fuzz_b b ON a.k = b.k
+        UNION ALL
+        SELECT a.k, a.v, NULL AS w, 'semi' AS tag
+        FROM fuzz_a a WHERE EXISTS (SELECT 1 FROM fuzz_b b WHERE b.k = a.k)
+        UNION ALL
+        SELECT a.k, a.v, NULL AS w, 'anti' AS tag
+        FROM fuzz_a a WHERE NOT EXISTS (SELECT 1 FROM fuzz_b b WHERE b.k = a.k)
+    """
+    spark_out = spark.sql(sql).toPandas()
+    con = duckdb.connect()
+    con.register("fuzz_a", pa)
+    con.register("fuzz_b", pb)
+    duck_out = con.execute(sql).fetchdf()
+    con.close()
+    scols, srows = canon_rows(spark_out)
+    dcols, drows = canon_rows(duck_out)
+    assert scols == dcols
+    assert srows == drows
