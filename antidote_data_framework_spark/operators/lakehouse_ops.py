@@ -171,3 +171,112 @@ def q_lakehouse_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("acctbal_delta"),
         )
     )
+
+
+@spark_query(
+    "q_lakehouse_incremental_agg",
+    oracle="""
+WITH upd AS (
+  SELECT o_custkey AS c_custkey, COUNT(*) AS n_urgent
+  FROM orders WHERE o_orderpriority = '1-URGENT'
+  GROUP BY o_custkey
+),
+v1 AS (
+  SELECT c.c_custkey,
+         CASE WHEN u.c_custkey IS NOT NULL THEN 'URGENT-VIP'
+              ELSE c.c_mktsegment END AS c_mktsegment,
+         CASE WHEN u.c_custkey IS NOT NULL THEN c.c_acctbal + u.n_urgent
+              ELSE c.c_acctbal END    AS c_acctbal
+  FROM customer c LEFT JOIN upd u ON c.c_custkey = u.c_custkey
+)
+SELECT c_mktsegment, COUNT(*) AS n_rows,
+       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(14,2))), 2) AS DOUBLE) AS sum_acctbal
+FROM v1 GROUP BY c_mktsegment
+""",
+)
+def q_lakehouse_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: the per-segment aggregate of the
+    MERGED table version is maintained from the v0 aggregate plus the
+    CHANGE FEED — the changed rows are retracted from their old groups
+    and inserted into their new ones; v1 itself is never re-aggregated.
+    The oracle recomputes the v1 aggregate directly from the base
+    tables, so the hash-match PROVES the incremental result exact.
+
+    This is the 100 TB play for maintained rollups: a merge touching
+    0.1% of rows updates the aggregate with |changes| work instead of
+    a full recompute — retraction (-before) + insertion (+after) per
+    changed row, summed into the standing aggregate.  Decimal sums
+    make retraction exact (float sums would drift under cancellation)."""
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    upd = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.count(F.lit(1)).alias("n_urgent"))
+    )
+    vt = VersionedTable(spark, os.path.join(_SCRATCH, uuid.uuid4().hex))
+    vt.create(customer)
+    vt.merge(
+        upd,
+        "c_custkey",
+        {
+            "c_mktsegment": F.lit("URGENT-VIP"),
+            "c_acctbal": F.col("c_acctbal") + F.col("n_urgent"),
+        },
+    )
+
+    dec = lambda c: F.col(c).cast("decimal(14,2)")  # noqa: E731
+    # standing v0 aggregate (exact decimal state, as a maintained view stores)
+    base_agg = vt.read(0).groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(dec("c_acctbal")).alias("sum_acctbal"),
+    )
+    # change feed between v0 and v1 (same diff as q_lakehouse_changefeed)
+    v0, v1 = vt.read(0).alias("v0"), vt.read(1).alias("v1")
+    changes = (
+        v0.join(v1, "c_custkey")
+        .filter(
+            (F.col("v0.c_mktsegment") != F.col("v1.c_mktsegment"))
+            | (F.col("v0.c_acctbal") != F.col("v1.c_acctbal"))
+        )
+        .select(
+            F.col("v0.c_mktsegment").alias("seg_before"),
+            F.col("v0.c_acctbal").alias("bal_before"),
+            F.col("v1.c_mktsegment").alias("seg_after"),
+            F.col("v1.c_acctbal").alias("bal_after"),
+        )
+    )
+    # retract from old group, insert into new group — |changes|-sized work
+    deltas = (
+        changes.select(
+            F.col("seg_before").alias("c_mktsegment"),
+            F.lit(-1).cast("long").alias("dn"),
+            (-dec("bal_before")).alias("dsum"),
+        )
+        .unionByName(
+            changes.select(
+                F.col("seg_after").alias("c_mktsegment"),
+                F.lit(1).cast("long").alias("dn"),
+                dec("bal_after").alias("dsum"),
+            )
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.sum("dn").alias("dn"), F.sum("dsum").alias("dsum"))
+    )
+    return (
+        base_agg.join(deltas, "c_mktsegment", "full")
+        .select(
+            "c_mktsegment",
+            (F.coalesce("n_rows", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias("n_rows"),
+            F.round(
+                F.coalesce(F.col("sum_acctbal"), F.lit(0).cast("decimal(14,2)"))
+                + F.coalesce(F.col("dsum"), F.lit(0).cast("decimal(14,2)")),
+                2,
+            )
+            .cast("double")
+            .alias("sum_acctbal"),
+        )
+        .filter(F.col("n_rows") > 0)  # groups fully retracted disappear
+    )
