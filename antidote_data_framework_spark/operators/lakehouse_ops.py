@@ -27,6 +27,24 @@ _SCRATCH = os.path.join(
 )
 
 
+def _fresh_table_dir() -> str:
+    """A unique table directory per call, with best-effort pruning of
+    stale siblings (each run is immutable by design; dirs older than
+    an hour are leftovers from previous bench/verify runs)."""
+    import shutil
+    import time
+
+    try:
+        cutoff = time.time() - 3600
+        for d in os.listdir(_SCRATCH):
+            p = os.path.join(_SCRATCH, d)
+            if os.path.isdir(p) and os.path.getmtime(p) < cutoff:
+                shutil.rmtree(p, ignore_errors=True)
+    except OSError:
+        pass
+    return os.path.join(_SCRATCH, uuid.uuid4().hex)
+
+
 def _money_sum(col):
     """Exact-decimal money sum (functions/money.py discipline)."""
     return F.round(F.sum(F.col(col).cast("decimal(14,2)")), 2).cast("double")
@@ -82,7 +100,7 @@ def q_lakehouse_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_urgent"))
     )
 
-    vt = VersionedTable(spark, os.path.join(_SCRATCH, uuid.uuid4().hex))
+    vt = VersionedTable(spark, _fresh_table_dir())
     vt.create(customer)
     vt.merge(
         upd,
@@ -143,7 +161,7 @@ def q_lakehouse_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("o_custkey").alias("c_custkey"))
         .agg(F.count(F.lit(1)).alias("n_urgent"))
     )
-    vt = VersionedTable(spark, os.path.join(_SCRATCH, uuid.uuid4().hex))
+    vt = VersionedTable(spark, _fresh_table_dir())
     vt.create(customer)
     vt.merge(
         upd,
@@ -216,7 +234,7 @@ def q_lakehouse_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("o_custkey").alias("c_custkey"))
         .agg(F.count(F.lit(1)).alias("n_urgent"))
     )
-    vt = VersionedTable(spark, os.path.join(_SCRATCH, uuid.uuid4().hex))
+    vt = VersionedTable(spark, _fresh_table_dir())
     vt.create(customer)
     vt.merge(
         upd,

@@ -107,9 +107,32 @@ class VersionedTable:
     def create(self, df: DataFrame) -> int:
         return self._commit(self._write_data_files(df), "create")
 
-    def append(self, df: DataFrame) -> int:
-        prev = self._read_manifest(self.latest_version())["files"]
-        return self._commit(prev + self._write_data_files(df), "append")
+    def append(self, df: DataFrame, retries: int = 3) -> int:
+        """Append with optimistic-concurrency retry: a blind append is
+        valid against ANY snapshot, so on a commit conflict the data
+        files are reused and only the manifest is rebuilt against the
+        new latest version.  (MERGE deliberately has no retry: its
+        rewrite is computed against a specific snapshot, so a conflict
+        must surface to the caller, who re-runs against the winner —
+        the same contract Delta/Iceberg give serializable writers.)"""
+        new_files = self._write_data_files(df)
+        for attempt in range(retries + 1):
+            prev = self._read_manifest(self.latest_version())["files"]
+            try:
+                return self._commit(prev + new_files, "append")
+            except FileExistsError:
+                if attempt == retries:
+                    raise
+
+    def compact(self, target_partitions: int = 1) -> int:
+        """Rewrite the current snapshot into ``target_partitions``
+        files and commit it as a new version — the lakehouse answer to
+        the small-files problem (many tiny parquet files from
+        micro-batch appends destroy scan throughput; row-group-sized
+        files restore it).  Logically a no-op: readers of the new
+        version see identical rows."""
+        current = self.read().coalesce(target_partitions)
+        return self._commit(self._write_data_files(current), "compact")
 
     def merge(self, updates: DataFrame, on: str, set_exprs: dict) -> int:
         """Copy-on-write MERGE ... WHEN MATCHED THEN UPDATE: rows whose

@@ -67,3 +67,46 @@ def test_concurrent_commit_conflict_detected(spark, vt):
             vt.append(_df(spark, [(2, "b", 2.0)]))
     finally:
         vt.latest_version = real_latest
+
+
+def test_append_retries_through_commit_conflict(spark, vt):
+    """A blind append is valid against any snapshot: when another
+    committer wins the race for the next version, append rebuilds the
+    manifest against the new latest and succeeds."""
+    vt.create(_df(spark, [(1, "a", 1.0)]))
+    real_commit = vt._commit
+    calls = {"n": 0}
+
+    def racing_commit(files, op):
+        # first attempt loses the race: someone else takes the version
+        if op == "append" and calls["n"] == 0:
+            calls["n"] += 1
+            v = vt.latest_version() + 1
+            with open(vt._manifest_path(v), "w") as fh:
+                fh.write(
+                    '{"version": %d, "op": "append", "files": %s}'
+                    % (v, str(vt._read_manifest(v - 1)["files"]).replace("'", '"'))
+                )
+            return real_commit(files, op)  # raises FileExistsError
+        return real_commit(files, op)
+
+    vt._commit = racing_commit
+    try:
+        ver = vt.append(_df(spark, [(2, "b", 2.0)]))
+    finally:
+        vt._commit = real_commit
+    assert ver == 2  # v1 went to the racer, our append landed at v2
+    assert vt.read().count() == 2
+
+
+def test_compact_preserves_rows_and_shrinks_files(spark, vt):
+    vt.create(_df(spark, [(1, "a", 1.0)]).repartition(4))
+    vt.append(_df(spark, [(2, "b", 2.0)]).repartition(4))
+    before_files = len(vt._read_manifest(vt.latest_version())["files"])
+    assert before_files > 1
+    vt.compact(target_partitions=1)
+    manifest = vt._read_manifest(vt.latest_version())
+    assert manifest["op"] == "compact"
+    assert len(manifest["files"]) == 1
+    got = sorted((r.k, r.seg, r.val) for r in vt.read().collect())
+    assert got == [(1, "a", 1.0), (2, "b", 2.0)]
