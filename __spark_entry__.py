@@ -113,6 +113,9 @@ CONTRACT_ORDER: list[str] = [
     "q_stream_custom_stateful",
     "q_stream_session_window",
     "q_stream_python_source",
+    "q_stream_static_join",
+    "q_stream_stream_join",
+    "q_stream_lakehouse_ingest",
 ]
 
 

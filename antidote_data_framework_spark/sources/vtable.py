@@ -124,6 +124,22 @@ class VersionedTable:
                 if attempt == retries:
                     raise
 
+    def append_idempotent(self, df: DataFrame, tag: str) -> int | None:
+        """Exactly-once streaming sink hook (foreachBatch contract):
+        the commit records ``tag`` (e.g. ``append-b<batchId>``) as its
+        operation, and a replay of an already-committed tag is a
+        NO-OP — micro-batch retries cannot double-ingest.  This is the
+        txn-id dedup idea Delta/Iceberg streaming sinks use."""
+        if any(m["op"] == tag for m in self.history()):
+            return None
+        new_files = self._write_data_files(df)
+        prev = (
+            self._read_manifest(self.latest_version())["files"]
+            if self.latest_version() >= 0
+            else []
+        )
+        return self._commit(prev + new_files, tag)
+
     def compact(self, target_partitions: int = 1) -> int:
         """Rewrite the current snapshot into ``target_partitions``
         files and commit it as a new version — the lakehouse answer to

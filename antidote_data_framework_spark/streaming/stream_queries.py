@@ -336,3 +336,135 @@ def q_stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sink = _run_stream(agg, "complete")
     return spark.table(sink)
+
+
+@spark_query("q_stream_static_join")  # rows-only: streaming emission
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the event stream joins a static
+    customer-derived dimension (broadcast — the dim rides to every
+    executor once, no stream-side shuffle) and aggregates per market
+    segment in complete mode.  This is THE production enrichment
+    shape: facts stream in, dimensions are a slowly-changing lookup;
+    at 100 TB/day the only state is the running aggregate, bounded by
+    |segments|.  Final snapshot must equal the batch join+agg twin
+    (asserted in tests/test_streaming.py)."""
+    from ..sources import load_table as _lt
+
+    src = _stage_events(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(_staged_schema(spark, src))
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    dim = _lt(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    agg = (
+        stream.join(F.broadcast(dim), "user_id")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+    sink = _run_stream(agg, "complete")
+    return spark.table(sink)
+
+
+@spark_query("q_stream_stream_join")  # rows-only: streaming emission
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join — click→purchase attribution: each
+    'click' event joins the same user's 'purchase' events within the
+    following day.  BOTH sides carry watermarks and the join condition
+    bounds event time in both directions, so the state store retains
+    only rows inside the watermark horizon (unbounded retention is
+    exactly what the API forbids here).  Matches emit in append mode
+    as both watermarks pass; the per-day rollup of the emitted pairs
+    happens on the sink table and must equal the batch join twin
+    (asserted in tests/test_streaming.py)."""
+    src = _stage_events(spark, sf_dir)
+    schema = _staged_schema(spark, src)
+
+    def side(event_type: str, alias: str):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+            .filter(F.col("event_type") == event_type)
+            .select(
+                F.col("user_id").alias(f"{alias}_user"),
+                F.col("event_id").alias(f"{alias}_id"),
+                F.col("ts").alias(f"{alias}_ts"),
+            )
+            .withWatermark(f"{alias}_ts", "1 hour")
+        )
+
+    clicks, purchases = side("click", "c"), side("purchase", "p")
+    pairs = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 DAY")),
+    )
+    sink = _run_stream(
+        pairs.select("c_user", "c_id", "c_ts", "p_id", "p_ts"), "append"
+    )
+    return (
+        spark.table(sink)
+        .groupBy(F.date_trunc("day", "c_ts").alias("click_day"))
+        .agg(F.count(F.lit(1)).alias("n_attributed_pairs"))
+    )
+
+
+@spark_query("q_stream_lakehouse_ingest")  # rows-only: streaming sink
+def q_stream_lakehouse_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingestion into the versioned lakehouse table with
+    exactly-once semantics: each micro-batch lands via foreachBatch →
+    ``VersionedTable.append_idempotent`` whose commit records the
+    batch id — a replayed batch is a no-op, so retries cannot
+    double-ingest (the txn-id dedup contract of production lakehouse
+    sinks).  Emits one row proving conservation: every staged source
+    row is in the final table exactly once, one commit per
+    micro-batch."""
+    from ..operators.lakehouse_ops import _fresh_table_dir
+    from ..sources.vtable import VersionedTable
+
+    src = _stage_events(spark, sf_dir, n_files=3)
+    stream = (
+        spark.readStream.schema(_staged_schema(spark, src))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    table_dir = _fresh_table_dir()
+
+    def ingest(batch_df, batch_id: int) -> None:
+        VersionedTable(batch_df.sparkSession, table_dir).append_idempotent(
+            batch_df, f"append-b{batch_id}"
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    vt = VersionedTable(spark, table_dir)
+    n_versions = vt.latest_version() + 1
+    ingested = vt.read()
+    n_rows = ingested.count()
+    n_distinct = ingested.select("event_id").distinct().count()
+    n_src = spark.read.parquet(src).count()
+    return spark.createDataFrame(
+        [
+            (
+                int(n_versions),
+                int(n_rows),
+                int(n_src),
+                bool(n_rows == n_src and n_distinct == n_src),
+            )
+        ],
+        "n_commits INT, n_rows_ingested BIGINT, n_source_rows BIGINT, exactly_once BOOLEAN",
+    )

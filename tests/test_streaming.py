@@ -62,3 +62,69 @@ def test_stream_session_matches_batch_twin(spark, sf_dir):
         key = (r["user_id"], r["session_start"], r["session_end"])
         assert key in batch, f"streamed session {key} missing from batch result"
         assert (r["n_events"], r["sum_value"]) == batch[key], key
+
+
+def test_stream_static_join_matches_batch_twin(spark, sf_dir):
+    from antidote_data_framework_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    batch = {
+        r["segment"]: (r["n_events"], r["sum_value"])
+        for r in (
+            load_table(spark, sf_dir, "events")
+            .join(dim, "user_id")
+            .groupBy("segment")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 4).alias("sum_value"),
+            )
+            .collect()
+        )
+    }
+    streamed = QUERIES["q_stream_static_join"](spark, sf_dir).collect()
+    assert len(streamed) == len(batch)
+    for r in streamed:
+        assert (r["n_events"], r["sum_value"]) == batch[r["segment"]], r["segment"]
+
+
+def test_stream_stream_join_matches_batch_twin(spark, sf_dir):
+    from antidote_data_framework_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    batch = {
+        r["click_day"]: r["n"]
+        for r in (
+            clicks.join(
+                purchases,
+                (F.col("c_user") == F.col("p_user"))
+                & (F.col("p_ts") >= F.col("c_ts"))
+                & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 DAY")),
+            )
+            .groupBy(F.date_trunc("day", "c_ts").alias("click_day"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+    }
+    streamed = QUERIES["q_stream_stream_join"](spark, sf_dir).collect()
+    assert len(streamed) > 0
+    # every emitted attribution day must match the batch join exactly
+    for r in streamed:
+        assert batch.get(r["click_day"]) == r["n_attributed_pairs"], r["click_day"]
+
+
+def test_stream_lakehouse_ingest_exactly_once(spark, sf_dir):
+    row = QUERIES["q_stream_lakehouse_ingest"](spark, sf_dir).collect()[0]
+    assert row["exactly_once"] is True
+    assert row["n_rows_ingested"] == row["n_source_rows"]
+    assert row["n_commits"] >= 2  # one commit per micro-batch
