@@ -341,12 +341,16 @@ def q_stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 @spark_query("q_stream_static_join")  # rows-only: streaming emission
 def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment join: the event stream joins a static
-    customer-derived dimension (broadcast — the dim rides to every
-    executor once, no stream-side shuffle) and aggregates per market
-    segment in complete mode.  This is THE production enrichment
-    shape: facts stream in, dimensions are a slowly-changing lookup;
-    at 100 TB/day the only state is the running aggregate, bounded by
-    |segments|.  Final snapshot must equal the batch join+agg twin
+    customer-derived dimension and aggregates per market segment in
+    complete mode.  This is THE production enrichment shape: facts
+    stream in, dimensions are a slowly-changing lookup; at 100 TB/day
+    the only state is the running aggregate, bounded by |segments|.
+
+    The dim is NOT broadcast-hinted: customer grows with SF, and a
+    forced hint bypasses autoBroadcastJoinThreshold — the r01 OOM
+    anti-pattern (test-enforced).  The planner broadcasts it while it
+    fits and falls back to a shuffled join per micro-batch when it
+    doesn't.  Final snapshot must equal the batch join+agg twin
     (asserted in tests/test_streaming.py)."""
     from ..sources import load_table as _lt
 
@@ -361,7 +365,7 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment").alias("segment"),
     )
     agg = (
-        stream.join(F.broadcast(dim), "user_id")
+        stream.join(dim, "user_id")
         .groupBy("segment")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
