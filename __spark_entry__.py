@@ -116,6 +116,10 @@ CONTRACT_ORDER: list[str] = [
     "q_stream_static_join",
     "q_stream_stream_join",
     "q_stream_lakehouse_ingest",
+    "q_text_repetition",
+    "q_lakehouse_timetravel",
+    "q_lakehouse_changefeed",
+    "q_lakehouse_incremental_agg",
 ]
 
 

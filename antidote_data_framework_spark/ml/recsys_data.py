@@ -115,7 +115,10 @@ def bias_components(
         .groupBy("item_id")
         .agg(F.avg(F.col("rating") - F.col("mu") - F.col("bu")).alias("bi"))
     )
-    _COMPONENT_CACHE[key] = (mu, bu.cache(), bi.cache())
+    # mu is one row but its plan is a FULL aggregation over the train
+    # split — uncached, every follow-on query's crossJoin(broadcast(mu))
+    # re-scans the fact table to recompute it
+    _COMPONENT_CACHE[key] = (mu.cache(), bu.cache(), bi.cache())
     return _COMPONENT_CACHE[key]
 
 

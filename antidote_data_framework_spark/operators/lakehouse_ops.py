@@ -50,6 +50,48 @@ def _money_sum(col):
     return F.round(F.sum(F.col(col).cast("decimal(14,2)")), 2).cast("double")
 
 
+def _urgent_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERGE updates feed: per-customer urgent-order counts."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.count(F.lit(1)).alias("n_urgent"))
+    )
+
+
+# One built demo table per (session, sf_dir): the three lakehouse
+# queries all read the same immutable v0/v1 snapshots, so one
+# copy-on-write build serves all (the ml/recsys_data._COMPONENT_CACHE
+# pattern; cleared between bench sweeps by clear_derived_caches).
+_DEMO_TABLE_CACHE: dict[str, str] = {}
+
+
+def _demo_table(spark: SparkSession, sf_dir: str) -> VersionedTable:
+    """CREATE the customer dimension as v0, MERGE the urgent-order
+    updates as v1 (segment → 'URGENT-VIP', acctbal += n_urgent),
+    return the table handle.  Snapshots are immutable, so sharing the
+    build across queries changes nothing they can observe."""
+    key = f"{id(spark)}:{sf_dir}"
+    if key in _DEMO_TABLE_CACHE:
+        return VersionedTable(spark, _DEMO_TABLE_CACHE[key])
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    vt = VersionedTable(spark, _fresh_table_dir())
+    vt.create(customer)
+    vt.merge(
+        _urgent_updates(spark, sf_dir),
+        "c_custkey",
+        {
+            "c_mktsegment": F.lit("URGENT-VIP"),
+            "c_acctbal": F.col("c_acctbal") + F.col("n_urgent"),
+        },
+    )
+    _DEMO_TABLE_CACHE[key] = vt.path
+    return vt
+
+
 @spark_query(
     "q_lakehouse_timetravel",
     oracle="""
@@ -88,28 +130,8 @@ def q_lakehouse_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     then TIME-TRAVEL both snapshots and emit their summaries.  The
     oracle recomputes v0/v1 from the base tables, so the manifest log,
     atomic commit, MERGE semantics, and snapshot isolation are all on
-    the hash-verified path.  Each call builds a fresh table directory
-    (immutable runs; the commit protocol itself is the ACID story)."""
-    customer = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_mktsegment", "c_acctbal"
-    )
-    orders = load_table(spark, sf_dir, "orders")
-    upd = (
-        orders.filter(F.col("o_orderpriority") == "1-URGENT")
-        .groupBy(F.col("o_custkey").alias("c_custkey"))
-        .agg(F.count(F.lit(1)).alias("n_urgent"))
-    )
-
-    vt = VersionedTable(spark, _fresh_table_dir())
-    vt.create(customer)
-    vt.merge(
-        upd,
-        "c_custkey",
-        {
-            "c_mktsegment": F.lit("URGENT-VIP"),
-            "c_acctbal": F.col("c_acctbal") + F.col("n_urgent"),
-        },
-    )
+    the hash-verified path."""
+    vt = _demo_table(spark, sf_dir)
     assert [m["op"] for m in vt.history()] == ["create", "merge"]
 
     def summary(df: DataFrame, version: int) -> DataFrame:
@@ -152,25 +174,7 @@ def q_lakehouse_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-partitioned by construction when both versions share data
     files; only rewritten files actually differ, so at 100 TB the
     diff reads the touched files plus a pruned scan of the rest."""
-    customer = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_mktsegment", "c_acctbal"
-    )
-    orders = load_table(spark, sf_dir, "orders")
-    upd = (
-        orders.filter(F.col("o_orderpriority") == "1-URGENT")
-        .groupBy(F.col("o_custkey").alias("c_custkey"))
-        .agg(F.count(F.lit(1)).alias("n_urgent"))
-    )
-    vt = VersionedTable(spark, _fresh_table_dir())
-    vt.create(customer)
-    vt.merge(
-        upd,
-        "c_custkey",
-        {
-            "c_mktsegment": F.lit("URGENT-VIP"),
-            "c_acctbal": F.col("c_acctbal") + F.col("n_urgent"),
-        },
-    )
+    vt = _demo_table(spark, sf_dir)
     v0, v1 = vt.read(0).alias("v0"), vt.read(1).alias("v1")
     return (
         v0.join(v1, "c_custkey")
@@ -225,25 +229,7 @@ def q_lakehouse_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     a full recompute — retraction (-before) + insertion (+after) per
     changed row, summed into the standing aggregate.  Decimal sums
     make retraction exact (float sums would drift under cancellation)."""
-    customer = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_mktsegment", "c_acctbal"
-    )
-    orders = load_table(spark, sf_dir, "orders")
-    upd = (
-        orders.filter(F.col("o_orderpriority") == "1-URGENT")
-        .groupBy(F.col("o_custkey").alias("c_custkey"))
-        .agg(F.count(F.lit(1)).alias("n_urgent"))
-    )
-    vt = VersionedTable(spark, _fresh_table_dir())
-    vt.create(customer)
-    vt.merge(
-        upd,
-        "c_custkey",
-        {
-            "c_mktsegment": F.lit("URGENT-VIP"),
-            "c_acctbal": F.col("c_acctbal") + F.col("n_urgent"),
-        },
-    )
+    vt = _demo_table(spark, sf_dir)
 
     dec = lambda c: F.col(c).cast("decimal(14,2)")  # noqa: E731
     # standing v0 aggregate (exact decimal state, as a maintained view stores)

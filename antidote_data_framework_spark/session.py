@@ -56,6 +56,9 @@ def clear_derived_caches(spark: SparkSession) -> None:
     staging are fixture plumbing, not query work, and are NOT cleared.
     """
     from .ml import als, recsys_data
+    from .operators import lakehouse_ops
+
+    lakehouse_ops._DEMO_TABLE_CACHE.clear()
 
     for df in recsys_data._PRED_CACHE.values():
         try:
@@ -63,8 +66,8 @@ def clear_derived_caches(spark: SparkSession) -> None:
         except Exception:
             pass
     recsys_data._PRED_CACHE.clear()
-    for mu, bu, bi in recsys_data._COMPONENT_CACHE.values():
-        for df in (bu, bi):
+    for comps in recsys_data._COMPONENT_CACHE.values():
+        for df in comps:
             try:
                 df.unpersist()
             except Exception:

@@ -63,12 +63,14 @@ class VersionedTable:
         with open(self._manifest_path(version)) as fh:
             return json.load(fh)
 
-    def _commit(self, files: list[str], op: str) -> int:
-        """Atomically publish a new version naming ``files``.  os.link
-        refuses to overwrite, so two concurrent committers racing for
-        the same version number get exactly one winner (the loser
-        retries on the next version — optimistic concurrency)."""
-        version = self.latest_version() + 1
+    def _commit(self, files: list[str], op: str, version: int) -> int:
+        """Atomically publish ``version`` naming ``files``.  The caller
+        passes the version it computed AGAINST ITS SNAPSHOT (base + 1):
+        recomputing latest here would silently publish on top of a
+        concurrent commit and drop its files (lost update).  os.link
+        refuses to overwrite, so two committers racing for the same
+        version number get exactly one winner — the loser sees
+        FileExistsError and must re-read the new snapshot."""
         manifest = {"version": version, "op": op, "files": sorted(files)}
         tmp = os.path.join(self.manifest_dir, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as fh:
@@ -105,7 +107,8 @@ class VersionedTable:
     # ---- operations --------------------------------------------------------
 
     def create(self, df: DataFrame) -> int:
-        return self._commit(self._write_data_files(df), "create")
+        base = self.latest_version()
+        return self._commit(self._write_data_files(df), "create", base + 1)
 
     def append(self, df: DataFrame, retries: int = 3) -> int:
         """Append with optimistic-concurrency retry: a blind append is
@@ -117,9 +120,10 @@ class VersionedTable:
         the same contract Delta/Iceberg give serializable writers.)"""
         new_files = self._write_data_files(df)
         for attempt in range(retries + 1):
-            prev = self._read_manifest(self.latest_version())["files"]
+            base = self.latest_version()
+            prev = self._read_manifest(base)["files"]
             try:
-                return self._commit(prev + new_files, "append")
+                return self._commit(prev + new_files, "append", base + 1)
             except FileExistsError:
                 if attempt == retries:
                     raise
@@ -133,12 +137,9 @@ class VersionedTable:
         if any(m["op"] == tag for m in self.history()):
             return None
         new_files = self._write_data_files(df)
-        prev = (
-            self._read_manifest(self.latest_version())["files"]
-            if self.latest_version() >= 0
-            else []
-        )
-        return self._commit(prev + new_files, tag)
+        base = self.latest_version()
+        prev = self._read_manifest(base)["files"] if base >= 0 else []
+        return self._commit(prev + new_files, tag, base + 1)
 
     def compact(self, target_partitions: int = 1) -> int:
         """Rewrite the current snapshot into ``target_partitions``
@@ -147,24 +148,24 @@ class VersionedTable:
         micro-batch appends destroy scan throughput; row-group-sized
         files restore it).  Logically a no-op: readers of the new
         version see identical rows."""
-        current = self.read().coalesce(target_partitions)
-        return self._commit(self._write_data_files(current), "compact")
+        base = self.latest_version()
+        current = self.read(base).coalesce(target_partitions)
+        return self._commit(self._write_data_files(current), "compact", base + 1)
 
     def merge(self, updates: DataFrame, on: str, set_exprs: dict) -> int:
         """Copy-on-write MERGE ... WHEN MATCHED THEN UPDATE: rows whose
         ``on`` key appears in ``updates`` get ``set_exprs`` applied
         (expressions may reference the update columns); unmatched rows
         pass through byte-identical.  Commits one new snapshot."""
-        from pyspark.sql import functions as F
-
-        current = self.read()
+        base = self.latest_version()
+        current = self.read(base)
         matched = current.join(updates, on, "inner")
         for col, expr in set_exprs.items():
             matched = matched.withColumn(col, expr)
         matched = matched.select(*current.columns)
         unmatched = current.join(updates, on, "left_anti")
         return self._commit(
-            self._write_data_files(matched.unionByName(unmatched)), "merge"
+            self._write_data_files(matched.unionByName(unmatched)), "merge", base + 1
         )
 
     def read(self, version: int | None = None) -> DataFrame:

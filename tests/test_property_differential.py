@@ -137,10 +137,13 @@ def test_joins_match_duckdb(spark, tables):
     padding), and semi/anti shapes — the multiset compare catches
     wrong duplicate multiplicities that row counts alone would not."""
     la, lb = tables
-    pa = pd.DataFrame(la or [(0, 0)], columns=["k", "v"])
-    pb = pd.DataFrame(lb or [(1, 1)], columns=["k", "w"])
-    spark.createDataFrame(pa).createOrReplaceTempView("fuzz_a")
-    spark.createDataFrame(pb).createOrReplaceTempView("fuzz_b")
+    # explicit dtype + schema keep genuinely EMPTY tables testable —
+    # a sentinel row would hide exactly the null-padding/anti-join
+    # edge cases empty sides exist to expose
+    pa = pd.DataFrame(la, columns=["k", "v"], dtype="int64")
+    pb = pd.DataFrame(lb, columns=["k", "w"], dtype="int64")
+    spark.createDataFrame(pa, "k BIGINT, v BIGINT").createOrReplaceTempView("fuzz_a")
+    spark.createDataFrame(pb, "k BIGINT, w BIGINT").createOrReplaceTempView("fuzz_b")
     sql = """
         SELECT a.k, a.v, b.w, 'inner' AS tag
         FROM fuzz_a a JOIN fuzz_b b ON a.k = b.k

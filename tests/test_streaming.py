@@ -118,9 +118,11 @@ def test_stream_stream_join_matches_batch_twin(spark, sf_dir):
     }
     streamed = QUERIES["q_stream_stream_join"](spark, sf_dir).collect()
     assert len(streamed) > 0
-    # every emitted attribution day must match the batch join exactly
+    # complete coverage, not just emitted-subset: a watermark evicting
+    # click state early would silently drop whole days of pairs
+    assert {r["click_day"] for r in streamed} == set(batch)
     for r in streamed:
-        assert batch.get(r["click_day"]) == r["n_attributed_pairs"], r["click_day"]
+        assert batch[r["click_day"]] == r["n_attributed_pairs"], r["click_day"]
 
 
 def test_stream_lakehouse_ingest_exactly_once(spark, sf_dir):

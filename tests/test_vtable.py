@@ -50,53 +50,64 @@ def test_stray_data_files_are_invisible(spark, vt):
     assert vt.read().count() == 1
 
 
+def _inject_racer_commit(vt, version: int) -> None:
+    """Simulate another committer winning ``version``: its manifest
+    carries the previous snapshot's files (a no-op append)."""
+    import json
+
+    prev = vt._read_manifest(version - 1)["files"]
+    with open(vt._manifest_path(version), "w") as fh:
+        json.dump({"version": version, "op": "racer", "files": prev}, fh)
+
+
 def test_concurrent_commit_conflict_detected(spark, vt):
+    """A commit computed against a stale snapshot must raise, never
+    silently publish over the racer (the lost-update hole)."""
     vt.create(_df(spark, [(1, "a", 1.0)]))
-    # another committer wins version 1 between our read and publish
-    with open(vt._manifest_path(1), "w") as fh:
-        fh.write('{"version": 1, "op": "append", "files": []}')
-    real_latest = vt.latest_version
-
-    class Stale:
-        def latest_version(self):
-            return 0
-
-    vt.latest_version = Stale().latest_version  # simulate stale read
+    base = vt.latest_version()
+    files = vt._read_manifest(base)["files"]
+    _inject_racer_commit(vt, base + 1)  # racer wins version base+1
+    with pytest.raises(FileExistsError):
+        vt._commit(files, "append", base + 1)
+    # and merge (no-retry contract) surfaces the conflict to the caller
+    real_commit = vt._commit
+    vt._commit = lambda f, op, v: (_inject_racer_commit(vt, v), real_commit(f, op, v))[1]
     try:
         with pytest.raises(FileExistsError):
-            vt.append(_df(spark, [(2, "b", 2.0)]))
+            vt.merge(
+                spark.createDataFrame([(1, 9.0)], "k BIGINT, bump DOUBLE"),
+                "k",
+                {"val": F.col("val") + F.col("bump")},
+            )
     finally:
-        vt.latest_version = real_latest
+        vt._commit = real_commit
 
 
 def test_append_retries_through_commit_conflict(spark, vt):
     """A blind append is valid against any snapshot: when another
-    committer wins the race for the next version, append rebuilds the
-    manifest against the new latest and succeeds."""
+    committer wins the race for the next version, append re-reads the
+    new latest, rebuilds the manifest, and succeeds on retry — with
+    BOTH writers' rows in the final snapshot (no lost update)."""
     vt.create(_df(spark, [(1, "a", 1.0)]))
     real_commit = vt._commit
-    calls = {"n": 0}
+    state = {"raced": False}
 
-    def racing_commit(files, op):
-        # first attempt loses the race: someone else takes the version
-        if op == "append" and calls["n"] == 0:
-            calls["n"] += 1
-            v = vt.latest_version() + 1
-            with open(vt._manifest_path(v), "w") as fh:
-                fh.write(
-                    '{"version": %d, "op": "append", "files": %s}'
-                    % (v, str(vt._read_manifest(v - 1)["files"]).replace("'", '"'))
-                )
-            return real_commit(files, op)  # raises FileExistsError
-        return real_commit(files, op)
+    def racing_commit(files, op, version):
+        if op == "append" and not state["raced"]:
+            state["raced"] = True
+            _inject_racer_commit(vt, version)  # racer beats us to `version`
+        return real_commit(files, op, version)
 
     vt._commit = racing_commit
     try:
         ver = vt.append(_df(spark, [(2, "b", 2.0)]))
     finally:
         vt._commit = real_commit
+    assert state["raced"]
     assert ver == 2  # v1 went to the racer, our append landed at v2
-    assert vt.read().count() == 2
+    # lost-update check: the racer's snapshot files AND ours are present
+    assert sorted(r.k for r in vt.read().collect()) == [1, 2]
+    assert [m["op"] for m in vt.history()] == ["create", "racer", "append"]
 
 
 def test_compact_preserves_rows_and_shrinks_files(spark, vt):
