@@ -77,3 +77,12 @@ def clear_derived_caches(spark: SparkSession) -> None:
     # Anything still pinned in the storage layer (MLlib internal caches,
     # stray persists) goes too — sweeps must not inherit warm blocks.
     spark.catalog.clearCache()
+    # Streaming memory sinks accumulate one driver-held result table
+    # per executed stream; dropping their temp views between sweeps
+    # releases the only reference so the JVM can reclaim them.
+    try:
+        for t in spark.catalog.listTables():
+            if t.name.startswith("mem_"):
+                spark.catalog.dropTempView(t.name)
+    except Exception:
+        pass
