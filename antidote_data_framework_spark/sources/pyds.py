@@ -89,13 +89,22 @@ def _day_rows(day: int) -> list:
     ]
 
 
+#: Days consumed per micro-batch — the trigger-size lever.  Per-trigger
+#: overhead (scheduling, Python worker round-trip, state commit) is
+#: fixed cost, so larger micro-batches amortize it; this is the same
+#: knob as Kafka's maxOffsetsPerTrigger.  2 days/batch keeps a real
+#: multi-batch progression (5 triggers) at half the overhead of 1/batch.
+DAYS_PER_BATCH = 2
+
+
 class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
-    """One micro-batch per day, N_STREAM_DAYS days, then quiescent.
+    """DAYS_PER_BATCH days per micro-batch, N_STREAM_DAYS days total,
+    then quiescent.
 
     Offsets are plain dicts ({"day": d}); read(start) returns the next
-    day's rows plus the advanced offset, and readBetweenOffsets replays
-    any committed range identically — exactly-once recovery comes from
-    the generator being a pure function of the offset."""
+    batch of days plus the advanced offset, and readBetweenOffsets
+    replays any committed range identically — exactly-once recovery
+    comes from the generator being a pure function of the offset."""
 
     def initialOffset(self) -> dict:
         return {"day": 0}
@@ -108,7 +117,11 @@ class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
         d = int(start["day"])
         if d >= N_STREAM_DAYS:
             return iter([]), start
-        return iter(_day_rows(d)), {"day": d + 1}
+        end = min(d + DAYS_PER_BATCH, N_STREAM_DAYS)
+        rows: list = []
+        for day in range(d, end):
+            rows.extend(_day_rows(day))
+        return iter(rows), {"day": end}
 
     def readBetweenOffsets(self, start: dict, end: dict):
         rows: list = []

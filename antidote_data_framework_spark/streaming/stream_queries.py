@@ -311,7 +311,7 @@ GROUP BY event_type
 def q_stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming read from a custom PYTHON micro-batch source
     (sources/pyds.SyntheticEventsStreamSource, Spark 4
-    simpleStreamReader API): 10 daily micro-batches of a deterministic
+    simpleStreamReader API): a short series of day-ranged micro-batches of a deterministic
     event law, aggregated per event type in complete mode.
 
     The source's offsets are pure functions of the data
