@@ -120,6 +120,8 @@ CONTRACT_ORDER: list[str] = [
     "q_lakehouse_timetravel",
     "q_lakehouse_changefeed",
     "q_lakehouse_incremental_agg",
+    "q_corpus_boilerplate_ngrams",
+    "q_embed_quantize",
 ]
 
 

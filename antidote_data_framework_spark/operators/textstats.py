@@ -313,3 +313,63 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(dup_frac, 4).alias("dup_bigram_frac"),
         ((top_frac > 0.14) | (dup_frac > 0.06)).alias("is_repetitive"),
     )
+
+
+@spark_query(
+    "q_corpus_boilerplate_ngrams",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t) - 2),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS gram
+  FROM toks WHERE len(t) >= 4
+)
+SELECT gram, n_docs, n_occurrences FROM (
+  SELECT gram,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         COUNT(*)                               AS n_occurrences
+  FROM sh GROUP BY gram
+) WHERE n_docs >= 3
+ORDER BY n_docs DESC, n_occurrences DESC, gram
+LIMIT 50
+""",
+)
+def q_corpus_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate discovery — the corpus-level
+    complement of q_text_repetition: 4-gram spans appearing in many
+    DIFFERENT documents (headers, footers, license blocks, template
+    text in a real crawl), ranked by document reach.  LLM curation
+    removes or downweights these spans before training.
+
+    Shape: shingle explosion on the scan stage, one groupBy(gram)
+    shuffle with partial aggregation, distinct-doc counts, tie-broken
+    top-k.  At 100 TB the gram key is the shuffle payload — hash the
+    gram to 64 bits for the aggregation and keep an example string via
+    min() to cut shuffle width ~4x (kept as plain text here for oracle
+    parity)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - 3),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i),
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+            F.element_at(toks, i + 3),
+        ),
+    )
+    return (
+        docs.filter(n >= 4)
+        .select("doc_id", F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 3)
+        .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), "gram")
+        .limit(50)
+    )

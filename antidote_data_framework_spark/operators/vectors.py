@@ -112,3 +112,66 @@ def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_vectors"),
         )
     )
+
+
+@spark_query(
+    "q_embed_quantize",
+    oracle="""
+WITH q AS (
+  SELECT label,
+         list_min(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS vmin,
+         list_max(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS vmax,
+         list_transform(embedding, v -> CAST(v AS DOUBLE))           AS xd
+  FROM embeddings
+),
+e AS (
+  SELECT label,
+         SQRT(list_sum(list_transform(xd, v ->
+            POW(v - (vmin + COALESCE(ROUND((v - vmin) / NULLIF(vmax - vmin, 0) * 255), 0)
+                            / 255 * (vmax - vmin)), 2)))
+              / len(xd)) AS rmse
+  FROM q
+)
+SELECT label,
+       COUNT(*)            AS n_vectors,
+       ROUND(AVG(rmse), 6) AS avg_rmse,
+       ROUND(MAX(rmse), 6) AS max_rmse
+FROM e GROUP BY label
+""",
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of embeddings with reconstruction
+    error — the 4x storage-compression step of an embedding pipeline
+    (serve quantized, rerank exact).  Per-vector min/max scaling:
+    q = round((v - vmin)/(vmax - vmin) * 255), reconstruction
+    v' = vmin + q/255*(vmax - vmin), per-vector RMSE pooled per label.
+
+    Pure higher-order functions — quantize, reconstruct, and the error
+    reduction all run inside codegen on the scan stage; the only
+    shuffle is the per-label rollup.  A constant vector (vmax == vmin)
+    reconstructs exactly (NULLIF guard -> zero error)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    xd = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    vmin, vmax = F.array_min(xd), F.array_max(xd)
+    scale = F.nullif(vmax - vmin, F.lit(0.0))
+
+    def sq_err(v):
+        q = F.coalesce(F.round((v - vmin) / scale * 255), F.lit(0.0))
+        recon = vmin + q / 255 * (vmax - vmin)
+        return F.pow(v - recon, F.lit(2))
+
+    rmse = F.sqrt(
+        F.aggregate(
+            F.transform(xd, sq_err), F.lit(0.0).cast("double"), lambda a, e: a + e
+        )
+        / F.size(xd)
+    )
+    return (
+        emb.select("label", rmse.alias("rmse"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("rmse"), 6).alias("avg_rmse"),
+            F.round(F.max("rmse"), 6).alias("max_rmse"),
+        )
+    )
