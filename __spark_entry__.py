@@ -122,6 +122,7 @@ CONTRACT_ORDER: list[str] = [
     "q_lakehouse_incremental_agg",
     "q_corpus_boilerplate_ngrams",
     "q_embed_quantize",
+    "q_decontaminate_overlap",
 ]
 
 

@@ -373,3 +373,64 @@ def q_corpus_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), "gram")
         .limit(50)
     )
+
+
+@spark_query(
+    "q_decontaminate_overlap",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t) - 3),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS gram
+  FROM toks WHERE len(t) >= 5
+),
+ev AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 20 = 0)
+SELECT g.doc_id,
+       CAST(COUNT(DISTINCT g.gram) AS BIGINT) AS n_shared_grams,
+       COUNT(DISTINCT g.gram) >= 3            AS contaminated
+FROM grams g JOIN ev USING (gram)
+WHERE g.doc_id % 20 <> 0
+GROUP BY g.doc_id
+""",
+)
+def q_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the eval-leak filter every LLM
+    training pipeline runs (the GPT-3-style n-gram overlap check):
+    training documents sharing >= 3 distinct 5-gram spans with the
+    held-out eval slice (doc_id % 20 == 0 stands in for a benchmark
+    set) are flagged for removal; any overlap at all is reported.
+
+    Shape: shingle both corpora on the scan stage, build the DISTINCT
+    eval-gram set (small relative to the corpus: |benchmarks| not
+    |training data|), equi-join training shingles against it, count
+    distinct hits per training doc.  At 100 TB the eval-gram set
+    broadcasts (benchmarks are megabytes) so the join is shuffle-free
+    on the training side; here it is left to the planner."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    grams_col = F.transform(
+        F.sequence(F.lit(1), n - 4),
+        lambda i: F.concat_ws(
+            " ",
+            *[F.element_at(toks, i + j) for j in range(5)],
+        ),
+    )
+    grams = docs.filter(n >= 5).select(
+        "doc_id", F.explode(grams_col).alias("gram")
+    )
+    eval_grams = (
+        grams.filter(F.col("doc_id") % 20 == 0).select("gram").distinct()
+    )
+    return (
+        grams.filter(F.col("doc_id") % 20 != 0)
+        .join(eval_grams, "gram")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("n_shared_grams"))
+        .select(
+            "doc_id",
+            "n_shared_grams",
+            (F.col("n_shared_grams") >= 3).alias("contaminated"),
+        )
+    )
