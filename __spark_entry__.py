@@ -123,6 +123,7 @@ CONTRACT_ORDER: list[str] = [
     "q_corpus_boilerplate_ngrams",
     "q_embed_quantize",
     "q_decontaminate_overlap",
+    "q_text_chunk",
 ]
 
 

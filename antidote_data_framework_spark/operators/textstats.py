@@ -434,3 +434,62 @@ def q_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_shared_grams") >= 3).alias("contaminated"),
         )
     )
+
+
+@spark_query(
+    "q_text_chunk",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+m AS (
+  SELECT doc_id, t, len(t) AS n,
+         CASE WHEN len(t) <= 64 THEN 1
+              ELSE CAST(FLOOR((len(t) - 17) / 48.0) AS BIGINT) + 1 END AS n_chunks
+  FROM toks WHERE len(t) > 0
+),
+c AS (SELECT doc_id, t, n, unnest(range(0, n_chunks)) AS cidx FROM m)
+SELECT doc_id,
+       CAST(cidx AS BIGINT)                      AS chunk_idx,
+       CAST(LEAST(64, n - cidx * 48) AS BIGINT)  AS n_tokens_in_chunk,
+       t[cidx * 48 + 1]                          AS first_token,
+       t[cidx * 48 + LEAST(64, n - cidx * 48)]   AS last_token
+FROM c
+""",
+)
+def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking — the pretraining/RAG prep stage: each
+    document splits into 64-token chunks on a 48-token stride (16
+    tokens of overlap so no span is ever cut without context).  Emits
+    one row per chunk with its exact token count and boundary tokens,
+    so the split is verifiable without shipping token arrays.
+
+    Shape: per-row chunk-count arithmetic + one explode — all inside
+    the scan stage, no shuffle at all (the output IS the training
+    shard stream).  At 100 TB chunk rows write straight to the
+    partitioned sink; chunk_idx preserves document order for
+    sequence-packing downstream."""
+    CHUNK, STRIDE = 64, 48
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    n_chunks = F.when(n <= CHUNK, F.lit(1)).otherwise(
+        F.floor((n - F.lit(17)) / F.lit(48.0)) + 1
+    )
+    out = (
+        docs.filter(n > 0)
+        .select("doc_id", toks.alias("t"), n.alias("n"), n_chunks.alias("n_chunks"))
+        .select(
+            "doc_id",
+            "t",
+            "n",
+            F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("cidx"),
+        )
+    )
+    start = F.col("cidx") * STRIDE + 1
+    length = F.least(F.lit(CHUNK), F.col("n") - F.col("cidx") * STRIDE)
+    return out.select(
+        "doc_id",
+        F.col("cidx").cast("long").alias("chunk_idx"),
+        length.cast("long").alias("n_tokens_in_chunk"),
+        F.element_at("t", start.cast("int")).alias("first_token"),
+        F.element_at("t", (start + length - 1).cast("int")).alias("last_token"),
+    )
