@@ -124,6 +124,7 @@ CONTRACT_ORDER: list[str] = [
     "q_embed_quantize",
     "q_decontaminate_overlap",
     "q_text_chunk",
+    "q_corpus_mixture",
 ]
 
 

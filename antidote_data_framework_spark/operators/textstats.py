@@ -493,3 +493,92 @@ def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("t", start.cast("int")).alias("first_token"),
         F.element_at("t", (start + length - 1).cast("int")).alias("last_token"),
     )
+
+
+@spark_query(
+    "q_corpus_mixture",
+    oracle="""
+WITH w AS (
+  SELECT source, COUNT(*) AS n_docs,
+         1 + (CAST(SUBSTR(source, 4) AS INTEGER) % 3) AS weight
+  FROM documents GROUP BY source
+),
+tot AS (SELECT SUM(n_docs) AS n_total, SUM(weight * n_docs) AS wsum FROM w),
+r AS (
+  SELECT w.source, w.n_docs, w.weight,
+         CAST(FLOOR(100 * LEAST(1.0, 0.6 * tot.n_total * w.weight / tot.wsum)) AS BIGINT) AS pct_kept
+  FROM w CROSS JOIN tot
+),
+kept AS (
+  SELECT d.source, COUNT(*) AS n_kept
+  FROM documents d JOIN r ON d.source = r.source
+  WHERE d.doc_id % 100 < r.pct_kept
+  GROUP BY d.source
+),
+f AS (
+  SELECT r.source, CAST(r.n_docs AS BIGINT) AS n_docs, CAST(r.weight AS BIGINT) AS weight,
+         r.pct_kept, CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+  FROM r LEFT JOIN kept k ON r.source = k.source
+)
+SELECT source, n_docs, weight, pct_kept, n_kept,
+       ROUND(n_kept * 1.0 / SUM(n_kept) OVER (), 4) AS achieved_share
+FROM f
+""",
+)
+def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mixture rebalancing — the data-mixture step of corpus
+    assembly: per-source quality weights (here a deterministic law of
+    the source id; in production, curated weights) turn into capped
+    keep rates hitting a 60% overall budget, and the sample itself is
+    a reproducible modulo filter (no rand() — stable across engines,
+    partitionings, retries).  Emits the plan AND the achieved mix so
+    drift between target and achievable is visible.
+
+    Shape: two aggregations over source counts (a |sources|-row
+    table), one broadcast-sized join back to the corpus for the
+    filtered count — at 100 TB the rate table is bytes and rides the
+    scan as a broadcast; the corpus is read once."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs")).withColumn(
+        "weight", 1 + F.substring("source", 4, 10).cast("int") % 3
+    )
+    tot = w.agg(
+        F.sum("n_docs").alias("n_total"),
+        F.sum(F.col("weight") * F.col("n_docs")).alias("wsum"),
+    )
+    r = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("weight").cast("long").alias("weight"),
+        F.floor(
+            100
+            * F.least(
+                F.lit(1.0),
+                0.6 * F.col("n_total") * F.col("weight") / F.col("wsum"),
+            )
+        )
+        .cast("long")
+        .alias("pct_kept"),
+    )
+    kept = (
+        docs.join(F.broadcast(r.select("source", "pct_kept")), "source")
+        .filter(F.col("doc_id") % 100 < F.col("pct_kept"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    from pyspark.sql import Window as W
+
+    f = (
+        r.join(kept, "source", "left")
+        .withColumn("n_kept", F.coalesce(F.col("n_kept"), F.lit(0)).cast("long"))
+    )
+    return f.select(
+        "source",
+        "n_docs",
+        "weight",
+        "pct_kept",
+        "n_kept",
+        F.round(F.col("n_kept") / F.sum("n_kept").over(W.partitionBy()), 4).alias(
+            "achieved_share"
+        ),
+    )
