@@ -546,7 +546,11 @@ def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_docs").alias("n_total"),
         F.sum(F.col("weight") * F.col("n_docs")).alias("wsum"),
     )
-    r = w.crossJoin(F.broadcast(tot)).select(
+    # no broadcast hints: tot is 1 row and the rate table is
+    # |sources| rows — both far under autoBroadcastJoinThreshold, and
+    # the repo-wide guard (test_plans) rejects hints on anything not
+    # structurally pinned
+    r = w.crossJoin(tot).select(
         "source",
         F.col("n_docs").cast("long").alias("n_docs"),
         F.col("weight").cast("long").alias("weight"),
@@ -561,7 +565,7 @@ def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("pct_kept"),
     )
     kept = (
-        docs.join(F.broadcast(r.select("source", "pct_kept")), "source")
+        docs.join(r.select("source", "pct_kept"), "source")
         .filter(F.col("doc_id") % 100 < F.col("pct_kept"))
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_kept"))
