@@ -16,6 +16,7 @@ from . import (  # noqa: F401
     setops,
     text,
     textstats,
+    tpch_full,
     tpch_more,
     udfs,
     vectors,
