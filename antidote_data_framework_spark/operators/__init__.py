@@ -4,6 +4,7 @@ every implemented query in the registry."""
 from . import (  # noqa: F401
     aggregates,
     bucketing,
+    curation,
     dedup_scale,
     eventtime,
     funnels,

@@ -1,0 +1,305 @@
+"""Corpus-curation operators II: PII redaction, stratified sampling,
+collocation mining, and vocabulary-richness filtering.
+
+Together with textstats.py / text.py / dedup_scale.py these complete
+the text side of an LLM training-data pipeline: after dedup, quality
+gates, decontamination, and mixture balancing, a real pipeline still
+needs (a) PII scrubbing before anything ships, (b) deterministic
+stratified subsampling for eval splits, (c) collocation statistics for
+tokenizer/vocab work, and (d) lexical-diversity filtering.
+
+Everything here is pure codegen (no Python on the data path) and every
+operator is SQL-oracled.  Determinism notes per operator; the common
+trick is that every ranking/threshold happens on exact integer counts
+or on doubles derived from exact integers by identical IEEE operations
+in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import spark_query
+from ..sources import load_table
+
+# Deterministic PII is INJECTED into the fixture word-soup (which
+# contains none) and then scrubbed — so the redaction patterns are
+# exercised against known ground truth and the counts are assertable.
+# The injection expression is shared verbatim between engines.
+_PII_SUFFIX_SQL = (
+    "' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'"
+    " || ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " || ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.'"
+    " || CAST(doc_id % 250 AS VARCHAR)"
+)
+
+_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_PHONE_RE = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+_IP_RE = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+
+@spark_query(
+    "q_pii_redact",
+    oracle=f"""
+SELECT doc_id,
+       len(regexp_extract_all(pii_text, '{_EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(pii_text, '{_PHONE_RE}')) AS n_phones,
+       len(regexp_extract_all(
+           regexp_replace(pii_text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+           '{_IP_RE}')) AS n_ips,
+       length(pii_text) - length(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(pii_text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{_PHONE_RE}', '<PHONE>', 'g'),
+             '{_IP_RE}', '<IP>', 'g')
+       ) AS chars_removed,
+       right(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(pii_text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{_PHONE_RE}', '<PHONE>', 'g'),
+             '{_IP_RE}', '<IP>', 'g'),
+           70) AS redacted_tail
+FROM (SELECT doc_id, text || {_PII_SUFFIX_SQL} AS pii_text FROM documents) t
+""",
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: regex redaction of emails, phone numbers, and
+    IPv4 addresses, with per-document match counts and the byte delta.
+
+    The fixture corpus contains no PII, so a deterministic synthetic
+    suffix (email + phone + IP derived from doc_id) is appended first —
+    ground truth is then exact: 1 email, 1 phone, 1 IP per document,
+    and the hash-matched counts prove the patterns fire (and fire ONLY
+    there).  Emails are scrubbed before IPs so the dotted domain can
+    never be half-eaten by the IP pattern.
+
+    Scale: regexp_replace/regexp_count are JVM codegen — the scrub is
+    a map-only stage with zero shuffle, the ideal 100 TB shape.  Real
+    deployments extend the pattern set (SSNs, credit cards, secrets);
+    the plan shape is identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    pii_text = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com"),
+        F.lit(" call +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10."),
+        (F.col("doc_id") % 200).cast("string"),
+        F.lit(".0."),
+        (F.col("doc_id") % 250).cast("string"),
+    )
+    t = docs.select("doc_id", pii_text.alias("pii_text"))
+    no_email = F.regexp_replace("pii_text", _EMAIL_RE, "<EMAIL>")
+    no_phone = F.regexp_replace(no_email, _PHONE_RE, "<PHONE>")
+    redacted = F.regexp_replace(no_phone, _IP_RE, "<IP>")
+    return t.select(
+        "doc_id",
+        F.regexp_count("pii_text", F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count("pii_text", F.lit(_PHONE_RE)).alias("n_phones"),
+        F.regexp_count(no_email, F.lit(_IP_RE)).alias("n_ips"),
+        (F.length("pii_text") - F.length(redacted)).alias("chars_removed"),
+        F.substring(redacted, -70, 70).alias("redacted_tail"),
+    )
+
+
+@spark_query(
+    "q_stratified_sample",
+    oracle="""
+SELECT doc_id, lang, rn AS sample_rank
+FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY (doc_id * 2654435761) % 1000003, doc_id
+         ) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS cnt
+  FROM documents
+) t
+WHERE rn <= CAST(FLOOR((cnt + 4) / 5) AS BIGINT)
+ORDER BY lang, rn
+""",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: ceil(20%) of every language
+    stratum, selected by a multiplicative-hash scramble of doc_id
+    (Knuth constant 2654435761 mod the prime 1000003) — proportional
+    allocation with a reproducible, seed-free pseudo-random order.
+
+    Unlike ``df.sampleBy`` (RNG-seeded, engine-specific), the scramble
+    is plain integer arithmetic, so the SAME rows are chosen by any
+    engine — which is what an eval-split needs: re-runs and backfills
+    on other systems must regenerate byte-identical splits.  Overflow
+    check: max doc_id (~5e4 at sf0.1) x 2654435761 ~ 1.3e14 << 2^63;
+    at 100 TB doc_ids up to ~3.4e9 still fit (9e18 < 2^63) — beyond
+    that, scramble (doc_id % 2^31) first.
+
+    Scale: one window shuffle on lang (the stratum key).  For skewed
+    strata at 100 TB, pre-aggregate stratum counts (broadcast) and
+    filter on the scramble directly — no window needed; kept as the
+    window form here because it also emits the sample rank."""
+    docs = load_table(spark, sf_dir, "documents")
+    scramble = (F.col("doc_id") * F.lit(2654435761)) % F.lit(1000003)
+    w = Window.partitionBy("lang").orderBy(scramble.asc(), F.col("doc_id").asc())
+    cw = Window.partitionBy("lang")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.row_number().over(w).alias("sample_rank"),
+            F.count(F.lit(1)).over(cw).alias("cnt"),
+        )
+        .filter(
+            F.col("sample_rank")
+            <= F.floor((F.col("cnt") + 4) / 5).cast("bigint")
+        )
+        .orderBy("lang", "sample_rank")
+        .select("doc_id", "lang", "sample_rank")
+    )
+
+
+@spark_query(
+    "q_bigram_pmi",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, t.tok, t.pos
+  FROM documents,
+       LATERAL (SELECT UNNEST(string_split(text, ' ')) AS tok,
+                       generate_subscripts(string_split(text, ' '), 1) AS pos) t
+),
+bi AS (
+  SELECT a.tok || ' ' || b.tok AS bigram, a.tok AS w1, b.tok AS w2
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+uni_n AS (SELECT COUNT(*) AS n_uni FROM toks),
+bi_n  AS (SELECT COUNT(*) AS n_bi  FROM bi),
+uni   AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+bic   AS (SELECT bigram, w1, w2, COUNT(*) AS n_ab FROM bi GROUP BY bigram, w1, w2)
+SELECT bigram, n_ab,
+       ROUND((n_ab / u1.c) * (n_uni / u2.c) * (n_uni / n_bi), 4) AS lift
+FROM bic
+JOIN uni u1 ON u1.tok = bic.w1
+JOIN uni u2 ON u2.tok = bic.w2
+CROSS JOIN uni_n CROSS JOIN bi_n
+WHERE n_ab >= 5
+ORDER BY (n_ab / u1.c) * (n_uni / u2.c) * (n_uni / n_bi) DESC, bigram
+LIMIT 30
+""",
+)
+def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-30 bigrams by PMI lift — the tokenizer/
+    vocabulary-construction statistic (PMI = log(lift); the log is
+    omitted because it is monotonic, keeping every compared value a
+    product of exact-integer ratios).
+
+    Determinism: counts are exact BIGINTs; lift is computed as
+    ``(n_ab/c1) * (N/c2) * (N/n_bi)`` — three int/int IEEE divisions
+    and two multiplications, bit-identical in both engines (factored
+    this way so no intermediate product of raw counts can overflow
+    2^53 in the double domain).  Ordering uses the exact lift value
+    with the bigram string as tie-break; only the output is rounded.
+
+    Scale: tokens explode to one row per token (the corpus itself —
+    unavoidable for exact counts); bigram pairing is a positional
+    zip WITHIN each document row (no self-join, unlike the oracle's
+    relational formulation); unigram side tables group-reduce before
+    the final broadcast-friendly joins (vocab << corpus)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.split("text", " ").alias("t"))
+    uni = (
+        toks.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bigrams = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("t"), 1, F.size("t") - 1),
+                F.slice(F.col("t"), 2, F.size("t") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg")
+    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    bic = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_ab"))
+    n_uni = uni.agg(F.sum("c").alias("n_uni"))
+    n_bi = bic.agg(F.sum("n_ab").alias("n_bi"))
+    u1 = uni.withColumnRenamed("tok", "u1_tok").withColumnRenamed("c", "c1")
+    u2 = uni.withColumnRenamed("tok", "u2_tok").withColumnRenamed("c", "c2")
+    lift = (
+        (F.col("n_ab") / F.col("c1"))
+        * (F.col("n_uni") / F.col("c2"))
+        * (F.col("n_uni") / F.col("n_bi"))
+    )
+    return (
+        bic.filter(F.col("n_ab") >= 5)
+        .join(u1, F.col("w1") == F.col("u1_tok"))
+        .join(u2, F.col("w2") == F.col("u2_tok"))
+        .join(F.broadcast(n_uni))
+        .join(F.broadcast(n_bi))
+        .withColumn("lift_exact", lift)
+        .withColumn("bigram", F.concat_ws(" ", "w1", "w2"))
+        .orderBy(F.desc("lift_exact"), F.asc("bigram"))
+        .limit(30)
+        .select("bigram", "n_ab", F.round("lift_exact", 4).alias("lift"))
+    )
+
+
+@spark_query(
+    "q_vocab_richness_filter",
+    oracle="""
+SELECT doc_id, lang, n_tokens, n_distinct,
+       ROUND(CAST(n_distinct AS DOUBLE) / n_tokens, 4) AS ttr,
+       ROUND(pr, 4) AS richness_pct
+FROM (
+  SELECT doc_id, lang,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_distinct(string_split(text, ' '))) AS n_distinct,
+         PERCENT_RANK() OVER (
+           PARTITION BY lang
+           ORDER BY CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                    / len(string_split(text, ' ')) DESC, doc_id
+         ) AS pr
+  FROM documents
+) t
+WHERE pr <= 0.5
+ORDER BY lang, richness_pct, doc_id
+""",
+)
+def q_vocab_richness_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity filtering: keep the top half of every language
+    by type-token ratio (distinct tokens / tokens) — the standard cheap
+    filter against template/spam text, which repeats a small vocabulary.
+
+    Determinism: TTR is one IEEE division of exact ints; PERCENT_RANK
+    ties are broken by doc_id so every rank is unique, making the 0.5
+    cutoff engine-stable.  One window shuffle on lang; at 100 TB swap
+    the window for an approx-quantile threshold per lang (computed
+    once, broadcast) to avoid sorting whole strata."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    ttr = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    w = Window.partitionBy("lang").orderBy(ttr.desc(), F.col("doc_id").asc())
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.size(toks).alias("n_tokens"),
+            F.size(F.array_distinct(toks)).alias("n_distinct"),
+            F.round(ttr, 4).alias("ttr"),
+            F.percent_rank().over(w).alias("pr"),
+        )
+        .filter(F.col("pr") <= 0.5)
+        .orderBy("lang", F.round("pr", 4), "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "n_distinct",
+            "ttr",
+            F.round("pr", 4).alias("richness_pct"),
+        )
+    )
