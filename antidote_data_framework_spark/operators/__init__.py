@@ -8,6 +8,7 @@ from . import (  # noqa: F401
     dedup_scale,
     eventtime,
     funnels,
+    graph,
     joins,
     lakehouse_ops,
     multimodal,

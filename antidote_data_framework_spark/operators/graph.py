@@ -1,0 +1,243 @@
+"""Graph analytics over the star schema: PageRank on the part
+co-purchase graph, plus multi-dimensional z-order layout optimization.
+
+Complements q_dedup_components (operators/text.py — iterative label
+propagation): PageRank is the other canonical iterative-until-converged
+graph workload, implemented here with the engine's determinism
+discipline so that even a FLOAT-typed iterative fixpoint hash-matches
+the DuckDB oracle — per-iteration sums accumulate in exact DECIMAL
+(order-independent), and every float op between iterations is the same
+IEEE expression in both engines.  The oracle unrolls the iterations as
+chained CTEs (DuckDB's recursive CTEs disallow aggregates in the
+recursive term); Spark unrolls them as a driver loop over cached
+DataFrames — same dataflow, the loop is just plan construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import spark_query
+from ..sources import load_table
+
+_PR_ITERS = 3
+_DAMP = 0.85
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric co-purchase edges: parts appearing in the same order,
+    weighted by co-occurrence count.  The self-join is blocked by
+    l_orderkey (orders have ~4 lines, so the fan-out is bounded per
+    key); at 100 TB this is the standard market-basket edge build —
+    skewed giant orders would be capped or salted first."""
+    a = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src")
+    )
+    b = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst")
+    )
+    return (
+        a.join(b, "k")
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled-CTE PageRank oracle (see module docstring)."""
+    prelude = """
+WITH edges AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst, COUNT(*) AS w
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2
+),
+outw AS (SELECT src, SUM(w) AS totw FROM edges GROUP BY src),
+nodes AS (SELECT src AS node FROM outw),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes)
+"""
+    steps = []
+    for t in range(_PR_ITERS):
+        steps.append(
+            f"""r{t + 1} AS (
+  SELECT e.dst AS node,
+         CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
+         + CAST(0.85 AS DOUBLE) * CAST(SUM(
+             CAST(r.rank * (CAST(e.w AS DOUBLE) / o.totw) AS DECIMAL(28,12))
+           ) AS DOUBLE) AS rank
+  FROM edges e
+  JOIN r{t} r ON r.node = e.src
+  JOIN outw o ON o.src = e.src
+  GROUP BY e.dst
+)"""
+        )
+    final = f"""
+SELECT node, CAST(ROUND(rank, 8) AS DOUBLE) + 0.0 AS rank
+FROM r{_PR_ITERS}
+ORDER BY node
+"""
+    return prelude + "," + ",".join(steps) + final
+
+
+@spark_query("q_graph_pagerank", oracle=_pagerank_oracle())
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, 3 iterations) on the part co-purchase
+    graph — "which parts sit at the center of purchasing behavior".
+
+    Determinism through an iterative FLOAT fixpoint: each iteration's
+    per-node contribution sum runs in DECIMAL(28,12) (the per-edge
+    contribution ``rank * w/totw`` is one double multiply of
+    bit-identical doubles, then a correctly-rounded decimal cast, so
+    the SUM is exact and order-independent); the damping update is the
+    same IEEE double expression in both engines.  Every node has
+    out-edges by construction (symmetric graph), so there is no
+    dangling-mass term.
+
+    Scale: rank state is one row per node; each iteration is one
+    shuffle (join on src, reduce on dst) — the textbook distributed
+    PageRank dataflow.  The driver loop only CONSTRUCTS plans; with
+    many iterations you would localCheckpoint every few steps to cut
+    lineage (as q_dedup_components does)."""
+    edges = _edges(spark, sf_dir).cache()
+    outw = edges.groupBy("src").agg(F.sum("w").alias("totw"))
+    e = edges.join(outw, "src").select(
+        "src", "dst", (F.col("w").cast("double") / F.col("totw")).alias("p")
+    ).cache()
+    n = e.select("src").distinct().count()
+    ranks = (
+        e.select("src")
+        .distinct()
+        .select(F.col("src").alias("node"), (F.lit(1.0) / F.lit(float(n))).alias("rank"))
+    )
+    for _ in range(_PR_ITERS):
+        ranks = (
+            e.join(ranks, e.src == ranks.node)
+            .select(
+                F.col("dst"),
+                (F.col("rank") * F.col("p")).cast("decimal(28,12)").alias("contrib"),
+            )
+            .groupBy("dst")
+            .agg(
+                (
+                    F.lit(0.15) / F.lit(float(n))
+                    + F.lit(0.85) * F.sum("contrib").cast("double")
+                ).alias("rank")
+            )
+            .select(F.col("dst").alias("node"), "rank")
+        )
+    return ranks.orderBy("node").select(
+        "node", (F.round("rank", 8).cast("double") + F.lit(0.0)).alias("rank")
+    )
+
+
+@spark_query(
+    "q_zorder_layout",
+    oracle="""
+WITH keyed AS (
+  SELECT o_orderkey,
+         CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) % 64 AS d_bucket,
+         o_custkey % 64 AS c_bucket
+  FROM orders
+),
+z AS (
+  SELECT o_orderkey, d_bucket, c_bucket,
+         ((d_bucket & 1))          | ((c_bucket & 1) << 1)
+       | ((d_bucket & 2) << 1)     | ((c_bucket & 2) << 2)
+       | ((d_bucket & 4) << 2)     | ((c_bucket & 4) << 3)
+       | ((d_bucket & 8) << 3)     | ((c_bucket & 8) << 4)
+       | ((d_bucket & 16) << 4)    | ((c_bucket & 16) << 5)
+       | ((d_bucket & 32) << 5)    | ((c_bucket & 32) << 6) AS zkey
+  FROM keyed
+)
+SELECT zkey // 64 AS file_id,
+       COUNT(*) AS n_rows,
+       MIN(d_bucket) AS min_day, MAX(d_bucket) AS max_day,
+       MIN(c_bucket) AS min_cust, MAX(c_bucket) AS max_cust
+FROM z
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton curve) layout optimization: interleave the bits
+    of two query dimensions (order day, customer) into one sort key,
+    then report per-"file" min/max stats — the data-skipping index a
+    lakehouse writer would persist.
+
+    Sorting by zkey co-locates rows that are close in BOTH dimensions,
+    so file-level min/max zone maps prune scans for predicates on
+    either column — the point of Z-ordering vs single-column sort.
+    The emitted table IS the zone map: each 64-key z-range ("file")
+    with its per-dimension bounds; the narrower those bounds, the
+    better the skip rate.  Bit interleaving is pure integer codegen,
+    identical in both engines.
+
+    Scale: in production this feeds ``df.repartitionByRange(zkey)
+    .sortWithinPartitions(zkey).write...`` — the stats table here is
+    the verifiable (and hash-matched) core of that writer."""
+    o = load_table(spark, sf_dir, "orders")
+    d_bucket = (
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")).cast(
+            "bigint"
+        )
+        % 64
+    )
+    c_bucket = F.col("o_custkey") % 64
+    keyed = o.select(
+        "o_orderkey", d_bucket.alias("d_bucket"), c_bucket.alias("c_bucket")
+    )
+    zkey = F.lit(0).cast("bigint")
+    for bit in range(6):
+        zkey = zkey.bitwiseOR(
+            F.shiftleft(F.col("d_bucket").bitwiseAND(F.lit(1 << bit)), bit)
+        ).bitwiseOR(
+            F.shiftleft(F.col("c_bucket").bitwiseAND(F.lit(1 << bit)), bit + 1)
+        )
+    z = keyed.select("o_orderkey", "d_bucket", "c_bucket", zkey.alias("zkey"))
+    return (
+        z.groupBy(F.floor(F.col("zkey") / 64).alias("file_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("d_bucket").alias("min_day"),
+            F.max("d_bucket").alias("max_day"),
+            F.min("c_bucket").alias("min_cust"),
+            F.max("c_bucket").alias("max_cust"),
+        )
+        .orderBy("file_id")
+    )
+
+
+@spark_query(
+    "q_length_histogram",
+    oracle="""
+SELECT lang,
+       CAST(FLOOR(n_chars / 50) * 50 AS BIGINT) AS bucket_lo,
+       COUNT(*) AS n_docs,
+       CAST(ROUND(AVG(n_chars), 2) AS DOUBLE) + 0.0 AS avg_chars
+FROM documents
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram per language (50-char buckets) — the
+    distribution diagnostic behind every length-based curation cut.
+    Integral bucket math; AVG over exact integer sums.  Map-side
+    combine reduces to (lang x bucket) rows — scale-free."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(
+            "lang",
+            (F.floor(F.col("n_chars") / 50) * 50).cast("bigint").alias("bucket_lo"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.round(F.avg("n_chars"), 2).cast("double") + F.lit(0.0)).alias(
+                "avg_chars"
+            ),
+        )
+        .orderBy("lang", "bucket_lo")
+    )
