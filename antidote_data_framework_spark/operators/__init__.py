@@ -11,13 +11,16 @@ from . import (  # noqa: F401
     graph,
     joins,
     lakehouse_ops,
+    linkage,
     multimodal,
     reshape,
     scalars,
     scans,
     setops,
+    sketches,
     text,
     textstats,
+    timeseries,
     tpch_full,
     tpch_more,
     udfs,

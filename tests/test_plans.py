@@ -44,12 +44,18 @@ def test_flagship_uses_partial_aggregation(spark, sf_dir):
 def test_no_python_udfs_on_oracled_paths(spark, sf_dir):
     """The engine-wide rule: every hash-matched query stays JVM-side
     in its TRANSFORMS (Python eval nodes only in declared UDF /
-    multimodal / streaming demos, which are rows-only).  A custom
-    Python DataSource (q_source_custom_pyds) is the one sanctioned
-    Python boundary on an oracled path: it is the ingest connector,
-    not a transform — everything downstream of its BatchScan is
-    JVM."""
-    for name in sorted(ORACLES):
+    multimodal / streaming demos, which are rows-only).  Two sanctioned
+    Python boundaries on oracled paths:
+    - q_source_custom_pyds: a custom Python DataSource is the ingest
+      connector, not a transform — everything downstream of its
+      BatchScan is JVM;
+    - q_heavy_hitters: the Misra-Gries mapInPandas stage emits only a
+      bounded CANDIDATE set (<= k x partitions keys); every count in
+      the output comes from the JVM-side exact recount, and the
+      hash-match against the direct GROUP BY oracle proves the Python
+      pruning lossless."""
+    sanctioned_python = {"q_heavy_hitters"}
+    for name in sorted(set(ORACLES) - sanctioned_python):
         assert not uses_python_eval(QUERIES[name](spark, sf_dir)), (
             f"{name} runs Python in its plan"
         )
@@ -96,7 +102,8 @@ def test_no_forced_broadcast_of_sf_proportional_tables():
     allowed = re.compile(
         r"F\.broadcast\(\s*("
         r"region|nation|n|cn|sn|r\.filter|"        # structural dims
-        r"max_rev|avg_bal|mu|stats|qdf|q\b|query|centroids"  # bounded scalars
+        r"max_rev|avg_bal|mu|stats|qdf|q\b|query|centroids|"  # bounded scalars
+        r"total\b|candidates\b"  # 1-row threshold agg; MG sketch output (<= k x partitions)
         r")"
     )
     pkg = pathlib.Path(__file__).resolve().parent.parent / "antidote_data_framework_spark"
