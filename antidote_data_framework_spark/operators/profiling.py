@@ -1,0 +1,170 @@
+"""Data-quality operators: table profiling (catalog statistics) and
+percentile winsorization (outlier capping) — the ANALYZE/clean stages
+that precede any large-scale model-input build.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import spark_query
+from ..sources import load_table
+
+
+@spark_query(
+    "q_profile_table",
+    oracle="""
+SELECT 'l_quantity' AS col_name, COUNT(*) AS n_rows,
+       COUNT(l_quantity) AS n_nonnull, COUNT(DISTINCT l_quantity) AS ndv,
+       CAST(ROUND(MIN(l_quantity), 4) AS DOUBLE) AS min_val,
+       CAST(ROUND(MAX(l_quantity), 4) AS DOUBLE) AS max_val,
+       CAST(ROUND(AVG(l_quantity), 4) AS DOUBLE) + 0.0 AS avg_val
+FROM lineitem
+UNION ALL
+SELECT 'l_discount', COUNT(*), COUNT(l_discount), COUNT(DISTINCT l_discount),
+       CAST(ROUND(MIN(l_discount), 4) AS DOUBLE),
+       CAST(ROUND(MAX(l_discount), 4) AS DOUBLE),
+       CAST(ROUND(CAST(AVG(CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE), 4) AS DOUBLE) + 0.0
+FROM lineitem
+UNION ALL
+SELECT 'l_tax', COUNT(*), COUNT(l_tax), COUNT(DISTINCT l_tax),
+       CAST(ROUND(MIN(l_tax), 4) AS DOUBLE),
+       CAST(ROUND(MAX(l_tax), 4) AS DOUBLE),
+       CAST(ROUND(CAST(AVG(CAST(l_tax AS DECIMAL(8,2))) AS DOUBLE), 4) AS DOUBLE) + 0.0
+FROM lineitem
+UNION ALL
+SELECT 'l_linenumber', COUNT(*), COUNT(l_linenumber), COUNT(DISTINCT l_linenumber),
+       CAST(MIN(l_linenumber) AS DOUBLE), CAST(MAX(l_linenumber) AS DOUBLE),
+       CAST(ROUND(AVG(l_linenumber), 4) AS DOUBLE) + 0.0
+FROM lineitem
+ORDER BY col_name
+""",
+)
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling: per-column row/non-null/NDV counts and
+    min/max/avg for four lineitem columns, in the long format a
+    catalog's ANALYZE stores.
+
+    One scan computes ALL columns' statistics simultaneously (a single
+    aggregate of 4x6 expressions), then unpivots — the oracle spells
+    per-column scans because plain SQL lacks the unpivot, but DuckDB
+    CSE-merges them.  AVG over 2-dp fixture decimals goes through
+    DECIMAL sums where sums are non-integral (discount/tax), exact-sum
+    doubles otherwise (quantity/linenumber are integral-valued).
+
+    Scale: profiling is one map-side-combined pass; NDV is the only
+    shuffle-heavy term (exact distinct per column) — at 100 TB a real
+    catalog swaps it for approx_count_distinct (the engine's
+    q_agg_approx_distinct shows that sketch)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    exprs = []
+    specs = [
+        ("l_quantity", "plain"),
+        ("l_discount", "decimal"),
+        ("l_tax", "decimal"),
+        ("l_linenumber", "int"),
+    ]
+    for col, mode in specs:
+        if mode == "decimal":
+            avg = (
+                F.round(F.avg(F.col(col).cast("decimal(8,2)")).cast("double"), 4)
+                + F.lit(0.0)
+            )
+        else:
+            avg = F.round(F.avg(col), 4).cast("double") + F.lit(0.0)
+        if mode == "int":
+            mn = F.min(col).cast("double")
+            mx = F.max(col).cast("double")
+        else:
+            mn = F.round(F.min(col), 4).cast("double")
+            mx = F.round(F.max(col), 4).cast("double")
+        exprs += [
+            F.count(F.lit(1)).alias(f"{col}__n_rows"),
+            F.count(col).alias(f"{col}__n_nonnull"),
+            F.countDistinct(col).alias(f"{col}__ndv"),
+            mn.alias(f"{col}__min_val"),
+            mx.alias(f"{col}__max_val"),
+            avg.alias(f"{col}__avg_val"),
+        ]
+    wide = li.agg(*exprs)
+    stack_args = ", ".join(
+        f"'{col}', {col}__n_rows, {col}__n_nonnull, {col}__ndv,"
+        f" {col}__min_val, {col}__max_val, {col}__avg_val"
+        for col, _ in specs
+    )
+    return wide.selectExpr(
+        f"stack({len(specs)}, {stack_args})"
+        " AS (col_name, n_rows, n_nonnull, ndv, min_val, max_val, avg_val)"
+    ).orderBy("col_name")
+
+
+@spark_query(
+    "q_winsorize_outliers",
+    oracle="""
+WITH bounds AS (
+  SELECT l_returnflag AS rf,
+         percentile_cont(0.05) WITHIN GROUP (ORDER BY l_extendedprice) AS p05,
+         percentile_cont(0.95) WITHIN GROUP (ORDER BY l_extendedprice) AS p95
+  FROM lineitem GROUP BY 1
+)
+SELECT l.l_returnflag, COUNT(*) AS n,
+       CAST(SUM(CASE WHEN l.l_extendedprice < b.p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_floor,
+       CAST(SUM(CASE WHEN l.l_extendedprice > b.p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_ceil,
+       CAST(ROUND(SUM(CAST(LEAST(GREATEST(l.l_extendedprice, b.p05), b.p95)
+                           AS DECIMAL(18,4))), 2) AS DOUBLE) AS winsorized_sum,
+       CAST(ROUND(b.p05, 2) AS DOUBLE) + 0.0 AS p05,
+       CAST(ROUND(b.p95, 2) AS DOUBLE) + 0.0 AS p95
+FROM lineitem l JOIN bounds b ON b.rf = l.l_returnflag
+GROUP BY l.l_returnflag, b.p05, b.p95
+ORDER BY l.l_returnflag
+""",
+)
+def q_winsorize_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization: cap each group's values into its own [p5, p95]
+    band and report the capped sum plus how many rows hit each bound —
+    the robust-statistics cleaning step before averaging anything
+    noisy.
+
+    EXACT percentiles (Spark ``percentile``, DuckDB percentile_cont —
+    both linear-interpolation over the sorted group) so the bounds are
+    the same doubles in both engines; the capped values are existing
+    data values or those bounds, summed in DECIMAL.  The bounds table
+    is a per-group scalar aggregate joined back broadcast-style.
+
+    Scale: exact per-group percentiles sort each group once — fine for
+    bounded group counts; with millions of groups swap in
+    approx_percentile (the engine's q_agg_approx_quantile pattern) and
+    keep the same capping join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = li.groupBy(F.col("l_returnflag").alias("rf")).agg(
+        F.percentile("l_extendedprice", F.lit(0.05)).alias("p05"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("p95"),
+    )
+    capped = F.least(F.greatest(F.col("l_extendedprice"), F.col("p05")), F.col("p95"))
+    return (
+        li.join(bounds, li.l_returnflag == bounds.rf)
+        .groupBy("l_returnflag", "p05", "p95")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("l_extendedprice") < F.col("p05"), 1).otherwise(0)
+            ).alias("n_floor"),
+            F.sum(
+                F.when(F.col("l_extendedprice") > F.col("p95"), 1).otherwise(0)
+            ).alias("n_ceil"),
+            F.round(F.sum(capped.cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("winsorized_sum"),
+        )
+        .select(
+            "l_returnflag",
+            "n",
+            "n_floor",
+            "n_ceil",
+            "winsorized_sum",
+            (F.round("p05", 2).cast("double") + F.lit(0.0)).alias("p05"),
+            (F.round("p95", 2).cast("double") + F.lit(0.0)).alias("p95"),
+        )
+        .orderBy("l_returnflag")
+    )
