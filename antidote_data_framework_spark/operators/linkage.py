@@ -70,7 +70,12 @@ def q_fuzzy_join_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     phonetic/normalized form and skewed blocks get salted (the repo's
     q_skew_salted_join pattern)."""
     c = load_table(spark, sf_dir, "customer")
-    dirty = c.select(
+    # The fixture table is one parquet file -> one scan partition, which
+    # would serialize every levenshtein evaluation into a single task
+    # (measured 11 s at sf0.1).  Re-shard the probe side across the
+    # cluster before the broadcast join; at 100 TB inputs are already
+    # multi-partition and this repartition coalesces into the scan.
+    dirty = c.repartition(spark.sparkContext.defaultParallelism).select(
         F.col("c_custkey").alias("dirty_id"),
         F.expr(_CORRUPT_SQL).alias("dirty_name"),
         F.substring("c_name", 1, 16).alias("blk"),

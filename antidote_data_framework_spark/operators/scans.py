@@ -167,3 +167,41 @@ def q_source_custom_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         F.countDistinct("item_id").alias("n_items"),
     )
+
+
+@spark_query("q_source_schema_evolution")  # rows-only: scratch-path I/O
+def q_source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across parquet epochs: epoch 1 writes three
+    columns, epoch 2 adds ``o_totalprice`` — ``mergeSchema`` unifies
+    them on read, null-filling the column where it predates the
+    schema.  The aggregate reports, per epoch, the row count and how
+    many rows carry the late-added column — the check every lakehouse
+    ingestion needs after a producer upgrades.
+
+    Scale note: mergeSchema reconciles FOOTERS (one small task per
+    file), not data; at 100 TB the cost is file-count-bound, which is
+    why real tables checkpoint the merged schema in a transaction log
+    (the engine's vtable format does exactly that) instead of
+    re-merging on every read."""
+    out = _scratch_dir("schema_evolution")
+    orders = load_table(spark, sf_dir, "orders")
+    epoch1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    epoch2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    epoch1.write.mode("overwrite").parquet(f"{out}/epoch=1")
+    epoch2.write.mode("overwrite").parquet(f"{out}/epoch=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    return (
+        merged.groupBy("epoch")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("o_totalprice").alias("n_with_price"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("price_sum"),
+        )
+        .orderBy("epoch")
+    )

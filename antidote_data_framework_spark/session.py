@@ -56,9 +56,15 @@ def clear_derived_caches(spark: SparkSession) -> None:
     staging are fixture plumbing, not query work, and are NOT cleared.
     """
     from .ml import als, recsys_data
-    from .operators import lakehouse_ops
+    from .operators import graph, lakehouse_ops
 
     lakehouse_ops._DEMO_TABLE_CACHE.clear()
+    for e, _n in graph._TRANSITION_CACHE.values():
+        try:
+            e.unpersist()
+        except Exception:
+            pass
+    graph._TRANSITION_CACHE.clear()
 
     for df in recsys_data._PRED_CACHE.values():
         try:

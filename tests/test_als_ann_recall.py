@@ -1,0 +1,38 @@
+"""Recall gate for the factor-space ANN recommender: the LSH-pruned,
+exactly-re-scored top-3 must recover most of the EXACT top-3 from
+recommendForAllUsers — the prune may lose candidates, the re-score
+may not invent wrong ones."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from antidote_data_framework_spark.ml.als import (
+    _als_fit_cached,
+    q_als_recommend_ann,
+)
+from antidote_data_framework_spark.ml.recsys_data import is_train, ratings_df
+from tests.conftest import SF_DIR
+
+
+def test_ann_topk_recall_vs_exact(spark):
+    r = ratings_df(spark, SF_DIR)
+    model = _als_fit_cached(
+        spark, SF_DIR, r.filter(is_train(F.col("user_id"), F.col("item_id")))
+    )
+    exact = {
+        (row["user_id"], rec["item_id"])
+        for row in model.recommendForAllUsers(3).collect()
+        for rec in row["recommendations"]
+    }
+    ann = q_als_recommend_ann(spark, SF_DIR).collect()
+    got = {(row["user_id"], row["item_id"]) for row in ann}
+    # every user appears with exactly 3 rows
+    per_user: dict[int, int] = {}
+    for row in ann:
+        per_user[row["user_id"]] = per_user.get(row["user_id"], 0) + 1
+    assert set(per_user.values()) == {3}
+    recall = len(got & exact) / len(exact)
+    # bucket-probing loses some candidates by design; the gate pins
+    # the trade-off from degrading silently
+    assert recall >= 0.6, f"ANN top-3 recall {recall:.3f} < 0.6"
