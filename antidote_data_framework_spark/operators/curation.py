@@ -303,3 +303,72 @@ def q_vocab_richness_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("pr", 4).alias("richness_pct"),
         )
     )
+
+
+@spark_query(
+    "q_doc_lm_score",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+),
+n AS (SELECT COUNT(*) AS n_total FROM toks),
+uni AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+scored AS (
+  SELECT t.doc_id,
+         COUNT(*) AS n_tokens,
+         SUM(CAST(-log2(CAST(u.c AS DOUBLE) / (SELECT n_total FROM n))
+                  AS DECIMAL(18,9))) AS bits
+  FROM toks t JOIN uni u ON u.tok = t.tok
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_tokens,
+       CAST(ROUND(CAST(bits AS DOUBLE) / n_tokens, 4) AS DOUBLE) + 0.0
+         AS bits_per_token,
+       (CAST(bits AS DOUBLE) / n_tokens < 11.0) AS passes_lm_gate
+FROM scored
+ORDER BY doc_id
+""",
+)
+def q_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality scoring: per-document cross-entropy
+    (bits/token) under the corpus's own unigram distribution — the
+    cheap perplexity proxy used to filter noise before an expensive
+    LM-based judge.  Repetitive or common-word documents score LOW
+    bits/token; rare-token soup scores high; the gate keeps the
+    plausible middle.
+
+    Determinism: each token's surprisal ``-log2(c/N)`` is one IEEE
+    log of a ratio of exact ints (bit-identical in both engines, JVM
+    and libm agree on log2 of these well-conditioned doubles to the
+    printed precision), and per-document SUMS accumulate in
+    DECIMAL(18,9) — the gram-matrix trick again, so the aggregate is
+    partition-order-independent and the whole scorer hash-matches.
+
+    Scale: tokens explode once (corpus-sized, unavoidable for exact
+    counts); the unigram table reduces to vocabulary size and joins
+    broadcast-style; per-doc reduce is map-side combined.  A real
+    pipeline swaps the unigram LM for KenLM shards behind the same
+    join-then-aggregate shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    n_total = toks.count()
+    surprisal = -F.log2(F.col("c").cast("double") / F.lit(n_total))
+    scored = (
+        toks.join(uni, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(surprisal.cast("decimal(18,9)")).alias("bits"),
+        )
+    )
+    bpt = F.col("bits").cast("double") / F.col("n_tokens")
+    return (
+        scored.select(
+            "doc_id",
+            "n_tokens",
+            (F.round(bpt, 4).cast("double") + F.lit(0.0)).alias("bits_per_token"),
+            (bpt < 11.0).alias("passes_lm_gate"),
+        )
+        .orderBy("doc_id")
+    )
