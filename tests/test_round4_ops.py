@@ -1,0 +1,124 @@
+"""Plan and property tests for the round-4 operator families:
+PageRank invariants, z-order locality, heavy-hitter guarantee shape,
+stratified-sample proportions, BPE merge sanity, PII ground truth."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import antidote_data_framework_spark.operators  # noqa: F401  (registers queries)
+from antidote_data_framework_spark.registry import QUERIES
+from tests.conftest import SF_DIR
+
+
+def test_pagerank_mass_conserved(spark):
+    """Ranks are a probability distribution up to rounding: the sum
+    over nodes must be ~1 (symmetric graph, no dangling mass)."""
+    out = QUERIES["q_graph_pagerank"](spark, SF_DIR).toPandas()
+    assert abs(out["rank"].sum() - 1.0) < 1e-4
+    assert (out["rank"] > 0).all()
+
+
+def test_zorder_files_are_locally_bounded(spark):
+    """The point of Morton ordering: each zkey range ("file") must
+    cover a BOUNDED sub-rectangle of the (day, cust) space, not the
+    full range — otherwise zone maps could never skip.  With 6+6 bits
+    interleaved, a 64-key file spans at most 8 day-buckets and 8
+    cust-buckets (the low 3 bits of each dimension)."""
+    out = QUERIES["q_zorder_layout"](spark, SF_DIR).toPandas()
+    assert len(out) > 1
+    day_span = out["max_day"] - out["min_day"]
+    cust_span = out["max_cust"] - out["min_cust"]
+    assert (day_span <= 7).all(), "file day-range exceeds z-order cell"
+    assert (cust_span <= 7).all(), "file cust-range exceeds z-order cell"
+
+
+def test_heavy_hitters_match_exact_counts(spark):
+    """The sketch+verify pipeline must equal the direct exact
+    computation (MG containment + exact recount)."""
+    out = {
+        r["tok"]: r["freq"]
+        for r in QUERIES["q_heavy_hitters"](spark, SF_DIR).collect()
+    }
+    from antidote_data_framework_spark.sources import load_table
+
+    toks = load_table(spark, SF_DIR, "documents").select(
+        F.explode(F.split("text", " ")).alias("tok")
+    )
+    n = toks.count()
+    exact = {
+        r["tok"]: r["freq"]
+        for r in toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") > n / 400)
+        .collect()
+    }
+    assert out == exact
+
+
+def test_stratified_sample_proportions(spark):
+    """Every stratum contributes ceil(20%) of its rows, and re-running
+    yields the identical sample (seed-free determinism)."""
+    a = QUERIES["q_stratified_sample"](spark, SF_DIR).toPandas()
+    b = QUERIES["q_stratified_sample"](spark, SF_DIR).toPandas()
+    assert a.equals(b)
+    from antidote_data_framework_spark.sources import load_table
+
+    strata = {
+        r["lang"]: r["n"]
+        for r in load_table(spark, SF_DIR, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got = a.groupby("lang").size().to_dict()
+    for lang, n in strata.items():
+        assert got.get(lang, 0) == -(-n // 5), (lang, n, got.get(lang))
+
+
+def test_bpe_merges_monotone_and_wellformed(spark):
+    """Merge counts are non-increasing across iterations (each merge
+    removes the current most frequent pair) and fused symbols are the
+    concatenation of their pair."""
+    rows = QUERIES["q_bpe_merges"](spark, SF_DIR).orderBy("iteration").collect()
+    assert len(rows) == 3
+    counts = [r["pair_count"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        assert r["merged"] == r["pair"].replace(" ", "")
+
+
+def test_pii_redaction_ground_truth(spark):
+    """Exactly one injected email/phone/IP per document, all redacted."""
+    out = QUERIES["q_pii_redact"](spark, SF_DIR).toPandas()
+    assert (out["n_emails"] == 1).all()
+    assert (out["n_phones"] == 1).all()
+    assert (out["n_ips"] == 1).all()
+    assert (out["chars_removed"] > 0).all()
+    assert out["redacted_tail"].str.contains("<EMAIL>").all()
+    assert out["redacted_tail"].str.contains("<IP>").all()
+
+
+def test_fuzzy_join_full_recall(spark):
+    """Blocking must never lose the true match: every dirty record
+    resolves to its own source row among its candidates."""
+    out = QUERIES["q_fuzzy_join_names"](spark, SF_DIR).toPandas()
+    true_matches = out[out["is_true_match"]]
+    n_dirty = out["dirty_id"].nunique()
+    assert len(true_matches) == n_dirty
+    assert (true_matches["edit_dist"] <= 1).all()
+
+
+def test_gapfill_dense_and_filled(spark):
+    """Each user's spine is contiguous daily and filled_value is never
+    null after the first observed day."""
+    out = QUERIES["q_timeseries_gapfill"](spark, SF_DIR).toPandas()
+    assert out["filled_value"].notna().all()
+    import pandas as pd
+
+    for uid, grp in out.groupby("user_id"):
+        days = pd.to_datetime(grp["day"]).sort_values()
+        if len(days) > 1:
+            deltas = days.diff().dropna().dt.days
+            assert (deltas == 1).all(), f"user {uid} spine has holes"
+        assert not grp.iloc[0]["is_gap"], "spine must start at an observed day"
