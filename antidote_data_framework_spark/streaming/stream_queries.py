@@ -472,3 +472,104 @@ def q_stream_lakehouse_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_commits INT, n_rows_ingested BIGINT, n_source_rows BIGINT, exactly_once BOOLEAN",
     )
+
+
+@spark_query("q_stream_heavy_hitters")  # rows-only: streaming sketch state
+def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy users: the top-15 event producers, answered
+    over a live stream with BOUNDED state — the streaming twin of
+    q_heavy_hitters (operators/sketches.py).
+
+    Phase 1 keeps a Misra-Gries(64) sketch PER SHARD (user_id % 8)
+    inside applyInPandasWithState — 8 x 64 counters total, constant
+    regardless of stream length.  Phase 2 exactly recounts ONLY the
+    merged candidates and emits the top-15 by exact count.  Guarantee
+    regime: while the active-user cardinality fits the total sketch
+    capacity (as at sf0.001: 150 users vs 512 counters) the answer is
+    EXACT — test-verified equal to the direct batch top-15; beyond
+    capacity the sketch keeps every user above n_shard/64 and the
+    result is the honest approximate top-k.  (A fraction-of-total
+    threshold like batch q_heavy_hitters degenerates here: per-user
+    event counts do NOT grow with SF — the user base grows instead —
+    so "top-k heavy producers" is the scale-invariant question.)
+
+    At 100 TB/day this is the canonical "trending entities" topology:
+    shard-sharded sketches in the stream, a candidate-only exact
+    rollup behind it."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src = _stage_events(spark, sf_dir, n_files=2)
+    stream = (
+        spark.readStream.schema(_staged_schema(spark, src))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    K = 64
+
+    def mg_shard(key, pdfs, state: GroupState):
+        if state.exists:
+            uids, counts, n_seen = state.get
+            sketch = dict(zip(uids, counts))
+        else:
+            sketch, n_seen = {}, 0
+        for pdf in pdfs:
+            vc = pdf["user_id"].value_counts()
+            n_seen += int(vc.sum())
+            for uid, cnt in vc.items():
+                sketch[int(uid)] = sketch.get(int(uid), 0) + int(cnt)
+            if len(sketch) > K:
+                cuts = sorted(sketch.values(), reverse=True)
+                cut = cuts[K] if len(cuts) > K else 0
+                sketch = {u: c - cut for u, c in sketch.items() if c > cut}
+        state.update((list(sketch.keys()), list(sketch.values()), n_seen))
+        yield pd.DataFrame(
+            {
+                "shard": [int(key[0])] * len(sketch),
+                "user_id": list(sketch.keys()),
+                "n_seen": [n_seen] * len(sketch),
+            }
+        )
+
+    candidates_stream = (
+        stream.withColumn("shard", F.col("user_id") % 8)
+        .groupBy("shard")
+        .applyInPandasWithState(
+            mg_shard,
+            outputStructType="shard INT, user_id BIGINT, n_seen BIGINT",
+            stateStructType="uids ARRAY<BIGINT>, counts ARRAY<BIGINT>, n_seen BIGINT",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    sink = _run_stream(candidates_stream, "update")
+    emitted = spark.table(sink)
+    # final sketch emission per shard = the rows carrying that shard's
+    # max n_seen (update mode re-emits the sketch every micro-batch)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard")
+    candidates = (
+        emitted.withColumn("mx", F.max("n_seen").over(w))
+        .filter(F.col("n_seen") == F.col("mx"))
+        .select("user_id")
+        .distinct()
+    )
+    events = load_table(spark, sf_dir, "events")
+    n_total = events.count()
+    exact = (
+        events.join(F.broadcast(candidates), "user_id", "left_semi")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return (
+        exact.select(
+            "user_id",
+            "freq",
+            F.round(F.col("freq") * 1.0 / F.lit(n_total), 6)
+            .cast("double")
+            .alias("frac"),
+        )
+        .orderBy(F.desc("freq"), F.asc("user_id"))
+        .limit(15)
+    )

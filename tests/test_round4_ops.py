@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 import antidote_data_framework_spark.operators  # noqa: F401  (registers queries)
+import antidote_data_framework_spark.streaming  # noqa: F401  (registers stream queries)
 from antidote_data_framework_spark.registry import QUERIES
 from tests.conftest import SF_DIR
 
@@ -122,3 +123,25 @@ def test_gapfill_dense_and_filled(spark):
             deltas = days.diff().dropna().dt.days
             assert (deltas == 1).all(), f"user {uid} spine has holes"
         assert not grp.iloc[0]["is_gap"], "spine must start at an observed day"
+
+
+def test_stream_heavy_hitters_equals_batch(spark):
+    """The streaming MG-sketch pipeline must equal the direct batch
+    computation on the same data (stream == batch twin discipline)."""
+    from antidote_data_framework_spark.sources import load_table
+
+    out = {
+        (r["user_id"], r["freq"])
+        for r in QUERIES["q_stream_heavy_hitters"](spark, SF_DIR).collect()
+    }
+    ev = load_table(spark, SF_DIR, "events")
+    exact = {
+        (r["user_id"], r["freq"])
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("user_id"))
+        .limit(15)
+        .collect()
+    }
+    assert out == exact
+    assert len(out) == 15
