@@ -180,3 +180,60 @@ def q_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "next_type")
         .agg(F.count(F.lit(1)).alias("n_transitions"))
     )
+
+
+@spark_query(
+    "q_attribution_touch",
+    oracle="""
+SELECT p.event_id AS purchase_id, p.user_id,
+       MIN(c.ts) AS first_touch_ts,
+       MAX(c.ts) AS last_touch_ts,
+       COUNT(*)  AS n_touches
+FROM events p
+JOIN events c
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click'
+ AND c.ts <= p.ts
+ AND c.ts >  p.ts - INTERVAL 7 DAY
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id, p.user_id
+ORDER BY p.event_id
+""",
+)
+def q_attribution_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-touch attribution: for every purchase, the FIRST and
+    LAST click by the same user in the preceding 7 days, plus the
+    touch count — first-touch / last-touch attribution in one pass.
+
+    The purchase-click pairing is an equi-join on user_id with the
+    7-day window as a residual range predicate: per-user event streams
+    are bounded (the blocking argument of q_jaccard_block), so the
+    join fans out per user, not per table.  At 100 TB with unbounded
+    per-user histories, pre-bin both sides by week and join on
+    (user, week) pairs — the q_join_range_binned rewrite — or compute
+    last-touch via a running window (max click-ts carried forward)
+    and keep the join only for first-touch."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    return (
+        p.join(
+            c,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("c_ts") <= F.col("p_ts"))
+            & (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 7 DAYS")),
+        )
+        .groupBy(F.col("purchase_id"), F.col("p_user").alias("user_id"))
+        .agg(
+            F.min("c_ts").alias("first_touch_ts"),
+            F.max("c_ts").alias("last_touch_ts"),
+            F.count(F.lit(1)).alias("n_touches"),
+        )
+        .orderBy("purchase_id")
+    )

@@ -5,7 +5,7 @@ that precede any large-scale model-input build.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import spark_query
@@ -167,4 +167,55 @@ def q_winsorize_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round("p95", 2).cast("double") + F.lit(0.0)).alias("p95"),
         )
         .orderBy("l_returnflag")
+    )
+
+
+@spark_query(
+    "q_equidepth_histogram",
+    oracle="""
+SELECT rf AS l_returnflag, bucket,
+       COUNT(*) AS n_rows,
+       CAST(ROUND(MIN(p), 2) AS DOUBLE) AS lo,
+       CAST(ROUND(MAX(p), 2) AS DOUBLE) AS hi
+FROM (
+  SELECT l_returnflag AS rf, l_extendedprice AS p,
+         NTILE(10) OVER (
+           PARTITION BY l_returnflag
+           ORDER BY l_extendedprice, l_orderkey, l_linenumber
+         ) AS bucket
+  FROM lineitem
+) t
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-height) histogram: 10 equal-population price
+    buckets per return flag with their boundaries — the histogram
+    flavor optimizers actually store (equal-width buckets waste
+    resolution on sparse tails; equi-depth puts detail where rows
+    are).  Complements q_profile_table / q_winsorize_outliers.
+
+    NTILE is made deterministic by a TOTAL order (price, orderkey,
+    linenumber) — ties on price alone would make bucket membership
+    engine-dependent.  One window sort per group; at 100 TB a catalog
+    build samples first or uses approx_percentile boundaries (the
+    q_agg_approx_quantile sketch) — the equi-depth CONTRACT stays."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    return (
+        li.select(
+            "l_returnflag",
+            F.col("l_extendedprice").alias("p"),
+            F.ntile(10).over(w).alias("bucket"),
+        )
+        .groupBy("l_returnflag", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.min("p"), 2).cast("double").alias("lo"),
+            F.round(F.max("p"), 2).cast("double").alias("hi"),
+        )
+        .orderBy("l_returnflag", "bucket")
     )
