@@ -97,3 +97,62 @@ def q_udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_scalar_udf BIGINT, n_pandas_udf BIGINT, n_apply_in_pandas BIGINT, "
         "n_map_in_pandas BIGINT, n_udtf BIGINT",
     )
+
+
+@spark_query("q_cogroup_align")  # rows-only: Python on the data path by design
+def q_cogroup_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped co-processing via ``cogroup().applyInPandas``: for each
+    user, align their ORDER history against their EVENT stream — per
+    order, the count and value of events in the 7 days before the
+    order date.  This is the API for per-key logic that needs BOTH
+    sides as real dataframes at once (merge_asof alignment, per-key
+    model scoring, custom interval logic) — the two-table sibling of
+    mapInPandas (q_multimodal_*) and applyInPandasWithState
+    (q_stream_custom_stateful), completing the engine's grouped-pandas
+    surface.
+
+    Both sides shuffle once on the group key, then each user's pair of
+    pandas frames is processed in one Arrow batch — per-key memory is
+    bounded by that user's history, never the table.  The JVM twin
+    (the same semantics as a blocked range join + aggregation) is
+    test-enforced equal in tests/test_round4_ops.py — the Python path
+    must not drift from the declarative one."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            "o_orderkey",
+            "o_orderdate",
+        )
+    )
+
+    def align(key, events_pdf: pd.DataFrame, orders_pdf: pd.DataFrame):
+        out = []
+        ets = events_pdf["ts"]
+        for _, o in orders_pdf.iterrows():
+            lo = o["o_orderdate"] - pd.Timedelta(days=7)
+            mask = (ets < o["o_orderdate"]) & (ets >= lo)
+            out.append(
+                (
+                    int(key[0]),
+                    int(o["o_orderkey"]),
+                    int(mask.sum()),
+                    round(float(events_pdf.loc[mask, "value"].sum()), 2),
+                )
+            )
+        return pd.DataFrame(
+            out, columns=["user_id", "o_orderkey", "n_events_7d", "value_7d"]
+        )
+
+    return (
+        ev.groupBy("user_id")
+        .cogroup(orders.groupBy("user_id"))
+        .applyInPandas(
+            align,
+            schema="user_id BIGINT, o_orderkey BIGINT, n_events_7d BIGINT, value_7d DOUBLE",
+        )
+        .orderBy("o_orderkey")
+    )

@@ -145,3 +145,40 @@ def test_stream_heavy_hitters_equals_batch(spark):
     }
     assert out == exact
     assert len(out) == 15
+
+
+def test_cogroup_align_equals_jvm_twin(spark):
+    """The cogroup/applyInPandas alignment must match the declarative
+    range-join formulation (Python path == JVM path)."""
+    from antidote_data_framework_spark.sources import load_table
+
+    got = {
+        (r["user_id"], r["o_orderkey"]): (r["n_events_7d"], r["value_7d"])
+        for r in QUERIES["q_cogroup_align"](spark, SF_DIR).collect()
+    }
+    ev = load_table(spark, SF_DIR, "events").select(
+        F.col("user_id").alias("e_user"), "ts", "value"
+    )
+    orders = load_table(spark, SF_DIR, "orders")
+    twin = (
+        orders.join(
+            ev,
+            (F.col("e_user") == F.col("o_custkey"))
+            & (F.col("ts") < F.col("o_orderdate"))
+            & (F.col("ts") >= F.col("o_orderdate") - F.expr("INTERVAL 7 DAYS")),
+            "left",
+        )
+        .groupBy("o_custkey", "o_orderkey")
+        .agg(
+            F.count("ts").alias("n"),
+            F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 2).alias("v"),
+        )
+        .collect()
+    )
+    # cogroup emits a row only for users present in EITHER side's
+    # groups; orders with zero events still appear (count 0)
+    for r in twin:
+        key = (r["o_custkey"], r["o_orderkey"])
+        assert key in got, f"missing order {key}"
+        assert got[key][0] == r["n"]
+        assert abs(got[key][1] - r["v"]) < 0.05
