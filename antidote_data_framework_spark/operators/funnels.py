@@ -10,7 +10,7 @@ to 1970-01-01 — integer arithmetic sidesteps the mismatch).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import spark_query
@@ -236,4 +236,71 @@ def q_attribution_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_touches"),
         )
         .orderBy("purchase_id")
+    )
+
+
+@spark_query(
+    "q_scd2_asof_join",
+    oracle="""
+WITH dim AS (
+  SELECT user_id, event_type AS state,
+         ts AS valid_from,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+  FROM events
+)
+SELECT o.o_orderkey, o.o_custkey AS user_id,
+       CAST(o.o_orderdate AS TIMESTAMP) AS order_ts,
+       d.state AS state_at_order,
+       CAST(d.valid_from AS TIMESTAMP) AS state_since
+FROM orders o
+JOIN dim d
+  ON d.user_id = o.o_custkey
+ AND d.valid_from <= o.o_orderdate
+ AND (d.valid_to IS NULL OR d.valid_to > o.o_orderdate)
+ORDER BY o.o_orderkey
+""",
+)
+def q_scd2_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 temporal join — the CONSUMER side of q_scd2_intervals:
+    each order picks up the dimension version (the user's event-state
+    history as a stand-in SCD2 dim) valid AT order time, via the
+    half-open interval predicate ``valid_from <= t < valid_to``.
+
+    This is how every warehouse fact query reads history ("what
+    segment was the customer in when they ordered?").  The interval
+    build is one window pass; the temporal join is an equi-join on the
+    dimension's natural key with the interval check as residual — the
+    same user-blocked bounded fan-out as q_attribution_touch.  The
+    half-open intervals tile time exactly, so each order matches AT
+    MOST one version (exactly one when the dim predates the fact) —
+    no post-join dedup.  At 100 TB, SCD2 dims are compact relative to
+    facts; a date-binned join (q_join_range_binned) removes residual
+    skew if a natural key's history is huge."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = ev.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.join(
+            dim,
+            (dim.user_id == o.o_custkey)
+            & (F.col("valid_from") <= F.col("o_orderdate"))
+            & (
+                F.col("valid_to").isNull()
+                | (F.col("valid_to") > F.col("o_orderdate"))
+            ),
+        )
+        .select(
+            "o_orderkey",
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").alias("order_ts"),
+            F.col("state").alias("state_at_order"),
+            F.col("valid_from").alias("state_since"),
+        )
+        .orderBy("o_orderkey")
     )
