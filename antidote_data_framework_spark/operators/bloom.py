@@ -1,0 +1,154 @@
+"""Bloom-filter join pruning — the runtime row-level filtering pattern
+that turns a big shuffle join into a local prefilter plus a small
+residual join.
+
+At 100 TB the dominant cost of ``fact ⋈ dim-subset`` is shuffling fact
+rows that will never match.  The classic fix (what Spark's own
+``spark.sql.optimizer.runtime.bloomFilter.enabled`` does inside the
+optimizer, and what this operator makes explicit and testable as a
+user-level primitive) is:
+
+1. aggregate the dim-side join keys into a Bloom bit array (one
+   map-side-combined pass over the small side);
+2. broadcast the bit array to every fact partition;
+3. drop fact rows whose keys fail ANY of the k probes — locally,
+   BEFORE the shuffle (false-positive rate ~(1-e^{-kn/m})^k, false
+   negatives impossible);
+4. run the exact join only over the surviving candidates, which kills
+   the false positives.
+
+The final answer is therefore EXACT and hash-matches a plain semi-join
+oracle — the Bloom pass only changes WHERE rows die (map side vs
+post-shuffle), which is the whole point at scale.
+
+Everything stays JVM-side codegen: positions are ``pmod(xxhash64(key,
+seed), m)``, the bit array is built with ``bit_or`` over shifted
+masks and carried as a broadcast one-row ``map<int,bigint>`` column
+(word index -> 64-bit word), probed with ``element_at`` + bitwise AND.
+No driver collect, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import spark_query
+from ..sources import load_table
+
+_M_BITS = 1 << 17  # filter width m; ~2k 64-bit words -> trivially broadcastable
+_K_PROBES = 3  # hash functions; fpp ~ (1 - e^{-3n/m})^3
+
+
+def _positions(key: Column) -> list[Column]:
+    """The k bit positions of ``key``: pmod(xxhash64(key, i), m).
+
+    Seeding by hashing (key, lit(i)) pairs keeps all k probes inside
+    one whole-stage-codegen projection."""
+    return [
+        F.pmod(F.xxhash64(key, F.lit(i)), F.lit(_M_BITS)) for i in range(_K_PROBES)
+    ]
+
+
+def bloom_build(df: DataFrame, key: str) -> DataFrame:
+    """One-row DataFrame with a ``bloom: map<int,bigint>`` column —
+    the bit array of ``df[key]`` as sparse 64-bit words.
+
+    Shape: explode the k positions per key (narrow), groupBy word
+    index with a ``bit_or`` of single-bit masks (map-side combined —
+    at most m/64 groups regardless of input size), then fold the
+    <= m/64 (word, bits) rows into one map cell.  The map is bounded
+    at 2k entries by construction, so the final single-row aggregate
+    is not a scale hazard."""
+    pos = df.select(
+        F.explode(F.array(*_positions(F.col(key)))).alias("pos")
+    )
+    # shiftleft's bit count must be a SQL expression (the Python API
+    # only takes a literal int), so the mask is an expr() over the
+    # named position column.
+    words = pos.groupBy((F.col("pos") / 64).cast("int").alias("widx")).agg(
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT))")
+        ).alias("word")
+    )
+    return words.agg(
+        F.map_from_entries(F.collect_list(F.struct("widx", "word"))).alias("bloom")
+    )
+
+
+def bloom_might_contain(bloom_name: str, key_name: str) -> Column:
+    """True iff every probe bit of column ``key_name`` is set in the
+    map column ``bloom_name`` — the standard no-false-negative
+    membership test, as a pure codegen predicate.
+
+    Takes column NAMES (not Columns): the k probes need shiftleft with
+    a computed bit count, which only the SQL expression form allows;
+    the probe positions must also match ``_positions`` exactly
+    (xxhash64(key, i) with the same literal seeds)."""
+    conds = []
+    for i in range(_K_PROBES):
+        p = f"pmod(xxhash64({key_name}, {i}), {_M_BITS})"
+        word = (
+            f"coalesce(element_at({bloom_name}, CAST({p} / 64 AS INT)),"
+            f" CAST(0 AS BIGINT))"
+        )
+        mask = f"shiftleft(CAST(1 AS BIGINT), CAST(pmod({p}, 64) AS INT))"
+        conds.append(f"(({word} & {mask}) != 0)")
+    return F.expr(" AND ".join(conds))
+
+
+@spark_query(
+    "q_bloom_join_prune",
+    oracle="""
+SELECT o.o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(14,2))), 2) AS DOUBLE)
+         AS sum_totalprice
+FROM orders o
+WHERE o.o_custkey IN (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+)
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+""",
+)
+def q_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order stats for the BUILDING market segment, computed as
+    Bloom-prefilter -> exact residual semi join -> aggregate.
+
+    The oracle is the plain semi-join form: the Bloom pass is a pure
+    execution-strategy change (candidates are a superset of matches;
+    the residual join removes false positives), so the results must be
+    identical — that equivalence is what the hash check verifies.
+
+    Scale: the dim side (one customer segment) builds a 16 KiB filter
+    in one combined pass; every fact partition then drops ~(1-sel)
+    of its rows BEFORE the shuffle.  The residual semi join moves only
+    candidates.  At 100 TB this is the difference between shuffling
+    the whole orders table and shuffling ~sel of it; Spark's own
+    runtime bloom filter applies the same rewrite when statistics
+    justify it — having it as an explicit operator makes the pruning
+    available to sinks/sketches that the optimizer cannot see through.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    seg = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    bloom = bloom_build(seg, "c_custkey")
+    cand = (
+        orders.crossJoin(F.broadcast(bloom))
+        .filter(bloom_might_contain("bloom", "o_custkey"))
+        .drop("bloom")
+    )
+    survivors = cand.join(
+        seg, cand.o_custkey == seg.c_custkey, "left_semi"
+    )
+    return (
+        survivors.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(14,2)")), 2)
+            .cast("double")
+            .alias("sum_totalprice"),
+        )
+        .orderBy("o_orderpriority")
+    )

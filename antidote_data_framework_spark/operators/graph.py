@@ -266,3 +266,111 @@ def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "bucket_lo")
     )
+
+
+@spark_query(
+    "q_graph_triangles",
+    oracle="""
+WITH und AS (
+  SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS u,
+                  GREATEST(a.l_partkey, b.l_partkey) AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+deg AS (
+  SELECT node, COUNT(*) AS d FROM (
+    SELECT u AS node FROM und UNION ALL SELECT v FROM und
+  ) GROUP BY node
+),
+tri AS (
+  SELECT COUNT(*) AS n_tri
+  FROM und e1 JOIN und e2 ON e2.u = e1.v
+  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+tots AS (
+  SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+         (SELECT COUNT(*) FROM und) AS n_edges,
+         (SELECT SUM(d * (d - 1) / 2) FROM deg) AS n_wedges,
+         (SELECT n_tri FROM tri) AS n_triangles
+)
+SELECT n_nodes, n_edges, CAST(n_wedges AS BIGINT) AS n_wedges, n_triangles,
+       CAST(ROUND(3.0 * n_triangles / n_wedges, 6) AS DOUBLE) AS clustering_coeff
+FROM tots
+""",
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the part co-purchase graph: node/edge/wedge
+    counts, the exact triangle count, and the global clustering
+    coefficient 3*triangles/wedges.
+
+    The Spark plan uses the degree-ordered orientation (the
+    "compact-forward" trick): every undirected edge points from its
+    (degree, id)-smaller endpoint to the larger one, so each triangle
+    has exactly ONE source node with out-edges to the other two and is
+    counted once — and the wedge join's fan-out is bounded by the
+    out-degree, which orientation caps at O(sqrt(E)) even for hub
+    nodes.  The oracle counts the same triangles with the plain
+    id-ordered u<v formulation (triangle count is orientation-
+    invariant), which is simpler SQL but quadratic in hub degree —
+    exactly the asymmetry that makes orientation the 100 TB plan:
+    wedge volume drops from sum(deg^2) to sum(outdeg^2) <= E^1.5.
+    All terms are integers; the single float (clustering coefficient)
+    is one rounded division."""
+    e = _edges(spark, sf_dir)  # directed both ways, weighted
+    und = (
+        e.filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # orient by (degree, id): u -> v iff (d_u, u) < (d_v, v)
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    oriented = (
+        und.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("s"), F.col("v").alias("t")),
+            )
+            .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("t")))
+            .alias("e")
+        )
+        .select("e.s", "e.t")
+    )
+    w1 = oriented.select(F.col("s").alias("a"), F.col("t").alias("b"))
+    w2 = oriented.select(F.col("s").alias("a"), F.col("t").alias("c"))
+    wedges = w1.join(w2, "a").filter(F.col("b") != F.col("c"))
+    # each unoriented wedge appears twice ((b,c) and (c,b)); closing
+    # edge (b,c) exists in exactly one orientation, so the semi join
+    # keeps each triangle once
+    closed = wedges.join(
+        oriented,
+        (F.col("b") == F.col("s")) & (F.col("c") == F.col("t")),
+        "left_semi",
+    )
+    tri = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+    tots = (
+        deg.agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint").alias("n_wedges"),
+        )
+        .crossJoin(und.agg(F.count(F.lit(1)).alias("n_edges")))
+        .crossJoin(tri)
+    )
+    return tots.select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6)
+        .cast("double")
+        .alias("clustering_coeff"),
+    )

@@ -219,3 +219,116 @@ def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "bucket")
     )
+
+
+@spark_query(
+    "q_constraint_audit",
+    oracle="""
+WITH li AS (
+  SELECT COUNT(*) AS n,
+         SUM(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS bad_flag,
+         SUM(CASE WHEN l_discount < 0 OR l_discount > 0.10 THEN 1 ELSE 0 END) AS bad_disc,
+         SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS bad_price
+  FROM lineitem
+),
+ord AS (
+  SELECT COUNT(*) AS n, COUNT(DISTINCT o_orderkey) AS ndv,
+         COUNT(o_orderstatus) AS nonnull_comment
+  FROM orders
+),
+orphans AS (
+  SELECT COUNT(*) AS n_orphan
+  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_custkey IS NULL
+)
+SELECT check_name, CAST(ROUND(observed, 6) AS DOUBLE) AS observed, passed FROM (
+  SELECT 'accepted_values:l_returnflag' AS check_name,
+         CAST(bad_flag AS DOUBLE) AS observed, bad_flag = 0 AS passed FROM li
+  UNION ALL
+  SELECT 'range:l_discount[0,0.10]', CAST(bad_disc AS DOUBLE), bad_disc = 0 FROM li
+  UNION ALL
+  SELECT 'positive:l_extendedprice', CAST(bad_price AS DOUBLE), bad_price = 0 FROM li
+  UNION ALL
+  SELECT 'uniqueness:o_orderkey', CAST(ndv AS DOUBLE) / n, ndv = n FROM ord
+  UNION ALL
+  SELECT 'completeness:o_orderstatus', CAST(nonnull_comment AS DOUBLE) / n,
+         nonnull_comment = n FROM ord
+  UNION ALL
+  SELECT 'referential:o_custkey->c_custkey', CAST(n_orphan AS DOUBLE),
+         n_orphan = 0 FROM orphans
+)
+ORDER BY check_name
+""",
+)
+def q_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit (the Deequ/dbt-tests shape):
+    accepted-values, range, positivity, key uniqueness, completeness
+    and referential integrity, emitted as one (check, observed,
+    passed) report table.
+
+    Dataflow: ONE aggregate per scanned table computes all of that
+    table's checks simultaneously (3 conditional sums over lineitem,
+    ndv+completeness over orders), referential integrity is a
+    broadcast anti-join count; the tiny per-check rows are unioned.
+    At 100 TB this is exactly how a data-contract gate runs: a single
+    combined pass per table (no per-check rescans), one small join
+    for each FK — then the 6-row report broadcasts to the orchestrator
+    deciding whether the partition is publishable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+
+    li_agg = li.agg(
+        F.sum(
+            F.when(~F.col("l_returnflag").isin("A", "N", "R"), 1).otherwise(0)
+        ).alias("bad_flag"),
+        F.sum(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 0.10), 1).otherwise(0)
+        ).alias("bad_disc"),
+        F.sum(F.when(F.col("l_extendedprice") <= 0, 1).otherwise(0)).alias("bad_price"),
+    )
+    ord_agg = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("o_orderkey").alias("ndv"),
+        F.count("o_orderstatus").alias("nonnull_comment"),
+    )
+    orphan = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey")),
+            orders.o_custkey == F.col("c_custkey"),
+            "left_anti",
+        ).agg(F.count(F.lit(1)).alias("n_orphan"))
+    )
+
+    # stack() unpivots each table's single aggregate row into its
+    # per-check rows INSIDE one plan — union of per-check SELECTs over
+    # the same aggregate would plan (and scan) the table once per
+    # branch.
+    li_checks = li_agg.select(
+        F.expr(
+            "stack(3,"
+            " 'accepted_values:l_returnflag', CAST(bad_flag AS DOUBLE), bad_flag = 0,"
+            " 'range:l_discount[0,0.10]',     CAST(bad_disc AS DOUBLE), bad_disc = 0,"
+            " 'positive:l_extendedprice',     CAST(bad_price AS DOUBLE), bad_price = 0"
+            ") AS (check_name, observed, passed)"
+        )
+    )
+    ord_checks = ord_agg.select(
+        F.expr(
+            "stack(2,"
+            " 'uniqueness:o_orderkey',  CAST(ndv AS DOUBLE) / n,             ndv = n,"
+            " 'completeness:o_orderstatus', CAST(nonnull_comment AS DOUBLE) / n, nonnull_comment = n"
+            ") AS (check_name, observed, passed)"
+        )
+    )
+    fk_check = orphan.select(
+        F.lit("referential:o_custkey->c_custkey").alias("check_name"),
+        F.col("n_orphan").cast("double").alias("observed"),
+        (F.col("n_orphan") == 0).alias("passed"),
+    )
+    return (
+        li_checks.unionAll(ord_checks)
+        .unionAll(fk_check)
+        .select("check_name", F.round("observed", 6).alias("observed"), "passed")
+        .orderBy("check_name")
+    )
