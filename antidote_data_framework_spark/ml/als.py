@@ -132,11 +132,9 @@ def q_als_recommend_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     users x M, linear in users, M fixed.)
 
     Measured at sf0.1 (15k users x 20k items, M = 2500): recall 0.97
-    vs the exact top-3, 9.4 s warm — vs the first cut's hang.  Recall
-    is test-enforced (tests/test_als_ann_recall.py), alongside the
-    certificate's soundness."""
-    from pyspark.sql import Window
-
+    vs the exact top-3.  Recall is test-enforced
+    (tests/test_als_ann_recall.py), alongside the certificate's
+    soundness."""
     r = ratings_df(spark, sf_dir)
     flag = is_train(F.col("user_id"), F.col("item_id"))
     model = _als_fit_cached(spark, sf_dir, r.filter(flag))
@@ -152,39 +150,58 @@ def q_als_recommend_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_items = items.count()
     M = min(4096, max(256, n_items // 8))
     ranked = items.orderBy(F.desc("inorm"), F.asc("item_id"))
-    candidates = ranked.limit(M)
-    # the tightest norm OUTSIDE the candidate set, for the certificate
-    fence = (
-        ranked.limit(M + 1)
-        .orderBy(F.asc("inorm"))
-        .limit(1)
-        .select(F.col("inorm").alias("fence_norm"))
-    )
+    # Scoring stage: one numpy matmul per Arrow batch of users against
+    # the broadcast M x rank candidate matrix.  The first cut expressed
+    # the dot product with zip_with/aggregate higher-order functions +
+    # a row_number window over users x M expanded rows — HOF lambdas
+    # are interpreted (no codegen) and the window re-shuffled and
+    # sorted all users x M rows; at sf0.1 that was ~11 s for work one
+    # BLAS call does in milliseconds.  The candidate matrix is bounded
+    # (M <= 4096 rows x rank doubles, ~300 KB) so shipping it in the
+    # UDF closure is the documented small-state exception, and the
+    # per-user top-3 never leaves the user's partition — NO shuffle at
+    # all downstream of the factor tables.
+    import numpy as np
+    import pandas as pd
+
+    cand_rows = ranked.limit(M + 1).collect()
+    fence_norm = float(cand_rows[M]["inorm"]) if len(cand_rows) > M else 0.0
+    cand = sorted(cand_rows[:M], key=lambda r: r["item_id"])
+    C = np.array([r["ifeat"] for r in cand], dtype=np.float64)  # M x rank
+    ids = np.array([r["item_id"] for r in cand], dtype=np.int64)
+
+    def _score(batches):
+        for pdf in batches:
+            for lo in range(0, len(pdf), 2048):  # bound S to ~40 MB
+                chunk = pdf.iloc[lo : lo + 2048]
+                U = np.stack(chunk["ufeat"].to_numpy())  # b x rank
+                S = U @ C.T  # b x M
+                # stable argsort of -S with candidates pre-sorted by
+                # item_id == ordering by (score DESC, item_id ASC)
+                top = np.argsort(-S, axis=1, kind="stable")[:, :3]
+                rows = np.arange(len(chunk))
+                s_top = S[rows[:, None], top]  # b x 3
+                unorm = np.linalg.norm(U, axis=1)
+                certified = s_top[:, 2] >= unorm * fence_norm
+                yield pd.DataFrame(
+                    {
+                        "user_id": np.repeat(
+                            chunk["user_id"].to_numpy(), 3
+                        ).astype("int32"),
+                        "rnk": np.tile(np.arange(1, 4), len(chunk)).astype(
+                            "int32"
+                        ),
+                        "item_id": ids[top].reshape(-1).astype("int32"),
+                        "score": np.round(s_top.reshape(-1), 4),
+                        "certified": np.repeat(certified, 3),
+                    }
+                )
+
     users = model.userFactors.select(
         F.col("id").alias("user_id"),
         F.col("features").cast("array<double>").alias("ufeat"),
-    ).withColumn("unorm", F.sqrt(sqnorm(F.col("ufeat"))))
-    scored = users.join(F.broadcast(candidates)).select(
-        "user_id",
-        "unorm",
-        "item_id",
-        F.aggregate(
-            F.zip_with(F.col("ufeat"), F.col("ifeat"), lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ).alias("score"),
     )
-    w = Window.partitionBy("user_id").orderBy(F.desc("score"), F.asc("item_id"))
-    top3 = scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 3)
-    s3 = Window.partitionBy("user_id")
-    return (
-        top3.withColumn("s3", F.min("score").over(s3))
-        .join(F.broadcast(fence))
-        .select(
-            "user_id",
-            "rnk",
-            "item_id",
-            F.round("score", 4).alias("score"),
-            (F.col("s3") >= F.col("unorm") * F.col("fence_norm")).alias("certified"),
-        )
+    return users.mapInPandas(
+        _score,
+        schema="user_id int, rnk int, item_id int, score double, certified boolean",
     )

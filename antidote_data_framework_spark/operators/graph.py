@@ -137,9 +137,22 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .select(F.col("src").alias("node"), (F.lit(1.0) / F.lit(float(n))).alias("rank"))
     )
+    # Broadcast the rank state into each iteration: ranks is one row
+    # per NODE (20k rows ~ a few hundred KB) while e is one row per
+    # EDGE (2.39M); a shuffle join would move the big cached side
+    # three times.  With ranks broadcast the whole iteration is
+    # narrow until the per-dst reduce (map-side combined).  The
+    # localCheckpoint is load-bearing: a broadcast subtree runs as its
+    # own job BEFORE the consuming job, so broadcasting a lazy
+    # iteration-t plan would re-execute iterations 1..t-1 every round
+    # (quadratic); cutting lineage makes each iteration run exactly
+    # once.  At a node count too big to broadcast, pre-partition e by
+    # src once and co-partition ranks instead — same dataflow, one
+    # shuffle per iteration.
     for _ in range(_PR_ITERS):
+        ranks = ranks.localCheckpoint()
         ranks = (
-            e.join(ranks, e.src == ranks.node)
+            e.join(F.broadcast(ranks), e.src == ranks.node)
             .select(
                 F.col("dst"),
                 (F.col("rank") * F.col("p")).cast("decimal(28,12)").alias("contrib"),
@@ -331,9 +344,11 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # orient by (degree, id): u -> v iff (d_u, u) < (d_v, v)
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    # deg is per-node (small); broadcast it so the per-edge table is
+    # never shuffled just to look up endpoint degrees
     oriented = (
-        und.join(du, "u")
-        .join(dv, "v")
+        und.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
         .select(
             F.when(
                 (F.col("du") < F.col("dv"))

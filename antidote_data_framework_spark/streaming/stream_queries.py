@@ -124,17 +124,33 @@ def _stage_events(
     return path
 
 
+# Stateful operators keep one state-store instance PER shuffle
+# partition PER micro-batch; at the fixture's volume (<=1.2M rows in
+# ~10 micro-batches) 32 partitions are pure per-task/state overhead —
+# 8 cuts commit cost ~4x with identical results (hash partitioning by
+# key is semantics-free).  On a real cluster this is the knob sized to
+# state volume per partition, not to CPU count; it is pinned at the
+# FIRST run of a checkpoint, which here is fresh per query.
+_STREAM_SHUFFLE_PARTITIONS = "8"
+
+
 def _run_stream(agg: DataFrame, mode: str) -> str:
     sink = f"mem_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(sink)
-        .trigger(processingTime="0 seconds")
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    conf = agg.sparkSession.conf
+    prev = conf.get("spark.sql.shuffle.partitions")
+    conf.set("spark.sql.shuffle.partitions", _STREAM_SHUFFLE_PARTITIONS)
+    try:
+        q = (
+            agg.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(sink)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        conf.set("spark.sql.shuffle.partitions", prev)
     return sink
 
 
