@@ -202,13 +202,24 @@ def q_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cosine neighborhoods (without this, measured recall@5 vs the
     # exact search dropped to 0.2).
     raw = load_table(spark, sf_dir, "embeddings")
-    norm = F.sqrt(dot_product(F.col("embedding"), F.col("embedding")))
-    emb = raw.withColumn(
+    # materialize the norm BEFORE the per-element lambda — an
+    # unresolved expression captured by a higher-order function is
+    # re-evaluated per element, turning the normalize into dim x the
+    # full dot product per row — and cache the normalized vectors so
+    # the KMeans iterations do not re-read + re-normalize the parquet
+    # every pass (cleared between bench sweeps via clearCache).
+    normed = raw.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.sqrt(dot_product(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    emb = normed.withColumn(
         "features",
         array_to_vector(
-            F.transform(F.col("embedding"), lambda x: x.cast("double") / norm)
+            F.transform(F.col("embedding"), lambda x: x.cast("double") / F.col("nrm"))
         ),
-    )
+    ).cache()
     km = KMeans(k=16, seed=42, featuresCol="features", predictionCol="cluster")
     model = km.fit(emb)
     assigned = model.transform(emb)

@@ -266,3 +266,63 @@ def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_rows",
         )
     )
+
+
+@spark_query(
+    "q_reagg_partial",
+    oracle="""
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       o_orderpriority,
+       COUNT(*)                                            AS n_orders,
+       CAST(COUNT(DISTINCT strftime(o_orderdate, '%Y-%m-%d')) AS BIGINT)
+                                                           AS n_days_merged,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 2) AS DOUBLE)
+                                                           AS sum_price,
+       CAST(ROUND(MIN(o_totalprice), 2) AS DOUBLE)         AS min_price,
+       CAST(ROUND(MAX(o_totalprice), 2) AS DOUBLE)         AS max_price,
+       CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+                  / COUNT(*), 4) AS DOUBLE)                AS avg_price
+FROM orders
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def q_reagg_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregation from partial aggregates — the materialized-view
+    maintenance algebra: DAILY partials (count / decimal sum / min /
+    max per (day, priority)) roll up to MONTHLY figures WITHOUT
+    touching base rows again; avg derives from merged sum/count.
+
+    The oracle aggregates the base table directly — the hash match
+    verifies the re-aggregation law (sums of sums, mins of mins,
+    counts of counts, avg from merged partials) that every
+    incremental-rollup pipeline depends on.
+
+    Scale: this is the two-level pattern that keeps a 100 TB metrics
+    pipeline incremental — each day's partial is computed once from
+    that day's partition and is tiny (groups, not rows); the monthly
+    (or yearly) rollup reads ONLY partials.  Decimal partial sums make
+    the merge order-independent, so re-aggregation is exact."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
+        "o_orderpriority",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("s"),
+        F.min("o_totalprice").alias("mn"),
+        F.max("o_totalprice").alias("mx"),
+    )
+    monthly = daily.groupBy(
+        F.substring("day", 1, 7).alias("month"), "o_orderpriority"
+    ).agg(
+        F.sum("n").alias("n_orders"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days_merged"),
+        F.round(F.sum("s"), 2).cast("double").alias("sum_price"),
+        F.round(F.min("mn"), 2).cast("double").alias("min_price"),
+        F.round(F.max("mx"), 2).cast("double").alias("max_price"),
+        F.round(F.sum("s").cast("double") / F.sum("n"), 4)
+        .cast("double")
+        .alias("avg_price"),
+    )
+    return monthly.orderBy("month", "o_orderpriority")

@@ -152,3 +152,55 @@ def q_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@spark_query("q_decontaminate_bloom", oracle=None)
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination with a Bloom prefilter — the composed
+    form of q_decontaminate_overlap x q_bloom_join_prune: the distinct
+    eval-slice 5-grams build a Bloom filter; every TRAINING shingle is
+    probed locally and almost all die BEFORE the join shuffle; the
+    exact equi-join against the eval-gram set then kills the false
+    positives, so the output is IDENTICAL to the exact operator (the
+    registration below installs the exact operator's oracle SQL, and
+    the hash check verifies the composition law).
+
+    This is the shape that matters at 100 TB: training shingles are
+    ~the corpus size, the benchmark-gram set is megabytes — a 16 KiB
+    broadcast bit array drops the shuffle volume to the contaminated
+    sliver.  (Spark's runtime bloom-join rewrite would have to see
+    through the distinct + self-derived eval set to do this
+    automatically; composing it explicitly makes the pruning
+    unconditional.)"""
+    from .textstats import five_grams
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = five_grams(docs)
+    eval_grams = grams.filter(F.col("doc_id") % 20 == 0).select("gram").distinct()
+    bloom = bloom_build(eval_grams, "gram")
+    train_grams = grams.filter(F.col("doc_id") % 20 != 0)
+    cand = (
+        train_grams.crossJoin(F.broadcast(bloom))
+        .filter(bloom_might_contain("bloom", "gram"))
+        .drop("bloom")
+    )
+    return (
+        cand.join(eval_grams, "gram")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("n_shared_grams"))
+        .select(
+            "doc_id",
+            "n_shared_grams",
+            (F.col("n_shared_grams") >= 3).alias("contaminated"),
+        )
+    )
+
+
+# install the exact operator's oracle: the bloom pass is a pure
+# execution-strategy change, so the results must hash-match it.
+# (import textstats first — this module sorts before it in the package
+# import list, so its oracle may not be registered yet)
+from . import textstats as _textstats  # noqa: E402
+from ..registry import ORACLE_SQL as _OSQL  # noqa: E402
+
+_OSQL["q_decontaminate_bloom"] = _OSQL["q_decontaminate_overlap"]

@@ -372,3 +372,121 @@ def q_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@spark_query(
+    "q_sample_weighted",
+    oracle="""
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+         ((doc_id * 2654435761) % 1000003 + 0.5) / 1000003.0 AS u,
+         LN(((doc_id * 2654435761) % 1000003 + 0.5) / 1000003.0)
+           / n_chars AS priority
+  FROM documents
+  WHERE n_chars > 0
+)
+SELECT doc_id, source, n_chars,
+       CAST(ROUND(priority, 10) AS DOUBLE) AS priority
+FROM keyed
+ORDER BY priority DESC, doc_id
+LIMIT 200
+""",
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis
+    A-ES): draw 200 documents with inclusion probability proportional
+    to length, in ONE distributed pass — the quality-/length-weighted
+    subsampling step of corpus curation.
+
+    Each row gets priority ln(u)/w for a uniform u; the top-k by
+    priority IS an exact weighted sample without replacement (the
+    classic exponential-jumps result, log form of u^(1/w)).  u is
+    derived from doc_id by modular arithmetic (the repo's
+    deterministic-randomness rule — identical in any engine, unlike
+    rand()), so the sample is reproducible and oracle-checkable.
+
+    Scale: a bounded top-k (TakeOrderedAndProject — per-partition
+    heaps, no global sort) over a map-only priority expression; this
+    is how you draw a 10M-doc sample from a 10B-doc corpus without a
+    shuffle of the corpus."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = ((F.col("doc_id") * F.lit(2654435761)) % 1000003 + 0.5) / 1000003.0
+    priority = F.log(u) / F.col("n_chars")
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.round(priority, 10).cast("double").alias("priority"),
+        )
+        .orderBy(F.desc("priority"), F.asc("doc_id"))
+        .limit(200)
+    )
+
+
+@spark_query(
+    "q_pack_sequences",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+packed AS (
+  SELECT source, doc_id, n_tokens,
+         CAST(FLOOR(
+           (SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            ) / 512.0) AS BIGINT) AS seq_id
+  FROM toks
+)
+SELECT source, COALESCE(seq_id, 0) AS seq_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(ROUND(CAST(SUM(n_tokens) AS DOUBLE) / 512.0, 6) AS DOUBLE)
+         AS fill_ratio
+FROM packed
+GROUP BY source, COALESCE(seq_id, 0)
+ORDER BY source, seq_id
+""",
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing: assign documents (in deterministic
+    doc_id order, per source shard) to 512-token packed sequences by
+    quantizing the running token count — the budget-quantized packing
+    used to batch variable-length documents into fixed-length
+    pretraining rows (documents may spill across a boundary; the
+    spilled tail starts the next sequence, which is what BOS/EOS
+    separators handle downstream).
+
+    One window (per-source running sum) + one aggregate.  Packing at
+    100 TB parallelizes by shard exactly like this: the window
+    partitions by source, so no global order is ever required — and
+    the running sum is the same prefix-scan a greedy packer needs, so
+    the layout is reproducible from the data alone (no stateful
+    packer process)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = toks.withColumn(
+        "seq_id",
+        F.coalesce(
+            F.floor(F.sum("n_tokens").over(w) / 512.0), F.lit(0)
+        ).cast("bigint"),
+    )
+    return (
+        packed.groupBy("source", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.round(F.sum("n_tokens").cast("double") / 512.0, 6)
+            .cast("double")
+            .alias("fill_ratio"),
+        )
+        .orderBy("source", "seq_id")
+    )

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.hints import broadcast_bounded
 from ..registry import spark_query
 from ..sources import load_table
 
@@ -137,22 +138,21 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .select(F.col("src").alias("node"), (F.lit(1.0) / F.lit(float(n))).alias("rank"))
     )
-    # Broadcast the rank state into each iteration: ranks is one row
-    # per NODE (20k rows ~ a few hundred KB) while e is one row per
-    # EDGE (2.39M); a shuffle join would move the big cached side
-    # three times.  With ranks broadcast the whole iteration is
-    # narrow until the per-dst reduce (map-side combined).  The
-    # localCheckpoint is load-bearing: a broadcast subtree runs as its
-    # own job BEFORE the consuming job, so broadcasting a lazy
-    # iteration-t plan would re-execute iterations 1..t-1 every round
-    # (quadratic); cutting lineage makes each iteration run exactly
-    # once.  At a node count too big to broadcast, pre-partition e by
-    # src once and co-partition ranks instead — same dataflow, one
-    # shuffle per iteration.
+    # Rank state is one row per NODE (20k at sf0.1) while e is one row
+    # per EDGE (2.39M); broadcast_bounded ships the rank state to every
+    # executor while its MEASURED count (n) stays bounded, so each
+    # iteration is narrow until the per-dst reduce (map-side combined)
+    # — and degrades to a per-iteration shuffle join, never an OOM,
+    # when nodes outgrow the broadcast budget.  The localCheckpoint is
+    # load-bearing: a broadcast subtree runs as its own job BEFORE the
+    # consuming job, so broadcasting a lazy iteration-t plan would
+    # re-execute iterations 1..t-1 every round (quadratic); cutting
+    # lineage makes each iteration run exactly once.
     for _ in range(_PR_ITERS):
         ranks = ranks.localCheckpoint()
+        ranks_side = broadcast_bounded(ranks, n)
         ranks = (
-            e.join(F.broadcast(ranks), e.src == ranks.node)
+            e.join(ranks_side, e.src == ranks.node)
             .select(
                 F.col("dst"),
                 (F.col("rank") * F.col("p")).cast("decimal(28,12)").alias("contrib"),
@@ -344,11 +344,14 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # orient by (degree, id): u -> v iff (d_u, u) < (d_v, v)
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
-    # deg is per-node (small); broadcast it so the per-edge table is
-    # never shuffled just to look up endpoint degrees
+    # deg is per-node; ship it broadcast while the node count (bounded
+    # by the part catalog, measured cheaply from parquet stats) allows,
+    # so the per-edge table is never shuffled just to look up endpoint
+    # degrees
+    n_parts = load_table(spark, sf_dir, "part").count()
     oriented = (
-        und.join(F.broadcast(du), "u")
-        .join(F.broadcast(dv), "v")
+        und.join(broadcast_bounded(du, n_parts), "u")
+        .join(broadcast_bounded(dv, n_parts), "v")
         .select(
             F.when(
                 (F.col("du") < F.col("dv"))

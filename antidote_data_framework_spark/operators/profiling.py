@@ -292,9 +292,11 @@ def q_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_orderkey").alias("ndv"),
         F.count("o_orderstatus").alias("nonnull_comment"),
     )
+    # no broadcast hint: customer is SF-proportional, so the FK check
+    # must stay a shuffle (or AQE-chosen) anti join to be scale-safe
     orphan = (
         orders.join(
-            F.broadcast(cust.select("c_custkey")),
+            cust.select("c_custkey"),
             orders.o_custkey == F.col("c_custkey"),
             "left_anti",
         ).agg(F.count(F.lit(1)).alias("n_orphan"))

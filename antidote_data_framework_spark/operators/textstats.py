@@ -349,21 +349,26 @@ def q_corpus_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     min() to cut shuffle width ~4x (kept as plain text here for oracle
     parity)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    n = F.size(toks)
+    # split() is materialized as a column BEFORE the transform: an
+    # unresolved expression referenced inside a higher-order-function
+    # lambda is re-evaluated per element (split-per-token — measured
+    # 4.5x slower at sf0.1)
+    base = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= 4
+    )
+    t = F.col("t")
     grams = F.transform(
-        F.sequence(F.lit(1), n - 3),
+        F.sequence(F.lit(1), F.size(t) - 3),
         lambda i: F.concat_ws(
             " ",
-            F.element_at(toks, i),
-            F.element_at(toks, i + 1),
-            F.element_at(toks, i + 2),
-            F.element_at(toks, i + 3),
+            F.element_at(t, i),
+            F.element_at(t, i + 1),
+            F.element_at(t, i + 2),
+            F.element_at(t, i + 3),
         ),
     )
     return (
-        docs.filter(n >= 4)
-        .select("doc_id", F.explode(grams).alias("gram"))
+        base.select("doc_id", F.explode(grams).alias("gram"))
         .groupBy("gram")
         .agg(
             F.countDistinct("doc_id").alias("n_docs"),
@@ -407,19 +412,7 @@ def q_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct hits per training doc.  At 100 TB the eval-gram set
     broadcasts (benchmarks are megabytes) so the join is shuffle-free
     on the training side; here it is left to the planner."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    n = F.size(toks)
-    grams_col = F.transform(
-        F.sequence(F.lit(1), n - 4),
-        lambda i: F.concat_ws(
-            " ",
-            *[F.element_at(toks, i + j) for j in range(5)],
-        ),
-    )
-    grams = docs.filter(n >= 5).select(
-        "doc_id", F.explode(grams_col).alias("gram")
-    )
+    grams = five_grams(load_table(spark, sf_dir, "documents"))
     eval_grams = (
         grams.filter(F.col("doc_id") % 20 == 0).select("gram").distinct()
     )
@@ -586,3 +579,26 @@ def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             "achieved_share"
         ),
     )
+
+
+def five_grams(docs: DataFrame) -> DataFrame:
+    """(doc_id, gram) for every 5-token shingle — shared by the exact
+    decontamination join and its bloom-prefiltered twin
+    (operators/bloom.py).
+
+    split() is materialized as a column BEFORE the transform: an
+    unresolved expression captured by a higher-order-function lambda is
+    re-evaluated per element (split-per-token — measured 4.5x slower
+    at sf0.1)."""
+    base = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= 5
+    )
+    t = F.col("t")
+    grams_col = F.transform(
+        F.sequence(F.lit(1), F.size(t) - 4),
+        lambda i: F.concat_ws(
+            " ",
+            *[F.element_at(t, i + j) for j in range(5)],
+        ),
+    )
+    return base.select("doc_id", F.explode(grams_col).alias("gram"))

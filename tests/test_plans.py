@@ -103,7 +103,9 @@ def test_no_forced_broadcast_of_sf_proportional_tables():
         r"F\.broadcast\(\s*("
         r"region|nation|n|cn|sn|r\.filter|"        # structural dims
         r"max_rev|avg_bal|mu|stats|qdf|q\b|query|centroids|"  # bounded scalars
-        r"total\b|candidates\b|m2\b|fence\b"  # 1-row threshold/max/fence aggs; MG sketch output (<= k x partitions)
+        r"total\b|candidates\b|m2\b|fence\b|"  # 1-row threshold/max/fence aggs; MG sketch output (<= k x partitions)
+        r"bloom\b|"  # 1-row bit-array map, bounded at m/64 entries by construction
+        r"df\) if n_rows"  # functions/hints.broadcast_bounded: stats-gated hint
         r")"
     )
     pkg = pathlib.Path(__file__).resolve().parent.parent / "antidote_data_framework_spark"
