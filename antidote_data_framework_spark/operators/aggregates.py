@@ -326,3 +326,35 @@ def q_reagg_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("avg_price"),
     )
     return monthly.orderBy("month", "o_orderpriority")
+
+
+@spark_query("q_reagg_hll_sketch")  # rows-only: sketch estimates are
+# engine-specific (Apache DataSketches HLL has no DuckDB twin); the
+# accuracy contract is test-enforced instead (tests/test_round5_ops.py
+# asserts <2% relative error vs the exact distinct at sf0.001)
+def q_reagg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-distinct re-aggregation via HyperLogLog sketch
+    MERGE — the sketch-algebra twin of q_reagg_partial: daily HLL
+    sketches of the customer set (per priority) merge into monthly
+    distinct-customer estimates WITHOUT re-reading base rows.
+
+    This mergeability is what makes approximate distinct usable in an
+    incremental 100 TB pipeline: exact COUNT(DISTINCT) partials do NOT
+    re-aggregate (distinct sets must be re-unioned from raw rows), but
+    HLL registers max-merge associatively — each day's partition is
+    sketched once (bytes per group), months/years/segments roll up
+    from sketches alone.  lgConfigK=14 -> ~0.5% typical error, 16 KiB
+    per sketch.  Emits both levels so the merge is visible: per-month
+    estimate + the count of daily sketches merged."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
+        "o_orderpriority",
+    ).agg(F.hll_sketch_agg("o_custkey", F.lit(14)).alias("sk"))
+    monthly = daily.groupBy(
+        F.substring("day", 1, 7).alias("month"), "o_orderpriority"
+    ).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_distinct_custs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_daily_sketches"),
+    )
+    return monthly.orderBy("month", "o_orderpriority")

@@ -225,3 +225,69 @@ def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 4).alias("cume"),
         F.ntile(10).over(w).alias("decile"),
     )
+
+
+@spark_query(
+    "q_skyline_pareto",
+    oracle="""
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST(ROUND(MIN(l_extendedprice), 2) AS DOUBLE) AS best_price,
+         CAST(ROUND(AVG(l_quantity), 4) AS DOUBLE) + 0.0 AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+),
+grp AS (
+  SELECT best_price, MAX(avg_qty) AS gq FROM per_part GROUP BY best_price
+),
+sweep AS (
+  SELECT best_price, gq,
+         MAX(gq) OVER (ORDER BY best_price
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m1
+  FROM grp
+)
+SELECT p.l_partkey, p.best_price, p.avg_qty
+FROM per_part p JOIN sweep s ON p.best_price = s.best_price
+WHERE NOT (COALESCE(s.m1, -1) >= p.avg_qty OR s.gq > p.avg_qty)
+ORDER BY p.best_price, p.l_partkey
+""",
+)
+def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-frontier) preference query: parts not dominated
+    on (cheapest observed price ASC, average order quantity DESC) — a
+    part survives iff no other part is at most as expensive AND moves
+    at least as much volume, with one strict inequality.  (Average
+    quantity, not max: TPC-H quantity caps at 50, which would collapse
+    the frontier to one point.)
+
+    Plan: the naive formulation is a quadratic NOT EXISTS self-join;
+    the 2-D skyline instead falls out of one SORT SWEEP — per-price
+    group maxima, a running max over strictly-cheaper groups (ROWS
+    frame over the grouped table, which sidesteps range-frame
+    semantics on float keys), then a per-part dominance test.  All
+    shuffles are by price group.
+
+    Scale: skyline is DISTRIBUTIVE — skyline(A ∪ B) =
+    skyline(skyline(A) ∪ skyline(B)) — so at 100 TB each partition
+    sweeps locally and only local survivors (typically a sliver) reach
+    the final sweep; the group-sweep here is that final pass.  The
+    oracle runs the identical sweep, so the hash match pins the
+    dominance semantics including price ties."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.round(F.min("l_extendedprice"), 2).cast("double").alias("best_price"),
+        (F.round(F.avg("l_quantity"), 4).cast("double") + F.lit(0.0)).alias(
+            "avg_qty"
+        ),
+    )
+    grp = per_part.groupBy("best_price").agg(F.max("avg_qty").alias("gq"))
+    w = Window.orderBy("best_price").rowsBetween(Window.unboundedPreceding, -1)
+    sweep = grp.withColumn("m1", F.max("gq").over(w))
+    dominated = (F.coalesce(F.col("m1"), F.lit(-1.0)) >= F.col("avg_qty")) | (
+        F.col("gq") > F.col("avg_qty")
+    )
+    return (
+        per_part.join(sweep, "best_price")
+        .filter(~dominated)
+        .select("l_partkey", "best_price", "avg_qty")
+        .orderBy("best_price", "l_partkey")
+    )

@@ -93,3 +93,28 @@ def test_constraint_audit_all_pass_on_clean_fixtures(spark):
     assert all(r.passed for r in rows), [
         (r.check_name, r.observed) for r in rows if not r.passed
     ]
+
+
+def test_hll_reagg_accuracy_vs_exact(spark):
+    from pyspark.sql import functions as F2
+
+    from antidote_data_framework_spark.registry import QUERIES
+
+    approx = {
+        (r.month, r.o_orderpriority): r.approx_distinct_custs
+        for r in QUERIES["q_reagg_hll_sketch"](spark, SF).collect()
+    }
+    orders = load_table(spark, SF, "orders")
+    exact = {
+        (r.month, r.o_orderpriority): r.n
+        for r in orders.groupBy(
+            F2.date_format("o_orderdate", "yyyy-MM").alias("month"),
+            "o_orderpriority",
+        )
+        .agg(F2.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, est in approx.items():
+        rel = abs(est - exact[k]) / max(1, exact[k])
+        assert rel < 0.02, f"{k}: HLL est {est} vs exact {exact[k]} ({rel:.3f})"
