@@ -31,6 +31,67 @@ MINHASH_BANDS = 16
 MINHASH_R = MINHASH_K // MINHASH_BANDS
 
 
+
+
+def _shingles_col():
+    """Distinct 2-shingle array over whitespace tokens of ``text``."""
+    toks = F.split("text", " ")
+    return F.array_distinct(
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    )
+
+
+def minhash_bands(docs: DataFrame, keep_shingles: bool = False) -> DataFrame:
+    """Banded MinHash signature table for ``docs(doc_id, text)``:
+    one row per (doc, band) with (doc_id, sig, band_id, band_key)
+    [+ shingles when ``keep_shingles``] — the persisted-index layout
+    an incremental dedup pipeline maintains (see q_dedup_incremental).
+    Pure JVM expressions; no fit step, no vocabulary state."""
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(F.col("shingles"), (lambda i: lambda s: F.xxhash64(s, F.lit(i)))(i))
+            )
+            for i in range(MINHASH_K)
+        ]
+    )
+    sigs = (
+        docs.withColumn("shingles", _shingles_col())
+        .filter(F.size("shingles") > 0)
+        .select(
+            "doc_id", sig.alias("sig"), *(["shingles"] if keep_shingles else [])
+        )
+    )
+    return sigs.select(
+        "doc_id",
+        "sig",
+        *(["shingles"] if keep_shingles else []),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band_id"),
+                        F.xxhash64(
+                            *[F.col("sig")[k * MINHASH_R + j] for j in range(MINHASH_R)]
+                        ).alias("band_key"),
+                    )
+                    for k in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select(
+        "doc_id",
+        "sig",
+        *(["shingles"] if keep_shingles else []),
+        "band.band_id",
+        "band.band_key",
+    )
+
+
 @spark_query("q_minhash_lsh")  # rows-only: sketch-specific estimates
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded MinHash-LSH near-dup join — the scale path for
@@ -51,49 +112,11 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     regardless of document size, and there is no vocabulary or model
     state — every stage is embarrassingly parallel."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = F.split("text", " ")
-    shingles = F.array_distinct(
-        F.zip_with(
-            F.slice(toks, 1, F.size(toks) - 1),
-            F.slice(toks, 2, F.size(toks) - 1),
-            lambda a, b: F.concat(a, F.lit(" "), b),
-        )
-    )
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(F.col("shingles"), (lambda i: lambda s: F.xxhash64(s, F.lit(i)))(i))
-            )
-            for i in range(MINHASH_K)
-        ]
-    )
-    sigs = (
-        docs.withColumn("shingles", shingles)
-        .filter(F.size("shingles") > 0)
-        .select("doc_id", sig.alias("sig"))
-    )
-    bands = sigs.select(
-        "doc_id",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(k).alias("band_id"),
-                        F.xxhash64(
-                            *[F.col("sig")[k * MINHASH_R + j] for j in range(MINHASH_R)]
-                        ).alias("band_key"),
-                    )
-                    for k in range(MINHASH_BANDS)
-                ]
-            )
-        ).alias("band"),
-    ).select("doc_id", "sig", "band.band_id", "band.band_key")
     # Materialize the banded signature table ONCE (n_docs×bands small
     # rows): a lazy self-join recomputes the 64-minhash pipeline for
     # BOTH sides — the same double-cost the simhash operator had.  At
     # cluster scale this is a persisted signatures table.
-    bands = bands.localCheckpoint()
+    bands = minhash_bands(docs).localCheckpoint()
     a, b = bands.alias("a"), bands.alias("b")
     cands = (
         a.join(
@@ -244,4 +267,76 @@ def q_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.orderBy(F.desc("cos_raw"), F.asc("vec_id"))
         .select("vec_id", "label", F.round("cos_raw", 4).alias("cosine_sim"))
         .limit(5)
+    )
+
+
+@spark_query("q_dedup_incremental")  # rows-only: LSH recall < 1 by
+# design, so no SQL oracle; the recall gate vs the exact asymmetric
+# Jaccard join lives in tests/test_dedup_recall.py
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: a NEW batch of documents
+    (doc_id % 10 == 9 stands in for today's crawl) is checked against
+    the EXISTING corpus index (everything else) — the production flow
+    where dedup runs per ingest batch against a persisted MinHash
+    index, never as a full-corpus self-join.
+
+    Three stages, each strictly smaller than the last:
+    1. candidate generation — batch band rows equi-join the corpus
+       band table on (band_id, band_key): asymmetric, so the shuffle
+       is sized by the BATCH (the corpus side is a bucketed index
+       lookup at scale, here a checkpointed table);
+    2. sketch verify — signature-agreement estimate >= 0.5 prunes
+       band-collision noise using only the 64-long signatures;
+    3. exact verify — true shingle-set Jaccard (array_intersect on
+       the two shingle arrays, carried only for survivors) >= 0.6
+       confirms, so every emitted pair is a TRUE near-dup (approx
+       recall, exact precision — misses possible, false accepts not).
+
+    Emits (new_doc_id, dup_of_doc_id, jaccard): the batch rows an
+    ingest gate would reject, with their canonical existing twin."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    is_new = F.col("doc_id") % 10 == 9
+    corpus_idx = minhash_bands(docs.filter(~is_new), keep_shingles=True).localCheckpoint()
+    batch = minhash_bands(docs.filter(is_new), keep_shingles=True).localCheckpoint()
+    cands = (
+        batch.alias("n")
+        .join(
+            corpus_idx.alias("c"),
+            (F.col("n.band_id") == F.col("c.band_id"))
+            & (F.col("n.band_key") == F.col("c.band_key")),
+        )
+        .select(
+            F.col("n.doc_id").alias("new_doc_id"),
+            F.col("c.doc_id").alias("dup_of_doc_id"),
+            F.col("n.sig").alias("sig_n"),
+            F.col("c.sig").alias("sig_c"),
+            F.col("n.shingles").alias("sh_n"),
+            F.col("c.shingles").alias("sh_c"),
+        )
+        .distinct()
+    )
+    est = (
+        F.aggregate(
+            F.zip_with(
+                F.col("sig_n"),
+                F.col("sig_c"),
+                lambda x, y: F.when(x == y, 1).otherwise(0),
+            ),
+            F.lit(0),
+            lambda acc, m: acc + m,
+        )
+        / F.lit(MINHASH_K)
+    )
+    n_common = F.size(F.array_intersect("sh_n", "sh_c"))
+    exact_jac = n_common / (F.size("sh_n") + F.size("sh_c") - n_common)
+    return (
+        cands.filter(est >= 0.5)
+        .withColumn("jaccard", exact_jac)
+        .filter(F.col("jaccard") >= 0.6)
+        .select(
+            "new_doc_id",
+            "dup_of_doc_id",
+            F.round("jaccard", 4).alias("jaccard"),
+        )
+        .orderBy("new_doc_id", "dup_of_doc_id")
     )

@@ -53,3 +53,36 @@ def test_minhash_matches_exact_shingle_jaccard(spark, duck, sf_dir):
     if strong:
         recall = len(found & strong) / len(strong)
         assert recall >= 0.8, f"recall@0.7 = {recall:.2f} over {len(strong)} strong pairs"
+
+
+def test_incremental_dedup_exact_precision_and_recall(spark, duck, sf_dir):
+    """q_dedup_incremental: every emitted pair must EQUAL the exact
+    asymmetric Jaccard (precision is exact by construction — stage 3
+    verifies with true shingle sets), and the strong (>= 0.7) exact
+    new-vs-corpus pairs must be recovered with high recall."""
+    exact = {
+        (int(r[0]), int(r[1])): float(r[2])
+        for r in duck.execute(EXACT_SHINGLE_JACCARD).fetchall()
+    }
+    # orient exact pairs as (new, corpus): new docs have doc_id%10==9
+    asym = {}
+    for (a, b), j in exact.items():
+        a_new, b_new = a % 10 == 9, b % 10 == 9
+        if a_new and not b_new:
+            asym[(a, b)] = j
+        elif b_new and not a_new:
+            asym[(b, a)] = j
+    got = {
+        (int(r["new_doc_id"]), int(r["dup_of_doc_id"])): float(r["jaccard"])
+        for r in QUERIES["q_dedup_incremental"](spark, sf_dir).collect()
+    }
+    # exact precision: every emitted pair is a true >= 0.6 near-dup
+    # with the true Jaccard value
+    for k, j in got.items():
+        assert k in asym, f"emitted non-pair {k}"
+        assert asym[k] >= 0.6
+        assert abs(asym[k] - j) < 1e-3
+    strong = {k for k, j in asym.items() if j >= 0.7}
+    if strong:
+        recall = len(strong & set(got)) / len(strong)
+        assert recall >= 0.8, f"strong-pair recall {recall:.2f}"

@@ -50,13 +50,17 @@ def test_bloom_no_false_negatives_and_real_pruning(spark):
 
 
 def test_triangle_count_matches_naive_enumeration(spark):
-    from antidote_data_framework_spark.operators.graph import _edges
-
+    li = load_table(spark, SF, "lineitem")
+    ea = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
+    eb = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
+    # same support>=2 edge rule as the operator
     und = (
-        _edges(spark, SF)
-        .filter(F.col("src") < F.col("dst"))
-        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
-        .distinct()
+        ea.join(eb, "k")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("u", "v")
         .cache()
     )
     e1 = und.select(F.col("u").alias("a"), F.col("v").alias("b"))
