@@ -69,22 +69,11 @@ w{t + 1} AS (
     return prelude + "," + ",".join(parts) + "\n" + final + "\nORDER BY iteration"
 
 
-@spark_query("q_bpe_merges", oracle=_bpe_oracle_sql())
-def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Learn the first 3 BPE merges of the corpus (see module
-    docstring).  Emits one row per iteration: the merged pair, the
-    fused symbol, and its weighted frequency.
-
-    The Spark loop mirrors the oracle's unrolled CTEs: the argmax pair
-    is a 1-row collect per iteration (driver state bounded by the
-    merge count, like the IVF centroid pull); the fuse is a map-only
-    string replace over the vocabulary table.  Pair counting explodes
-    each word's symbols once per iteration — vocabulary-sized work.
-
-    Consecutive-repeat semantics: ' l l l ' fuses greedily
-    left-to-right (one 'll' + lone 'l'), identical to replace() in
-    DuckDB — canonical BPE's count-then-merge-all-positions with the
-    same greedy order."""
+def _learn_bpe(spark: SparkSession, sf_dir: str):
+    """Run the merge-learning loop; returns (vocab, learned): vocab
+    (tok, r, c) carries each word's FINAL space-delimited symbol
+    string after all merges (cached — callers unpersist when done),
+    learned is the [(iteration, pair, merged, count)] list."""
     docs = load_table(spark, sf_dir, "documents")
     words = (
         docs.select(F.explode(F.split("text", " ")).alias("tok"))
@@ -92,6 +81,7 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
     )
     w = words.select(
+        "tok",
         F.concat(
             F.lit(" "),
             F.trim(F.regexp_replace("tok", "(.)", "$1 ")),
@@ -121,6 +111,7 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged = best["pair"].replace(" ", "")
         learned.append((t, best["pair"], merged, int(best["pc"])))
         w_next = w.select(
+            "tok",
             F.replace(
                 F.col("r"), F.lit(f" {best['pair']} "), F.lit(f" {merged} ")
             ).alias("r"),
@@ -132,7 +123,91 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         w_next.count()
         w.unpersist()
         w = w_next
-    w.unpersist()
+    return w, learned
+
+
+@spark_query("q_bpe_merges", oracle=_bpe_oracle_sql())
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first 3 BPE merges of the corpus (see module
+    docstring).  Emits one row per iteration: the merged pair, the
+    fused symbol, and its weighted frequency.
+
+    The Spark loop mirrors the oracle's unrolled CTEs: the argmax pair
+    is a 1-row collect per iteration (driver state bounded by the
+    merge count, like the IVF centroid pull); the fuse is a map-only
+    string replace over the vocabulary table.  Pair counting explodes
+    each word's symbols once per iteration — vocabulary-sized work.
+
+    Consecutive-repeat semantics: ' l l l ' fuses greedily
+    left-to-right (one 'll' + lone 'l'), identical to replace() in
+    DuckDB — canonical BPE's count-then-merge-all-positions with the
+    same greedy order."""
+    vocab, learned = _learn_bpe(spark, sf_dir)
+    vocab.unpersist()
     return spark.createDataFrame(
         learned, "iteration INT, pair STRING, merged STRING, pair_count BIGINT"
+    )
+
+
+def _bpe_encode_oracle_sql() -> str:
+    base = _bpe_oracle_sql()
+    # reuse the merge-learning CTE chain; drop its final SELECT and
+    # extend with the vocabulary-encode + per-doc rollup
+    cut = base.index("SELECT 0 AS iteration")
+    prelude = base[:cut].rstrip()
+    return (
+        prelude
+        + f"""
+, enc AS (
+  SELECT w.tok, len(string_split(trim(f.r), ' ')) AS n_sym
+  FROM w{_BPE_ITERS} f JOIN words w ON w.wid = f.wid
+),
+dtoks AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+)
+SELECT d.doc_id,
+       COUNT(*)                           AS n_tokens,
+       CAST(SUM(LENGTH(d.tok)) AS BIGINT) AS n_chars,
+       CAST(SUM(e.n_sym) AS BIGINT)       AS n_symbols,
+       CAST(ROUND(SUM(LENGTH(d.tok)) * 1.0 / SUM(e.n_sym), 6) AS DOUBLE)
+         AS compression
+FROM dtoks d JOIN enc e ON e.tok = d.tok
+GROUP BY d.doc_id
+ORDER BY d.doc_id
+"""
+    )
+
+
+@spark_query("q_bpe_encode", oracle=_bpe_encode_oracle_sql())
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode the corpus with the learned BPE merges — the consumer
+    side of q_bpe_merges, and the token-budget measurement an LLM
+    pipeline runs after vocabulary construction: per document, the
+    whitespace-token count, the pre-merge symbol count (= characters),
+    the post-merge symbol count, and the compression ratio.
+
+    The key structural point (same at 100 TB): documents are NEVER
+    re-tokenized symbol-by-symbol — the merge loop already produced
+    the encoded form of every VOCABULARY word, so encoding the corpus
+    is one join of exploded tokens against the vocabulary-sized encode
+    table plus a per-doc sum.  Corpus-sized work is one explode + one
+    aggregation; every merge-dependent computation stays
+    vocabulary-sized (at scale the encode table is broadcast — a
+    vocabulary is MBs at any corpus size)."""
+    vocab, _learned = _learn_bpe(spark, sf_dir)
+    enc = vocab.select("tok", F.size(F.split(F.trim("r"), " ")).alias("n_sym"))
+    docs = load_table(spark, sf_dir, "documents")
+    dtoks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    return (
+        dtoks.join(enc, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.length("tok")).cast("bigint").alias("n_chars"),
+            F.sum("n_sym").cast("bigint").alias("n_symbols"),
+            F.round(F.sum(F.length("tok")) * 1.0 / F.sum("n_sym"), 6)
+            .cast("double")
+            .alias("compression"),
+        )
+        .orderBy("doc_id")
     )
