@@ -124,3 +124,28 @@ def test_q22_anti_join_and_scalar_broadcast(spark, sf_dir):
     plan = physical_plan(QUERIES["q_tpch_q22_idle_custs"](spark, sf_dir))
     assert "LeftAnti" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_weighted_sample_is_take_ordered(spark, sf_dir):
+    """A-ES weighted sampling must be a bounded top-k (per-partition
+    heaps), never a global sort of the corpus."""
+    assert "TakeOrderedAndProject" in physical_plan(
+        QUERIES["q_sample_weighted"](spark, sf_dir)
+    )
+
+
+def test_bloom_prune_probes_before_join(spark, sf_dir):
+    """The Bloom probe (xxhash64 + bitwise mask) must appear as a
+    Filter in the fact scan stage, and the bit-array map must arrive
+    via broadcast — rows die BEFORE any join exchange."""
+    plan = physical_plan(QUERIES["q_bloom_join_prune"](spark, sf_dir))
+    assert "xxhash64" in plan
+    assert broadcast_join_count(QUERIES["q_bloom_join_prune"](spark, sf_dir)) >= 1
+
+
+def test_iterative_graph_state_broadcasts_when_bounded(spark, sf_dir):
+    """At test scale the measured node count is under the
+    broadcast_bounded limit, so the pagerank iteration join must be a
+    broadcast join (the shuffle fallback only engages beyond the
+    limit)."""
+    assert broadcast_join_count(QUERIES["q_graph_pagerank"](spark, sf_dir)) >= 1
