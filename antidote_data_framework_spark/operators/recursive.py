@@ -1,0 +1,65 @@
+"""Recursive-query surface (Spark 4 WITH RECURSIVE): multi-hop graph
+reachability as a recursive CTE — the fixpoint-query class (org
+charts, BOM explosions, transitive closure) that previously needed a
+driver loop (q_dedup_components, q_graph_pagerank unroll) now runs as
+ONE declarative statement that Catalyst executes iteratively.
+
+The SAME SQL text runs on Spark and on the DuckDB oracle (both
+implement standard linear recursion with UNION ALL), so the whole
+recursive execution hash-matches — the strongest possible check for a
+brand-new engine feature.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..registry import spark_query
+from .reshape import register_views
+
+# BFS over the supported co-purchase graph (same support>=2 edge rule
+# as q_graph_triangles) from the smallest part id: per reachable node
+# within 3 hops, the hop distance and the number of distinct walks.
+_RECURSIVE_BFS = """
+WITH RECURSIVE und AS (
+  SELECT LEAST(a.l_partkey, b.l_partkey) AS u,
+         GREATEST(a.l_partkey, b.l_partkey) AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+),
+seed AS (SELECT MIN(u) AS s FROM und),
+reach(node, lvl) AS (
+  SELECT s, 0 FROM seed
+  UNION ALL
+  SELECT CASE WHEN e.u = r.node THEN e.v ELSE e.u END, r.lvl + 1
+  FROM reach r JOIN und e ON e.u = r.node OR e.v = r.node
+  WHERE r.lvl < 3
+)
+SELECT node,
+       CAST(MIN(lvl) AS BIGINT) AS hops,
+       CAST(COUNT(*) AS BIGINT) AS n_walks
+FROM reach
+GROUP BY node
+ORDER BY hops, node
+"""
+
+
+@spark_query("q_recursive_bfs", oracle=_RECURSIVE_BFS)
+def q_recursive_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-hop BFS reachability from the smallest part in the supported
+    co-purchase graph, written as a recursive CTE and executed by
+    Spark 4's WITH RECURSIVE — hop distance = MIN(level) over all
+    enumerated walks, walk count as the recursion's work witness.
+
+    Scale shape: each recursion step is one join of the frontier
+    against the edge table — the same per-iteration dataflow as the
+    driver-loop operators (q_dedup_components), but planned and
+    iterated inside the engine, so frontier re-distribution, reuse,
+    and stop conditions live in one place.  Depth is bounded (lvl<3)
+    — unbounded walk enumeration on a cyclic graph diverges; a
+    production closure uses the distinct-frontier (UNION) form or the
+    driver-loop label propagation the engine also ships."""
+    register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_BFS)

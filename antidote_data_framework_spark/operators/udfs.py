@@ -162,3 +162,44 @@ def q_cogroup_align(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@spark_query("q_udtf_chunker")  # rows-only: Python table function
+# (Arrow-batched UDTF) — capability surface like q_udf_surface; the
+# JVM twin of the same chunking IS SQL-oracled (q_text_chunk)
+def q_udtf_chunker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python user-defined TABLE function (Spark 4 ``@udtf``): a
+    row-expanding chunker invoked with LATERAL — each document emits
+    one row per 32-token chunk.  Completes the engine's Python
+    boundary inventory (scalar UDF / pandas UDF / grouped agg /
+    mapInPandas / cogroup / UDTF): a UDTF is the right boundary when
+    Python must yield a VARIABLE number of rows per input with its
+    own schema, e.g. parser-exploders, segmenters, decoders.
+
+    Scale posture: same as every Python boundary — Arrow-batched,
+    embarrassingly parallel per partition, no shuffle introduced; the
+    declarative twin (q_text_chunk) stays the hot path, the UDTF is
+    for logic Spark expressions cannot state.  The output is
+    deterministic (pure function of each row), so the rows-only golden
+    pins schema and row floor."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx: int, n_tokens: int, first_tok: string")
+    class Chunker:
+        def eval(self, text: str):
+            toks = text.split(" ")
+            for i in range(0, len(toks), 32):
+                chunk = toks[i : i + 32]
+                yield (i // 32, len(chunk), chunk[0])
+
+    spark.udtf.register("doc_chunker", Chunker)
+    from .reshape import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.n_tokens, c.first_tok
+        FROM documents d, LATERAL doc_chunker(d.text) c
+        ORDER BY d.doc_id, c.chunk_idx
+        """
+    )
