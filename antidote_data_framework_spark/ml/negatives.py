@@ -1,0 +1,88 @@
+"""Deterministic negative sampling for implicit-feedback training —
+the data-prep step every recommender / contrastive-learning pipeline
+needs: for each observed (user, item) positive, draw K unobserved
+items as negatives.
+
+Engine-portable by construction: candidates come from a
+multiplicative-hash scramble (the same Knuth-constant trick as the
+stratified sampler, curation.py), not an RNG, so ANY engine —
+Spark, DuckDB, a future backfill job — regenerates the identical
+negative set.  Observed pairs are removed with an anti-join (never a
+driver-side set), so the plan is: distinct → explode(K) → hash →
+anti-join → distinct, all shuffle-on-user_id co-partitioned work.
+
+At 100 TB: |positives|·K candidate rows is the only expansion (K=3);
+the anti-join shuffles on (user_id, item) — same key as the positives
+dedup, so AQE reuses the exchange.  Hash-overflow headroom is
+documented inline (user_id is reduced mod 2^31 first; 2^31·Knuth ≈
+5.7e18 < 2^63).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import spark_query
+from ..sources import load_table
+from .recsys_data import RATINGS_CTE, ratings_df
+
+_KNUTH = 2654435761
+
+
+@spark_query(
+    "q_negative_sampling",
+    oracle=f"""
+WITH {RATINGS_CTE.strip()},
+pos AS (SELECT DISTINCT user_id, item_id FROM ratings),
+np AS (SELECT MAX(p_partkey) + 1 AS n_items FROM part),
+ks AS (SELECT 0 AS k UNION ALL SELECT 1 UNION ALL SELECT 2),
+cand AS (
+  SELECT pos.user_id,
+         ((pos.user_id % 2147483647) * {_KNUTH}
+          + pos.item_id * 97003 + ks.k * 1000003) % np.n_items AS neg_item
+  FROM pos CROSS JOIN np CROSS JOIN ks
+)
+SELECT DISTINCT c.user_id, c.neg_item
+FROM cand c
+WHERE NOT EXISTS (
+  SELECT 1 FROM pos p
+  WHERE p.user_id = c.user_id AND p.item_id = c.neg_item
+)
+""",
+)
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K=3 deterministic negatives per positive pair, minus anything
+    the user actually interacted with (anti-join), deduplicated.
+    Downstream training unions these (label 0) with the positives
+    (label 1) — emitted as bare pairs so the consumer picks labels."""
+    pos = ratings_df(spark, sf_dir).select("user_id", "item_id").distinct()
+    n_items = (
+        load_table(spark, sf_dir, "part")
+        .agg((F.max("p_partkey") + 1).alias("n_items"))
+    )
+    cand = (
+        pos.crossJoin(F.broadcast(n_items))
+        .withColumn("k", F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))))
+        .select(
+            "user_id",
+            (
+                (
+                    (F.col("user_id") % 2147483647) * F.lit(_KNUTH)
+                    + F.col("item_id") * 97003
+                    + F.col("k") * 1000003
+                )
+                % F.col("n_items")
+            ).alias("neg_item"),
+        )
+    )
+    return (
+        cand.alias("c")
+        .join(
+            pos.alias("p"),
+            (F.col("c.user_id") == F.col("p.user_id"))
+            & (F.col("c.neg_item") == F.col("p.item_id")),
+            "left_anti",
+        )
+        .distinct()
+    )

@@ -490,3 +490,61 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "seq_id")
     )
+
+
+@spark_query(
+    "q_vocab_coverage",
+    oracle="""
+WITH toks AS (
+  SELECT source, UNNEST(string_split(text, ' ')) AS tok FROM documents
+),
+vocab AS (
+  SELECT tok FROM toks GROUP BY tok
+  ORDER BY COUNT(*) DESC, tok LIMIT 1000
+)
+SELECT t.source,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       ROUND(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 6) AS oov_rate
+FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+GROUP BY t.source
+""",
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage audit: per source, the fraction
+    of corpus tokens OUTSIDE the top-1000 global vocabulary (the
+    out-of-vocabulary rate a fixed-vocab tokenizer would see) — the
+    go/no-go curation gate before committing a vocab size.
+
+    Scale shape: the vocabulary is a top-k over token counts — a
+    partial-aggregated groupBy + TakeOrdered bounded at 1000 rows, so
+    the coverage join is a BROADCAST hash join against the exploded
+    corpus; the only full shuffle is the token-count aggregation.
+    Ties at the vocabulary boundary break lexically (count DESC, tok
+    ASC) so the 1000-row cut is engine-identical.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("tok").asc())
+        .limit(1000)
+        .select("tok", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+            F.round(
+                F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("oov_rate"),
+        )
+    )
