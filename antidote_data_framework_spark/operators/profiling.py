@@ -334,3 +334,72 @@ def q_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("check_name", F.round("observed", 6).alias("observed"), "passed")
         .orderBy("check_name")
     )
+
+
+@spark_query(
+    "q_grouped_linreg",
+    oracle="""
+WITH pts AS (
+  SELECT p.p_brand,
+         CAST(l.l_quantity AS BIGINT)                    AS x,
+         CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT) AS y
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+s AS (
+  SELECT p_brand,
+         COUNT(*)   AS n,
+         SUM(x)     AS sx,
+         SUM(y)     AS sy,
+         SUM(x * y) AS sxy,
+         SUM(x * x) AS sxx
+  FROM pts GROUP BY p_brand
+)
+SELECT p_brand,
+       CAST(n AS BIGINT) AS n,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6)       AS slope_cents,
+       ROUND(CAST(sy * sxx - sx * sxy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 4)       AS intercept_cents
+FROM s
+""",
+)
+def q_grouped_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary-least-squares fit (price-vs-quantity slope
+    and intercept per brand) from the five closed-form moment sums —
+    the distributed way to run millions of tiny regressions: one
+    partial-aggregated groupBy, no per-group data movement, no ML
+    library.
+
+    Determinism: x is an integer and y integer cents, so every moment
+    sum is an exact integer; the normal-equation numerators and
+    denominators are computed in exact integer arithmetic (DuckDB
+    HUGEINT / Spark DECIMAL sums) and converted to double ONCE before
+    the division (exact-int → nearest double is engine-identical).
+    ``regr_slope``-style streaming-double accumulation would be
+    order-dependent across partitionings.  At much larger per-group
+    cardinalities the same sums just need wider decimals — the plan
+    is unchanged.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    pts = li.join(part, li.l_partkey == part.p_partkey).select(
+        "p_brand",
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("y"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = pts.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("y"))).alias("sy"),
+        F.sum(dec(F.col("x") * F.col("y"))).alias("sxy"),
+        F.sum(dec(F.col("x") * F.col("x"))).alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx"))
+    den = (n * sxx - sx * sx).cast("double")
+    return s.select(
+        "p_brand",
+        n.cast("long").alias("n"),
+        F.round((n * sxy - sx * sy).cast("double") / den, 6).alias("slope_cents"),
+        F.round((sy * sxx - sx * sxy).cast("double") / den, 4).alias("intercept_cents"),
+    )

@@ -93,3 +93,121 @@ def q_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             "filled_value",
         )
     )
+
+
+@spark_query(
+    "q_time_weighted_avg",
+    oracle="""
+WITH seq AS (
+  SELECT user_id,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS c,
+         epoch_us(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+           - epoch_us(ts) AS dt
+  FROM events
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT)       AS n_intervals,
+       CAST(SUM(dt) AS BIGINT)        AS span_micros,
+       ROUND(CAST(SUM(c * dt) AS DOUBLE) / CAST(SUM(dt) AS DOUBLE), 6)
+         AS twa_cents
+FROM seq
+WHERE dt IS NOT NULL
+GROUP BY user_id
+""",
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of a piecewise-constant signal: each
+    event's value holds until the user's next event, so the mean is
+    Σ value·Δt / Σ Δt — the correct aggregate for sampled gauges
+    (uniform AVG over-weights chatty periods).
+
+    Determinism: values are integer cents and Δt exact epoch
+    microseconds, so both weighted sums are exact integers; they're
+    accumulated in 128-bit (Spark DECIMAL(38,0) sum / DuckDB HUGEINT)
+    because Σ c·Δt ≈ 2.5e17 exceeds double's 2^53 integer range, then
+    converted once (exact-int → nearest double is engine-identical)
+    and divided.  Plan shape: one window shuffle on user_id (LEAD),
+    then a partial-aggregated groupBy on the same key — the exchange
+    is reused.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "user_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("c"),
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))).alias("dt"),
+    ).filter(F.col("dt").isNotNull())
+    return seq.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("dt").alias("span_micros"),
+        F.round(
+            F.sum((F.col("c") * F.col("dt")).cast("decimal(38,0)")).cast("double")
+            / F.sum("dt").cast("double"),
+            6,
+        ).alias("twa_cents"),
+    )
+
+
+@spark_query(
+    "q_feature_store_pit",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, ts, event_id, event_type,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS c,
+         LAST_VALUE(CASE WHEN event_type = 'view'
+                         THEN CAST(ROUND(value * 100, 0) AS BIGINT) END
+                    IGNORE NULLS) OVER w AS last_view_cents,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) OVER w
+           AS n_prior_clicks
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id,
+       CAST(ts AS TIMESTAMP)                    AS label_ts,
+       c                                        AS label_cents,
+       last_view_cents,
+       CAST(COALESCE(n_prior_clicks, 0) AS BIGINT) AS n_prior_clicks
+FROM seq
+WHERE event_type = 'purchase'
+""",
+)
+def q_feature_store_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct feature join (the feature-store primitive
+    that prevents label leakage): for every purchase label, the
+    latest STRICTLY-PRIOR view value and the count of strictly-prior
+    clicks — never anything at or after the label timestamp.
+
+    Implemented as ONE window pass over the unified event sequence
+    (frame = unbounded preceding .. 1 preceding) instead of N as-of
+    self-joins: at 100 TB that is a single shuffle on user_id and the
+    features stream out of the sort — the classic sort-merge PIT
+    plan.  Adding a feature is one more window expression, not
+    another join.
+    """
+    events = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = events.select(
+        "user_id",
+        "ts",
+        "event_type",
+        cents.alias("c"),
+        F.last(
+            F.when(F.col("event_type") == "view", cents), ignorenulls=True
+        ).over(w).alias("last_view_cents"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .over(w)
+        .alias("n_prior_clicks"),
+    )
+    return seq.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("label_ts"),
+        F.col("c").alias("label_cents"),
+        "last_view_cents",
+        F.coalesce("n_prior_clicks", F.lit(0)).cast("long").alias("n_prior_clicks"),
+    )
