@@ -410,3 +410,75 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("clustering_coeff"),
     )
+
+
+@spark_query(
+    "q_market_basket_lift",
+    oracle="""
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem
+),
+tot AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM items),
+freq AS (SELECT item, COUNT(*) AS c FROM items GROUP BY item),
+pairs AS (
+  SELECT a.item AS u, b.item AS v, COUNT(*) AS c_ab
+  FROM items a JOIN items b ON a.ok = b.ok AND a.item < b.item
+  GROUP BY a.item, b.item
+  HAVING COUNT(*) >= 3
+)
+SELECT p.u, p.v,
+       CAST(p.c_ab AS BIGINT) AS n_coorders,
+       ROUND(CAST(t.n_orders * p.c_ab AS DOUBLE)
+             / CAST(fu.c * fv.c AS DOUBLE), 6) AS lift
+FROM pairs p
+JOIN freq fu ON fu.item = p.u
+JOIN freq fv ON fv.item = p.v
+CROSS JOIN tot t
+ORDER BY lift DESC, p.u, p.v
+LIMIT 50
+""",
+)
+def q_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining: top-50 item pairs by lift
+    N·c(a,b) / (c(a)·c(b)) with min-support 3 co-orders — the
+    classic retail affinity query (and the same co-order pair build
+    as q_graph_triangles, which consumes the pairs structurally
+    instead of statistically).
+
+    Scale shape: the pair fan-out is per-order and bounded by basket
+    size (~7 lines), so the self-join explodes O(orders·basket²), not
+    O(items²); min-support prunes before the frequency joins, and the
+    final ranking is a bounded TakeOrdered(50).  Lift is an exact
+    integer rational converted to double once — identical in both
+    engines, so even the tie-broken top-50 cut hash-matches.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("item")).distinct()
+    total = items.agg(F.countDistinct("ok").alias("n_orders"))
+    freq = items.groupBy("item").agg(F.count(F.lit(1)).alias("c"))
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.item") < F.col("b.item")))
+        .groupBy(F.col("a.item").alias("u"), F.col("b.item").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= 3)
+    )
+    fu = freq.select(F.col("item").alias("u"), F.col("c").alias("cu"))
+    fv = freq.select(F.col("item").alias("v"), F.col("c").alias("cv"))
+    return (
+        pairs.join(fu, "u")
+        .join(fv, "v")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "u",
+            "v",
+            F.col("c_ab").cast("long").alias("n_coorders"),
+            F.round(
+                (F.col("n_orders") * F.col("c_ab")).cast("double")
+                / (F.col("cu") * F.col("cv")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "u", "v")
+        .limit(50)
+    )

@@ -218,3 +218,63 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("n_outliers"),
         )
     )
+
+
+@spark_query(
+    "q_event_diversity_gini",
+    oracle="""
+WITH counts AS (
+  SELECT user_id, event_type, COUNT(*) AS c
+  FROM events GROUP BY user_id, event_type
+),
+ranked AS (
+  SELECT user_id, event_type, c,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY c DESC, event_type) AS rn
+  FROM counts
+),
+s AS (
+  SELECT user_id, SUM(c) AS n, SUM(c * c) AS ssq
+  FROM counts GROUP BY user_id
+)
+SELECT s.user_id,
+       CAST(s.n AS BIGINT) AS n_events,
+       r.event_type        AS dominant_type,
+       ROUND(CAST(s.n * s.n - s.ssq AS DOUBLE)
+             / CAST(s.n * s.n AS DOUBLE), 6) AS gini_impurity
+FROM s JOIN ranked r ON r.user_id = s.user_id AND r.rn = 1
+""",
+)
+def q_event_diversity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-diversity score per user: Gini impurity of the
+    event-type distribution, 1 - Σ(c_i/n)² = (n² - Σc_i²)/n², plus
+    the dominant event type (ties broken lexically).
+
+    Gini is chosen over Shannon entropy DELIBERATELY: entropy needs
+    log(), which is only 1-ulp-accurate and library-dependent (Java
+    Math.log vs C libm CAN differ in the last bit — not
+    hash-matchable), while Gini is an exact integer rational in the
+    counts.  Same two-level aggregation shape either way: groupBy
+    (user, type) then groupBy user — both partial-aggregated."""
+    events = load_table(spark, sf_dir, "events")
+    counts = events.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("user_id").orderBy(F.col("c").desc(), F.col("event_type").asc())
+    dominant = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("dominant_type"))
+    )
+    s = counts.groupBy("user_id").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * F.col("c")).alias("ssq"),
+    )
+    return s.join(dominant, "user_id").select(
+        "user_id",
+        F.col("n").cast("long").alias("n_events"),
+        "dominant_type",
+        F.round(
+            (F.col("n") * F.col("n") - F.col("ssq")).cast("double")
+            / (F.col("n") * F.col("n")).cast("double"),
+            6,
+        ).alias("gini_impurity"),
+    )

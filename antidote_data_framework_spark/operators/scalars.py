@@ -276,3 +276,44 @@ def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count(F.lit(1)) - F.count("status_or_null")).alias("n_null"),
         )
     )
+
+
+@spark_query(
+    "q_json_variant",
+    oracle="""
+WITH ext AS (
+  SELECT event_type,
+         CAST(json_extract(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type,
+       k % 10                                   AS k_bucket,
+       CAST(COUNT(*) AS BIGINT)                 AS n,
+       CAST(SUM(k) AS BIGINT)                   AS sum_k,
+       CAST(MAX(k) AS BIGINT)                   AS max_k
+FROM ext
+WHERE k IS NOT NULL
+GROUP BY event_type, k % 10
+""",
+)
+def q_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics through Spark 4's VARIANT type:
+    ``parse_json`` once into the binary VARIANT encoding, then typed
+    ``variant_get`` extraction — unlike ``get_json_object``
+    (q_json_extract, string re-parse per access), VARIANT parses each
+    document ONCE and every later field access is a binary offset
+    lookup, which is the 100 TB posture for wide semi-structured
+    columns (and what Parquet variant shredding accelerates further).
+    The oracle reads the same field relationally, so the whole
+    VARIANT encode/decode path is hash-verified.
+    """
+    events = load_table(spark, sf_dir, "events")
+    ext = events.select(
+        "event_type",
+        F.expr("variant_get(parse_json(props), '$.k', 'bigint')").alias("k"),
+    ).filter(F.col("k").isNotNull())
+    return ext.groupBy("event_type", (F.col("k") % 10).alias("k_bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.max("k").alias("max_k"),
+    )

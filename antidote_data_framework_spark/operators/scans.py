@@ -205,3 +205,40 @@ def q_source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("epoch")
     )
+
+
+@spark_query("q_source_binaryfile")  # rows-only: filesystem source, no SQL twin
+def q_source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary ingestion via Spark's built-in ``binaryFile``
+    source — the entry point of every multimodal pipeline (stage raw
+    image/audio/doc bytes, then decode with mapInPandas as in
+    operators/multimodal.py).  Stages the first 20 documents as .bin
+    files, reads them back as (path, length, content), and verifies
+    bytes survive the round trip via a per-file xxhash64.
+
+    Scale notes: binaryFile lists files driver-side and packs them
+    into partitions by size (maxPartitionBytes), so millions of tiny
+    files need a manifest/compaction step first — the vectorized
+    path here is one file per row, whole-file; content is capped by
+    spark.sql.sources.binaryFile.maxLength (2 GB hard cap).
+    """
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 20)
+        .select("doc_id", "text")
+        .collect()  # 20 bounded rows — staging only, not the data path
+    )
+    stage = _scratch_dir("binaryfile_src")
+    os.makedirs(stage, exist_ok=True)
+    for r in docs:
+        with open(os.path.join(stage, f"doc_{r['doc_id']:05d}.bin"), "wb") as fh:
+            fh.write(r["text"].encode("utf-8"))
+    bf = spark.read.format("binaryFile").load(stage)
+    return (
+        bf.select(
+            F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+            F.col("length").cast("long").alias("n_bytes"),
+            F.xxhash64("content").alias("content_hash"),
+        )
+        .orderBy("file_name")
+    )

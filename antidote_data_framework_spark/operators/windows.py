@@ -291,3 +291,36 @@ def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_partkey", "best_price", "avg_qty")
         .orderBy("best_price", "l_partkey")
     )
+
+
+@spark_query(
+    "q_global_sort_range",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS total_cents
+FROM orders
+WHERE o_orderstatus = 'O'
+ORDER BY total_cents DESC, o_orderkey
+""",
+)
+def q_global_sort_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Globally-ordered full result (the export shape: write a
+    totally-ordered dataset, e.g. for sorted-run downstream
+    consumers).  ``orderBy`` without a LIMIT compiles to a
+    RANGE-partitioned exchange (sampled split points) + per-partition
+    sort — the scalable total order; the anti-pattern is
+    row_number-over-empty-window or coalesce(1), which serialize the
+    world into one task.  test_plans asserts the rangepartitioning
+    exchange.  Sort keys are exact integer cents so split-point
+    comparisons and the tie-break are engine-identical.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderstatus") == "O")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("total_cents"),
+        )
+        .orderBy(F.col("total_cents").desc(), "o_orderkey")
+    )

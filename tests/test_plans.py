@@ -150,3 +150,12 @@ def test_iterative_graph_state_broadcasts_when_bounded(spark, sf_dir):
     broadcast join (the shuffle fallback only engages beyond the
     limit)."""
     assert broadcast_join_count(QUERIES["q_graph_pagerank"](spark, sf_dir)) >= 1
+
+
+def test_global_sort_is_range_partitioned(spark, sf_dir):
+    """A full ORDER BY must compile to a range-partitioned exchange +
+    per-partition sort (the scalable total order), never a
+    single-partition global sort or a row_number-over-empty-window."""
+    plan = physical_plan(QUERIES["q_global_sort_range"](spark, sf_dir))
+    assert "rangepartitioning" in plan.lower()
+    assert "SinglePartition" not in plan
