@@ -304,3 +304,82 @@ def q_topk_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
+
+
+@spark_query(
+    "q_bias_shrinkage_rmse",
+    oracle=f"""
+WITH {RATINGS_CTE.strip()},
+train AS (SELECT * FROM ratings WHERE (user_id * 31 + item_id) % 10 < 8),
+test  AS (SELECT * FROM ratings WHERE (user_id * 31 + item_id) % 10 >= 8),
+mu AS (SELECT AVG(rating) AS mu FROM train),
+bu AS (SELECT user_id, AVG(rating - mu.mu) AS bu
+       FROM train CROSS JOIN mu GROUP BY user_id),
+bi2 AS (SELECT t.item_id,
+               SUM(t.rating - mu.mu - bu.bu) AS s,
+               COUNT(*) AS n_i
+        FROM train t JOIN bu ON t.user_id = bu.user_id CROSS JOIN mu
+        GROUP BY t.item_id),
+scored AS (
+  SELECT t.rating,
+         LEAST(5.0, GREATEST(1.0, mu.mu + COALESCE(bu.bu, 0)
+               + COALESCE(bi2.s / bi2.n_i, 0)))        AS p_raw,
+         LEAST(5.0, GREATEST(1.0, mu.mu + COALESCE(bu.bu, 0)
+               + COALESCE(bi2.s / (bi2.n_i + 25), 0))) AS p_shrunk
+  FROM test t CROSS JOIN mu
+  LEFT JOIN bu  ON t.user_id = bu.user_id
+  LEFT JOIN bi2 ON t.item_id = bi2.item_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+       ROUND(SQRT(AVG((p_raw - rating) * (p_raw - rating))), 4)       AS rmse_raw,
+       ROUND(SQRT(AVG((p_shrunk - rating) * (p_shrunk - rating))), 4) AS rmse_shrunk
+FROM scored
+""",
+)
+def q_bias_shrinkage_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regularized (James-Stein-style shrunk) item bias vs the raw
+    MLE, scored side by side: b_i = Σresid/(n_i+λ) pulls sparse
+    items toward zero (λ=25 pseudo-observations), the standard
+    hierarchical fix for the cold/sparse-item problem — the fewer
+    ratings an item has, the less its own residuals are trusted.
+
+    Same plan as the bias baseline with ONE extra aggregate column
+    (sum + count instead of avg) — shrinkage is free at any scale;
+    both model variants score in a single pass over the holdout.
+    """
+    r = ratings_df(spark, sf_dir)
+    train_flag = is_train(F.col("user_id"), F.col("item_id"))
+    train, test = r.filter(train_flag), r.filter(~train_flag)
+    mu = train.agg(F.avg("rating").alias("mu"))
+    bu = (
+        train.crossJoin(F.broadcast(mu))
+        .groupBy("user_id")
+        .agg(F.avg(F.col("rating") - F.col("mu")).alias("bu"))
+    )
+    bi2 = (
+        train.join(bu, "user_id")
+        .crossJoin(F.broadcast(mu))
+        .groupBy("item_id")
+        .agg(
+            F.sum(F.col("rating") - F.col("mu") - F.col("bu")).alias("s"),
+            F.count(F.lit(1)).alias("n_i"),
+        )
+    )
+    clip = lambda c: F.least(F.lit(5.0), F.greatest(F.lit(1.0), c))  # noqa: E731
+    base = F.col("mu") + F.coalesce("bu", F.lit(0.0))
+    scored = (
+        test.crossJoin(F.broadcast(mu))
+        .join(bu, "user_id", "left")
+        .join(bi2, "item_id", "left")
+        .withColumn("p_raw", clip(base + F.coalesce(F.col("s") / F.col("n_i"), F.lit(0.0))))
+        .withColumn(
+            "p_shrunk",
+            clip(base + F.coalesce(F.col("s") / (F.col("n_i") + 25), F.lit(0.0))),
+        )
+    )
+    err_r, err_s = F.col("p_raw") - F.col("rating"), F.col("p_shrunk") - F.col("rating")
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.round(F.sqrt(F.avg(err_r * err_r)), 4).alias("rmse_raw"),
+        F.round(F.sqrt(F.avg(err_s * err_s)), 4).alias("rmse_shrunk"),
+    )

@@ -336,3 +336,44 @@ def q_join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_peer_value"),
     )
+
+
+@spark_query(
+    "q_join_lateral_topk",
+    oracle="""
+SELECT n.n_name, t.c_custkey, t.bal_cents
+FROM nation n,
+LATERAL (
+  SELECT c_custkey, CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS bal_cents
+  FROM customer c WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY bal_cents DESC, c_custkey LIMIT 2
+) t
+""",
+)
+def q_join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join (SQL:1999 lateral derived table /
+    CROSS APPLY): per nation, the top-2 customers by account balance
+    — the IDENTICAL SQL text runs on Spark and the DuckDB oracle, so
+    the engine's lateral decorrelation is hash-verified end to end.
+
+    Catalyst DECORRELATES the lateral subquery: the per-outer-row
+    ORDER BY..LIMIT becomes a rank-over-partition + filter on a
+    single join — never an executed-per-row inner query (which is
+    what makes LATERAL safe at 100 TB: one shuffle, not |outer|
+    probes).  Balances are exact integer cents so the tie-broken
+    top-2 cut is engine-identical.
+    """
+    from ..sources.fixtures import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_custkey, t.bal_cents
+        FROM nation n,
+        LATERAL (
+          SELECT c_custkey, CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS bal_cents
+          FROM customer c WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY bal_cents DESC, c_custkey LIMIT 2
+        ) t
+        """
+    )

@@ -278,3 +278,50 @@ def q_event_diversity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini_impurity"),
     )
+
+
+@spark_query(
+    "q_period_over_period",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_diff('day', TIMESTAMP '2024-01-01', ts) AS BIGINT) AS day,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1
+)
+SELECT day, cents,
+       LAG(cents) OVER (ORDER BY day) AS prev_cents,
+       ROUND(CAST(cents - LAG(cents) OVER (ORDER BY day) AS DOUBLE)
+             / CAST(LAG(cents) OVER (ORDER BY day) AS DOUBLE), 6)
+         AS dod_growth
+FROM daily
+""",
+)
+def q_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day growth report: daily revenue (exact integer
+    cents), the prior day's value (LAG), and the growth ratio — the
+    standard reporting shape behind every metrics dashboard.
+
+    The unpartitioned LAG window runs over the DAILY AGGREGATE, whose
+    cardinality is |days| (bounded, thousands at most) — the full
+    shuffle happens in the partial-aggregated groupBy BEFORE the
+    window, so the single-partition window sees only the tiny rollup.
+    That ordering (aggregate first, then unpartitioned window) is the
+    scale rule; LAG over the raw fact table would serialize the
+    world.  Growth is exact-int cents → double division, identical in
+    both engines.
+    """
+    events = load_table(spark, sf_dir, "events")
+    anchor = F.lit("2024-01-01").cast("timestamp")
+    daily = events.groupBy(
+        F.datediff(F.col("ts"), anchor).cast("long").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"))
+    w = Window.orderBy("day")
+    prev = F.lag("cents").over(w)
+    return daily.select(
+        "day",
+        "cents",
+        prev.alias("prev_cents"),
+        F.round(
+            (F.col("cents") - prev).cast("double") / prev.cast("double"), 6
+        ).alias("dod_growth"),
+    )

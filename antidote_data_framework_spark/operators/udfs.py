@@ -203,3 +203,49 @@ def q_udtf_chunker(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY d.doc_id, c.chunk_idx
         """
     )
+
+
+@spark_query(
+    "q_sql_function_macro",
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(1 - l_discount AS DECIMAL(8,2))), 2) AS DOUBLE)
+         AS revenue
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_sql_function_macro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative SQL UDF (Spark 4 ``CREATE FUNCTION … RETURN expr``)
+    — the reusable-business-logic surface that does NOT leave the JVM:
+    unlike a Python UDF, a SQL function is inlined by the analyzer
+    into the calling plan, so the aggregate below whole-stage-codegens
+    exactly as if the expression were written inline (the oracle IS
+    the inlined form, so the hash-match proves the inlining is
+    semantics-preserving).  This is how shared metric definitions
+    (here: the engine-wide exact-decimal revenue rule from
+    functions/money.py) should ship at scale — catalog-registered SQL
+    macros, not opaque Python.
+    """
+    from ..sources.fixtures import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION disc_revenue(p DOUBLE, d DOUBLE)
+        RETURNS DECIMAL(23,4)
+        RETURN CAST(p AS DECIMAL(12,2)) * CAST(1 - d AS DECIMAL(8,2))
+        """
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(ROUND(SUM(disc_revenue(l_extendedprice, l_discount)), 2)
+                    AS DOUBLE) AS revenue
+        FROM lineitem
+        GROUP BY l_returnflag
+        """
+    )

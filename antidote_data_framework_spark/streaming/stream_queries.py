@@ -589,3 +589,58 @@ def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("freq"), F.asc("user_id"))
         .limit(15)
     )
+
+
+@spark_query("q_stream_pattern_match")  # rows-only: custom streaming state
+def q_stream_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_event_pattern_match: detect strictly-
+    consecutive view→click→purchase runs per user AS EVENTS ARRIVE,
+    carrying the last two event types across micro-batch boundaries in
+    explicit state — the part a batch window can't do incrementally
+    (a pattern split across two micro-batches still matches).
+
+    State per user is two strings + one counter — O(1) regardless of
+    stream length, the viable footprint at any key cardinality.  The
+    staged file source arrives in event-time order (see _stage_events)
+    and rows are totalized by (ts, event_id) within each batch, so the
+    stream sees the same sequence the batch window sorts — the
+    equivalence test (tests/test_streaming.py) asserts final per-user
+    match counts equal the batch operator's."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src = _stage_events(spark, sf_dir, n_files=4)
+    stream = (
+        spark.readStream.schema(_staged_schema(spark, src))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def detect(key, pdfs, state: GroupState):
+        e1, e2, n = state.get if state.exists else ("", "", 0)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts", "event_id"])
+        for et in batch["event_type"]:
+            if e1 == "view" and e2 == "click" and et == "purchase":
+                n += 1
+            e1, e2 = e2, et
+        state.update((e1, e2, n))
+        yield pd.DataFrame({"user_id": [key[0]], "n_matches": [n]})
+
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        detect,
+        outputStructType="user_id BIGINT, n_matches BIGINT",
+        stateStructType="e1 STRING, e2 STRING, n BIGINT",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = _run_stream(out, "update")
+    # update mode re-emits each user per micro-batch; the final state
+    # is the max counter.  Users with zero matches are dropped to
+    # mirror the batch operator's output domain.
+    latest = spark.table(sink)
+    return (
+        latest.groupBy("user_id")
+        .agg(F.max("n_matches").alias("n_matches"))
+        .filter(F.col("n_matches") > 0)
+    )

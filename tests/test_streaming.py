@@ -130,3 +130,19 @@ def test_stream_lakehouse_ingest_exactly_once(spark, sf_dir):
     assert row["exactly_once"] is True
     assert row["n_rows_ingested"] == row["n_source_rows"]
     assert row["n_commits"] >= 2  # one commit per micro-batch
+
+
+def test_stream_pattern_match_matches_batch_twin(spark, sf_dir):
+    """The stateful streaming pattern detector must converge to the
+    batch window operator's per-user match counts — including
+    patterns that straddle micro-batch boundaries (state carries the
+    last two event types across batches)."""
+    batch = {
+        r["user_id"]: r["n_matches"]
+        for r in QUERIES["q_event_pattern_match"](spark, sf_dir).collect()
+    }
+    streamed = {
+        r["user_id"]: r["n_matches"]
+        for r in QUERIES["q_stream_pattern_match"](spark, sf_dir).collect()
+    }
+    assert streamed == batch
