@@ -548,3 +548,64 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_rate"),
         )
     )
+
+
+@spark_query(
+    "q_curriculum_bands",
+    oracle="""
+WITH th AS (
+  SELECT quantile_cont(n_chars, 0.25) AS q1,
+         quantile_cont(n_chars, 0.50) AS q2,
+         quantile_cont(n_chars, 0.75) AS q3
+  FROM documents
+),
+banded AS (
+  SELECT d.n_chars,
+         CASE WHEN d.n_chars <= th.q1 THEN 1
+              WHEN d.n_chars <= th.q2 THEN 2
+              WHEN d.n_chars <= th.q3 THEN 3
+              ELSE 4 END AS band
+  FROM documents d CROSS JOIN th
+)
+SELECT band,
+       CAST(COUNT(*) AS BIGINT)  AS n_docs,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+       ROUND(AVG(n_chars), 4)    AS avg_chars
+FROM banded
+GROUP BY band
+""",
+)
+def q_curriculum_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning banding: documents split into 4 difficulty
+    bands at the length quartiles (shortest→easiest first is the
+    classic curriculum schedule), with per-band stats for the
+    training scheduler.
+
+    Deliberately NOT ``NTILE(4) OVER (ORDER BY ...)`` — a global
+    NTILE is a single-partition sort of the corpus.  Instead the
+    three quartile THRESHOLDS are computed (one aggregate, broadcast
+    as a 1-row frame) and band assignment is a codegen CASE — fully
+    distributed, and the thresholds are exact .0/.5 interpolated
+    values over integer lengths, so assignment is engine-identical.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    th = docs.agg(
+        F.expr("percentile(n_chars, 0.25D)").alias("q1"),
+        F.expr("percentile(n_chars, 0.50D)").alias("q2"),
+        F.expr("percentile(n_chars, 0.75D)").alias("q3"),
+    )
+    banded = docs.crossJoin(F.broadcast(th)).select(
+        "n_chars",
+        F.when(F.col("n_chars") <= F.col("q1"), 1)
+        .when(F.col("n_chars") <= F.col("q2"), 2)
+        .when(F.col("n_chars") <= F.col("q3"), 3)
+        .otherwise(4)
+        .alias("band"),
+    )
+    return banded.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )

@@ -377,3 +377,89 @@ def q_join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) t
         """
     )
+
+
+@spark_query(
+    "q_join_strategy_hints",
+    oracle="""
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+         AS total
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY o.o_orderpriority
+""",
+)
+def q_join_strategy_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit join-strategy control: the same logical join executed
+    under a SHUFFLE_HASH hint — the tool for overriding Catalyst when
+    statistics mislead it (e.g. a filtered build side it sizes by the
+    unfiltered table).  Hash-matching the plain-join oracle proves the
+    strategy hint changes ONLY the physical plan, never the result;
+    test_plans asserts the ShuffledHashJoin node actually appears.
+
+    When to reach for it at 100 TB: sort-merge (the default) spills
+    sorts for both sides; shuffle-hash builds an in-memory map of the
+    SMALLER side only — better when one side comfortably fits
+    per-partition memory but is too big to broadcast.
+    """
+    from ..sources.fixtures import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT /*+ SHUFFLE_HASH(c) */ o.o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+                 AS total
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment = 'BUILDING'
+        GROUP BY o.o_orderpriority
+        """
+    )
+
+
+@spark_query(
+    "q_map_literal_lookup",
+    oracle="""
+SELECT n.n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE)
+         AS total_balance
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+)
+def q_map_literal_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join elimination for tiny dimensions: the 25-row nation table
+    is collected once and compiled into a literal MAP expression, so
+    the "join" becomes a codegen map lookup INSIDE the fact scan
+    stage — no build side, no broadcast exchange, no join node at all
+    (test_plans asserts the plan is join-free).  The oracle is the
+    ordinary join, so the rewrite is proven semantics-preserving.
+
+    This is the pattern for enum-sized dimensions (status codes,
+    country names) at 100 TB: a broadcast join still hashes every
+    probe row against a relation; a literal map is a constant-folded
+    lookup.  Bounded BY CONSTRUCTION (nation is 25 rows; guard
+    refuses above 1000) — for anything bigger, broadcast joins.
+    """
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rows = nation.collect()  # 25 rows, structurally bounded
+    assert len(rows) <= 1000, "map-literal lookup is for enum-sized dims only"
+    kv: list = []
+    for r in rows:
+        kv.extend([F.lit(r["n_nationkey"]), F.lit(r["n_name"])])
+    lookup = F.create_map(*kv)
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.withColumn("n_name", lookup[F.col("c_nationkey")])
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("total_balance"),
+        )
+    )

@@ -403,3 +403,49 @@ def q_grouped_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((n * sxy - sx * sy).cast("double") / den, 6).alias("slope_cents"),
         F.round((sy * sxx - sx * sxy).cast("double") / den, 4).alias("intercept_cents"),
     )
+
+
+@spark_query(
+    "q_observe_inflight_metrics",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_large,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+         AS total
+FROM orders
+WHERE o_orderstatus <> 'F'
+""",
+)
+def q_observe_inflight_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-flight data-quality metrics via ``DataFrame.observe`` +
+    ``Observation``: the audit counters (row count, large-order
+    count, exact-decimal total) are accumulated WHILE the rows stream
+    through the scan — no second pass over the data, which is the
+    point at 100 TB (a separate audit query re-reads the table;
+    observe() piggybacks on work already flowing).  The rows are
+    driven through a `noop` sink (row-flow without driver
+    collection), and the observed metrics are returned as the result
+    — hash-matched against a direct SQL aggregation, proving the
+    observed values equal a dedicated audit pass.
+    """
+    from pyspark.sql import Observation
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "F")
+    obs = Observation("audit")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("o_totalprice") > 100000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_large"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(12,2)")), 2)
+        .cast("double")
+        .alias("total"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(int(m["n_rows"]), int(m["n_large"]), float(m["total"]))],
+        "n_rows BIGINT, n_large BIGINT, total DOUBLE",
+    )

@@ -324,3 +324,44 @@ def q_global_sort_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("total_cents").desc(), "o_orderkey")
     )
+
+
+@spark_query(
+    "q_window_time_range_frame",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) OVER w AS BIGINT)
+         AS cents_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+""",
+)
+def q_window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE frame: per user, the rolling 1-hour event
+    count and cents sum ending at each event — the sliding-window
+    feature every fraud/alerting pipeline computes (contrast
+    q_window_range_frame, whose RANGE frame is numeric).
+
+    The IDENTICAL SQL text runs on Spark and DuckDB (both implement
+    SQL-standard RANGE + INTERVAL frames over a timestamp ORDER BY),
+    so the frame-boundary semantics — inclusive [ts-1h, ts], peers
+    share frames — are hash-verified.  One window shuffle on
+    user_id; the frame is evaluated by a sliding aggregator over the
+    per-user sort, not a self-join.
+    """
+    from ..sources.fixtures import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT event_id, user_id,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+               CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) OVER w AS BIGINT)
+                 AS cents_1h
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        """
+    )

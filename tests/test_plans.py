@@ -105,7 +105,7 @@ def test_no_forced_broadcast_of_sf_proportional_tables():
         r"max_rev|avg_bal|mu|stats|qdf|q\b|query|centroids|"  # bounded scalars
         r"total\b|candidates\b|m2\b|fence\b|"  # 1-row threshold/max/fence aggs; MG sketch output (<= k x partitions)
         r"bloom\b|"  # 1-row bit-array map, bounded at m/64 entries by construction
-        r"med\b|mad\b|n_items\b|vocab\b|"  # patterns.py/negatives.py/curation.py: |event_type|=5-row percentile aggs, 1-row MAX, LIMIT-1000 vocab
+        r"med\b|mad\b|n_items\b|vocab\b|th\b|"  # patterns.py/negatives.py/curation.py: |event_type|=5-row percentile aggs, 1-row MAX, LIMIT-1000 vocab
         r"df\) if n_rows"  # functions/hints.broadcast_bounded: stats-gated hint
         r")"
     )
@@ -159,3 +159,18 @@ def test_global_sort_is_range_partitioned(spark, sf_dir):
     plan = physical_plan(QUERIES["q_global_sort_range"](spark, sf_dir))
     assert "rangepartitioning" in plan.lower()
     assert "SinglePartition" not in plan
+
+
+def test_join_hint_produces_shuffled_hash_join(spark, sf_dir):
+    """The SHUFFLE_HASH hint must be honored: the physical plan builds
+    a hash map from the hinted (filtered customer) side instead of
+    the default sort-merge."""
+    plan = physical_plan(QUERIES["q_join_strategy_hints"](spark, sf_dir))
+    assert "ShuffledHashJoin" in plan
+
+
+def test_map_literal_lookup_is_join_free(spark, sf_dir):
+    """The enum-dimension map-literal rewrite must contain NO join
+    node of any kind — the lookup compiles into the scan stage."""
+    plan = physical_plan(QUERIES["q_map_literal_lookup"](spark, sf_dir))
+    assert "Join" not in plan
