@@ -449,3 +449,144 @@ def q_observe_inflight_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(m["n_rows"]), int(m["n_large"]), float(m["total"]))],
         "n_rows BIGINT, n_large BIGINT, total DOUBLE",
     )
+
+
+@spark_query(
+    "q_chisq_independence",
+    oracle="""
+WITH obs AS (
+  SELECT o_orderpriority AS p, o_orderstatus AS s,
+         CAST(COUNT(*) AS BIGINT) AS o
+  FROM orders GROUP BY o_orderpriority, o_orderstatus
+),
+rt AS (SELECT p, CAST(SUM(o) AS BIGINT) AS rt FROM obs GROUP BY p),
+ct AS (SELECT s, CAST(SUM(o) AS BIGINT) AS ct FROM obs GROUP BY s),
+n  AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs),
+cells AS (
+  SELECT obs.o, rt.rt, ct.ct, n.n,
+         (rt.rt * 1.0 / n.n) * ct.ct AS expected
+  FROM obs JOIN rt ON obs.p = rt.p JOIN ct ON obs.s = ct.s CROSS JOIN n
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(((SELECT COUNT(*) FROM rt) - 1)
+            * ((SELECT COUNT(*) FROM ct) - 1) AS BIGINT) AS dof,
+       ROUND(SUM((o - expected) * (o - expected) / expected), 4) AS chi2
+FROM cells
+""",
+)
+def q_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between two categorical columns
+    (order priority x order status): the data-drift / feature-
+    association statistic every profiling suite ships.  chi2 =
+    SUM((obs - exp)^2 / exp) with exp = row_total * col_total / N.
+
+    Plan shape: ONE pass over the fact table builds the contingency
+    table (groupBy both keys); row totals, column totals, and N are
+    re-aggregations of that tiny (|p| x |s| = 15-cell) table — the
+    100 TB cost is exactly one shuffle of pre-aggregated partial
+    counts, everything downstream is constant-sized.
+
+    Determinism: counts exact; expected = (rt/N)*ct factored
+    identically in both engines (rt*ct would stay exact too, but the
+    ratio-first form keeps every intermediate < 2^53 at any SF); the
+    15-term sum is rounded to 4 dp.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    obs = (
+        orders.groupBy(
+            F.col("o_orderpriority").alias("p"), F.col("o_orderstatus").alias("s")
+        )
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    # row_tot / col_tot are re-aggregations of the |p| x |s| contingency
+    # table — bounded by category cardinality (5 and 3 rows), never by SF.
+    row_tot = obs.groupBy("p").agg(F.sum("o").alias("rt"))
+    col_tot = obs.groupBy("s").agg(F.sum("o").alias("ct"))
+    n = obs.agg(F.sum("o").alias("n"))
+    n_p = row_tot.count()
+    n_s = col_tot.count()
+    cells = (
+        obs.join(F.broadcast(row_tot), "p")
+        .join(F.broadcast(col_tot), "s")
+        .crossJoin(F.broadcast(n))
+        .withColumn("expected", (F.col("rt") * 1.0 / F.col("n")) * F.col("ct"))
+    )
+    return cells.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.lit((n_p - 1) * (n_s - 1)).cast("long").alias("dof"),
+        F.round(
+            F.sum(
+                (F.col("o") - F.col("expected"))
+                * (F.col("o") - F.col("expected"))
+                / F.col("expected")
+            ),
+            4,
+        ).alias("chi2"),
+    )
+
+
+@spark_query(
+    "q_ab_welch_ttest",
+    oracle="""
+WITH assigned AS (
+  SELECT user_id % 2 AS arm, value
+  FROM events WHERE event_type = 'purchase'
+),
+arms AS (
+  SELECT arm,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         AVG(value) AS mean,
+         VAR_SAMP(value) AS var
+  FROM assigned GROUP BY arm
+)
+SELECT a.n AS n_treat, b.n AS n_ctrl,
+       ROUND(a.mean, 4) AS mean_treat,
+       ROUND(b.mean, 4) AS mean_ctrl,
+       ROUND(a.mean - b.mean, 4) AS lift,
+       ROUND((a.mean - b.mean) / SQRT(a.var / a.n + b.var / b.n), 4)
+         AS t_stat
+FROM arms a JOIN arms b ON a.arm = 1 AND b.arm = 0
+""",
+)
+def q_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: deterministic hash-split of users into
+    two arms (user_id % 2 stands in for the assignment hash), then
+    per-arm purchase-value mean/variance and the Welch t-statistic
+    for the lift — the experimentation primitive on top of the
+    engine.
+
+    One filtered pass + one 2-group aggregation; the arm join is a
+    2x2 self-join of a 2-row frame.  At 100 TB: partial aggregation
+    makes the per-arm moments map-side; nothing downstream scales
+    with data.
+
+    Determinism: AVG/VAR_SAMP over identical double sets (order-of-
+    summation risk is the repo-standard round-4 guard, same as every
+    stats query); arm assignment is exact integer arithmetic.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    arms = (
+        ev.select((F.col("user_id") % 2).alias("arm"), "value")
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("value").alias("mean"),
+            F.var_samp("value").alias("var"),
+        )
+    )
+    a = arms.filter(F.col("arm") == 1).alias("a")
+    b = arms.filter(F.col("arm") == 0).alias("b")
+    return a.crossJoin(b).select(
+        F.col("a.n").alias("n_treat"),
+        F.col("b.n").alias("n_ctrl"),
+        F.round(F.col("a.mean"), 4).alias("mean_treat"),
+        F.round(F.col("b.mean"), 4).alias("mean_ctrl"),
+        F.round(F.col("a.mean") - F.col("b.mean"), 4).alias("lift"),
+        F.round(
+            (F.col("a.mean") - F.col("b.mean"))
+            / F.sqrt(F.col("a.var") / F.col("a.n") + F.col("b.var") / F.col("b.n")),
+            4,
+        ).alias("t_stat"),
+    )

@@ -242,3 +242,56 @@ def q_source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("file_name")
     )
+
+
+@spark_query("q_sink_compaction")  # rows-only: filesystem-layout operation
+def q_sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the table-maintenance operation every
+    streaming/lakehouse ingest pipeline needs: micro-batch ingest
+    leaves thousands of KB-sized files whose per-file open/footer cost
+    dominates scans ("small files problem"); compaction rewrites them
+    into few large, range-clustered files.
+
+    Stage 1 simulates a fragmented ingest (events written as 64
+    separate files).  Stage 2 compacts: ``repartitionByRange(4, ts)``
+    clusters rows by the query key so every output file owns a tight
+    ts min/max band (maximum row-group pruning for time-range scans)
+    and ``maxRecordsPerFile`` caps file size.  Output compares the
+    layouts: file count, rows, rows-per-file — row counts must be
+    identical across stages (compaction moves bytes, never rows).
+
+    At 100 TB this is the same two-liner per partition-date, driven by
+    a manifest of fragmented partitions; range clustering replaces the
+    hash-random layout with one that serves time-locality reads.
+    """
+    frag = _scratch_dir("events_fragmented")
+    compact = _scratch_dir("events_compacted")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    ev.repartition(64).write.mode("overwrite").parquet(frag)
+
+    back = spark.read.parquet(frag)
+    (
+        back.repartitionByRange(4, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 1_000_000)
+        .parquet(compact)
+    )
+
+    def layout(path: str, stage: str) -> DataFrame:
+        d = spark.read.parquet(path)
+        return (
+            d.groupBy(F.input_file_name().alias("f"))
+            .agg(F.count(F.lit(1)).alias("rows_in_file"))
+            .agg(
+                F.lit(stage).alias("stage"),
+                F.count(F.lit(1)).alias("n_files"),
+                F.sum("rows_in_file").alias("n_rows"),
+                F.min("rows_in_file").alias("min_rows_per_file"),
+                F.max("rows_in_file").alias("max_rows_per_file"),
+            )
+        )
+
+    return layout(frag, "fragmented").unionAll(layout(compact, "compacted"))

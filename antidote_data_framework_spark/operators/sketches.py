@@ -104,3 +104,111 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("freq"), F.asc("tok"))
     )
+
+
+# Count-min sketch geometry: d independent hash rows x w counters.
+# Hashes are explicit affine maps mod a prime so BOTH engines compute
+# the identical sketch (engine-native hash() functions differ).
+CMS_W = 64
+CMS_P = 1_000_003
+CMS_ROWS = ((31, 7), (131, 13), (1031, 29), (8191, 47))  # (a, b) per row
+
+
+def _cms_oracle() -> str:
+    rows = "\n  UNION ALL\n".join(
+        f"  SELECT {i} AS r, ((user_id * {a} + {b}) % {CMS_P}) % {CMS_W} AS col,"
+        f" user_id FROM events"
+        for i, (a, b) in enumerate(CMS_ROWS)
+    )
+    return f"""
+WITH hashed AS (
+{rows}
+),
+sketch AS (
+  SELECT r, col, CAST(COUNT(*) AS BIGINT) AS c
+  FROM hashed GROUP BY r, col
+),
+truth AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_count
+  FROM events GROUP BY user_id
+),
+top AS (
+  SELECT user_id, true_count FROM truth
+  ORDER BY true_count DESC, user_id LIMIT 10
+),
+probes AS (
+{_cms_probe_rows()}
+),
+est AS (
+  SELECT p.user_id, MIN(s.c) AS cms_estimate
+  FROM probes p JOIN sketch s ON s.r = p.r AND s.col = p.col
+  GROUP BY p.user_id
+)
+SELECT t.user_id, t.true_count, e.cms_estimate,
+       CAST(e.cms_estimate - t.true_count AS BIGINT) AS overcount
+FROM top t JOIN est e ON t.user_id = e.user_id
+"""
+
+
+def _cms_probe_rows() -> str:
+    return "\n  UNION ALL\n".join(
+        f"  SELECT {i} AS r, ((user_id * {a} + {b}) % {CMS_P}) % {CMS_W} AS col,"
+        f" user_id FROM (SELECT user_id, COUNT(*) AS c FROM events"
+        f" GROUP BY user_id ORDER BY c DESC, user_id LIMIT 10)"
+        for i, (a, b) in enumerate(CMS_ROWS)
+    )
+
+
+@spark_query("q_countmin_sketch", oracle=_cms_oracle())
+def q_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch: d=4 x w=64 counter matrix over the event
+    user-id stream, probed for the top-10 users — estimate =
+    MIN over the d hashed counters, always >= true count (one-sided
+    error).  Output shows true vs estimated count and the overcount,
+    making the sketch's bias observable and hash-verifiable.
+
+    Why it earns a place next to Misra-Gries (q_heavy_hitters) and
+    HLL (q_reagg_hll_sketch): CMS is the MERGEABLE point-frequency
+    sketch — the d x w matrix is a fixed 4x64 grid of BIGINTs
+    regardless of stream size, partial sketches from any partitioning
+    add cell-wise, and a point query costs d lookups.  At 100 TB the
+    groupBy(r, col) reduces map-side to <= d*w partials per task:
+    the shuffle moves O(d*w*tasks) counters, never O(rows).
+
+    Determinism: the affine hashes ((id*a + b) % p) % w are exact
+    integer arithmetic, identical in both engines by construction
+    (engine-native hash() builtins differ, so none are used).
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    hashed = None
+    for i, (a, b) in enumerate(CMS_ROWS):
+        part = ev.select(
+            F.lit(i).alias("r"),
+            ((F.col("user_id") * a + b) % CMS_P % CMS_W).alias("col"),
+            "user_id",
+        )
+        hashed = part if hashed is None else hashed.unionAll(part)
+    sketch = hashed.groupBy("r", "col").agg(F.count(F.lit(1)).alias("c"))
+
+    truth = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_count"))
+    top = truth.orderBy(F.col("true_count").desc(), "user_id").limit(10)
+
+    probes = None
+    for i, (a, b) in enumerate(CMS_ROWS):
+        p = top.select(
+            F.lit(i).alias("r"),
+            ((F.col("user_id") * a + b) % CMS_P % CMS_W).alias("col"),
+            "user_id",
+        )
+        probes = p if probes is None else probes.unionAll(p)
+    est = (
+        probes.join(sketch, ["r", "col"])
+        .groupBy("user_id")
+        .agg(F.min("c").alias("cms_estimate"))
+    )
+    return top.join(est, "user_id").select(
+        "user_id",
+        "true_count",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("true_count")).cast("long").alias("overcount"),
+    )

@@ -211,3 +211,85 @@ def q_feature_store_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_view_cents",
         F.coalesce("n_prior_clicks", F.lit(0)).cast("long").alias("n_prior_clicks"),
     )
+
+
+@spark_query(
+    "q_rollup_multires",
+    oracle="""
+WITH base AS (
+  SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket,
+         event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+),
+daily AS (
+  SELECT time_bucket(INTERVAL 1 DAY, bucket) AS bucket, event_type,
+         CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS cents
+  FROM base GROUP BY 1, 2
+),
+weekly AS (
+  SELECT time_bucket(INTERVAL 7 DAY, bucket, TIMESTAMP '1970-01-01') AS bucket, event_type,
+         CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS cents
+  FROM daily GROUP BY 1, 2
+)
+SELECT 'hour' AS resolution, bucket, event_type, n, cents FROM base
+UNION ALL
+SELECT 'day' AS resolution, bucket, event_type, n, cents FROM daily
+UNION ALL
+SELECT 'week' AS resolution, bucket, event_type, n, cents FROM weekly
+""",
+)
+def q_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup (continuous-aggregate
+    cascade): hourly buckets aggregate the raw events ONCE; daily
+    re-aggregates the hourly frame; weekly re-aggregates the daily —
+    each coarser tier reads the tier below, never the fact table.
+
+    This is the TimescaleDB/Druid rollup pattern expressed
+    relationally: at 100 TB the raw scan happens exactly once, and
+    the cascade cost is proportional to the HOURLY row count
+    (|buckets| x |event_type|), which is calendar-bounded, not
+    data-bounded.  Additivity is what makes the cascade exact:
+    count/cents-sum re-aggregate losslessly (contrast q_reagg_partial
+    for avg via (sum, count) pairs).
+
+    Week-bucket origin is pinned explicitly: Spark's ``window(ts,
+    '7 days')`` aligns to the 1970-01-01 epoch (a Thursday) while
+    DuckDB's ``time_bucket`` defaults to Monday 2000-01-03, so the
+    oracle passes the epoch as its origin — a real cross-engine
+    semantics trap worth encoding.
+
+    Determinism: money via exact cents (repo money rule); bucket
+    boundaries are exact timestamp truncation in both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    hourly = (
+        ev.groupBy(
+            F.window("ts", "1 hour").start.alias("bucket"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents).alias("cents"),
+        )
+    )
+    daily = (
+        hourly.groupBy(
+            F.window("bucket", "1 day").start.alias("bucket"), "event_type"
+        )
+        .agg(F.sum("n").alias("n"), F.sum("cents").alias("cents"))
+    )
+    weekly = (
+        daily.groupBy(
+            F.window("bucket", "7 days").start.alias("bucket"), "event_type"
+        )
+        .agg(F.sum("n").alias("n"), F.sum("cents").alias("cents"))
+    )
+
+    def tag(d: DataFrame, res: str) -> DataFrame:
+        return d.select(
+            F.lit(res).alias("resolution"), "bucket", "event_type", "n", "cents"
+        )
+
+    return tag(hourly, "hour").unionAll(tag(daily, "day")).unionAll(tag(weekly, "week"))

@@ -105,7 +105,8 @@ def test_no_forced_broadcast_of_sf_proportional_tables():
         r"max_rev|avg_bal|mu|stats|qdf|q\b|query|centroids|"  # bounded scalars
         r"total\b|candidates\b|m2\b|fence\b|"  # 1-row threshold/max/fence aggs; MG sketch output (<= k x partitions)
         r"bloom\b|"  # 1-row bit-array map, bounded at m/64 entries by construction
-        r"med\b|mad\b|n_items\b|vocab\b|th\b|"  # patterns.py/negatives.py/curation.py: |event_type|=5-row percentile aggs, 1-row MAX, LIMIT-1000 vocab
+        r"med\b|mad\b|n_items\b|vocab\b|th\b|"
+        r"row_tot\b|col_tot\b|df_q\b|"  # contingency-cardinality aggs; query-term-bounded df  # patterns.py/negatives.py/curation.py: |event_type|=5-row percentile aggs, 1-row MAX, LIMIT-1000 vocab
         r"df\) if n_rows"  # functions/hints.broadcast_bounded: stats-gated hint
         r")"
     )

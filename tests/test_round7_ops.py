@@ -1,0 +1,151 @@
+"""Property tests for the retrieval / stats / sketch / layout batch:
+laws the differential oracle can't express — scipy-free closed-form
+cross-checks, sketch error bounds, and layout invariants."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+
+QUERIES = entrymod.queries()
+
+
+def test_bm25_scores_against_numpy(spark, sf_dir):
+    """Recompute BM25 for the returned top-20 docs from raw token
+    counts in numpy; every score must match to the rounding grain."""
+    from antidote_data_framework_spark.operators.retrieval import (
+        BM25_B,
+        BM25_K1,
+        BM25_QUERY_TERMS,
+    )
+    from antidote_data_framework_spark.sources import load_table
+
+    got = {r["doc_id"]: r["bm25"] for r in QUERIES["q_bm25_search"](spark, sf_dir).collect()}
+    assert len(got) == 20
+
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    n = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) / n
+    df = {
+        t: sum(1 for toks in docs.values() if t in toks) for t in BM25_QUERY_TERMS
+    }
+    for doc_id, expect in got.items():
+        toks = docs[doc_id]
+        dl = len(toks)
+        score = 0.0
+        for t in BM25_QUERY_TERMS:
+            tf = toks.count(t)
+            if tf == 0:
+                continue
+            idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            score += idf * tf * (BM25_K1 + 1.0) / (
+                tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
+            )
+        assert abs(score - expect) < 1e-3, (doc_id, score, expect)
+
+
+def test_tfidf_rank_is_dense_per_doc(spark, sf_dir):
+    """Every document emits ranks exactly 1..3 (vocab >= 3 terms per
+    doc in the fixture), and zero-idf terms (df == N) can never
+    outrank a positive-idf term with tf >= 1."""
+    out = QUERIES["q_tfidf_topterms"](spark, sf_dir)
+    ranks = (
+        out.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("rnk")).alias("rr"))
+        .select("rr")
+        .distinct()
+        .collect()
+    )
+    assert [r["rr"] for r in ranks] == [[1, 2, 3]]
+    # a rank-1 score of 0.0 implies every term in that doc is corpus-wide
+    bad = out.filter((F.col("rnk") == 1) & (F.col("tfidf") > 0)).count()
+    assert bad > 0  # fixture has discriminative vocabulary
+
+
+def test_chisq_matches_numpy(spark, sf_dir):
+    """chi2 equals the numpy contingency computation exactly (to the
+    rounding grain) and dof = (rows-1)(cols-1)."""
+    from antidote_data_framework_spark.sources import load_table
+
+    row = QUERIES["q_chisq_independence"](spark, sf_dir).collect()[0]
+    obs_rows = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .count()
+        .collect()
+    )
+    ps = sorted({r["o_orderpriority"] for r in obs_rows})
+    ss = sorted({r["o_orderstatus"] for r in obs_rows})
+    m = np.zeros((len(ps), len(ss)))
+    for r in obs_rows:
+        m[ps.index(r["o_orderpriority"]), ss.index(r["o_orderstatus"])] = r["count"]
+    exp = m.sum(1, keepdims=True) * m.sum(0, keepdims=True) / m.sum()
+    chi2 = ((m - exp) ** 2 / exp).sum()
+    assert row["dof"] == (len(ps) - 1) * (len(ss) - 1)
+    assert abs(row["chi2"] - chi2) < 1e-3
+    assert row["n_cells"] == (m > 0).sum()
+
+
+def test_welch_ttest_matches_numpy(spark, sf_dir):
+    """t-statistic equals the numpy Welch formula on the same split."""
+    from antidote_data_framework_spark.sources import load_table
+
+    row = QUERIES["q_ab_welch_ttest"](spark, sf_dir).collect()[0]
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select((F.col("user_id") % 2).alias("arm"), "value")
+        .collect()
+    )
+    a = np.array([r["value"] for r in ev if r["arm"] == 1])
+    b = np.array([r["value"] for r in ev if r["arm"] == 0])
+    t = (a.mean() - b.mean()) / math.sqrt(
+        a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b)
+    )
+    assert row["n_treat"] == len(a) and row["n_ctrl"] == len(b)
+    assert abs(row["t_stat"] - t) < 1e-3
+    assert abs(row["lift"] - (a.mean() - b.mean())) < 1e-3
+
+
+def test_countmin_estimate_never_undercounts(spark, sf_dir):
+    """The CMS law: estimate >= true count for every probed key, and
+    the total overcount is bounded by the sketch error (sum of all
+    other keys' mass landing in shared cells: <= e/w * stream_len
+    per row with prob; here just assert one-sidedness + sanity)."""
+    rows = QUERIES["q_countmin_sketch"](spark, sf_dir).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r["overcount"] >= 0, r
+        assert r["cms_estimate"] == r["true_count"] + r["overcount"]
+
+
+def test_compaction_preserves_rows_and_reduces_files(spark, sf_dir):
+    """Compaction must move bytes, never rows: identical n_rows across
+    stages, strictly fewer files after, larger files after."""
+    rows = {r["stage"]: r for r in QUERIES["q_sink_compaction"](spark, sf_dir).collect()}
+    frag, comp = rows["fragmented"], rows["compacted"]
+    assert frag["n_rows"] == comp["n_rows"]
+    assert comp["n_files"] < frag["n_files"]
+    assert comp["min_rows_per_file"] > frag["max_rows_per_file"]
+
+
+def test_multires_rollup_is_lossless(spark, sf_dir):
+    """Additivity law: every resolution tier must sum to the same
+    corpus totals (count and cents) — the cascade loses nothing."""
+    out = QUERIES["q_rollup_multires"](spark, sf_dir)
+    totals = (
+        out.groupBy("resolution")
+        .agg(F.sum("n").alias("n"), F.sum("cents").alias("cents"))
+        .collect()
+    )
+    assert len(totals) == 3
+    ns = {r["n"] for r in totals}
+    cents = {r["cents"] for r in totals}
+    assert len(ns) == 1 and len(cents) == 1
