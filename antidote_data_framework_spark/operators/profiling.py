@@ -590,3 +590,207 @@ def q_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("t_stat"),
     )
+
+
+@spark_query(
+    "q_k_anonymity",
+    oracle="""
+WITH nation_groups AS (
+  SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS sz
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+),
+region_groups AS (
+  SELECT n.n_regionkey, c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS sz
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_regionkey, c.c_mktsegment
+),
+assigned AS (
+  SELECT c.c_custkey,
+         CASE WHEN ng.sz >= 5 THEN 'nation'
+              WHEN rg.sz >= 5 THEN 'region'
+              ELSE 'suppressed' END AS level,
+         CASE WHEN ng.sz >= 5 THEN ng.sz
+              WHEN rg.sz >= 5 THEN rg.sz
+              ELSE NULL END AS class_size
+  FROM customer c
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN nation_groups ng
+    ON ng.c_nationkey = c.c_nationkey AND ng.c_mktsegment = c.c_mktsegment
+  JOIN region_groups rg
+    ON rg.n_regionkey = n.n_regionkey AND rg.c_mktsegment = c.c_mktsegment
+)
+SELECT level,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(MIN(class_size) AS BIGINT) AS min_class,
+       ROUND(AVG(class_size), 4) AS avg_class
+FROM assigned GROUP BY level
+""",
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-anonymity enforcement with a generalization ladder (k=5):
+    each customer's quasi-identifier pair (nation, segment) must sit
+    in an equivalence class of >= k records; classes below k
+    GENERALIZE the geography one rung (nation -> region); classes
+    still below k are SUPPRESSED.  Output: records per privacy level
+    with class-size stats — the release-gate report a governance
+    pipeline produces before publishing training data.
+
+    Plan shape: two grouped class-size tables (bounded by QI
+    cardinality: 25x5 and 5x5 — broadcast-sized BY CONSTRUCTION) join
+    back to the record stream; the ladder is a codegen CASE.  At
+    100 TB: one shuffle per QI granularity over pre-aggregated
+    partials, then map-side broadcast joins — record count never
+    re-shuffles.
+
+    Determinism: class sizes exact BIGINTs; AVG rounded 4 dp.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    cn = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    ng = (
+        cn.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_sz"))
+    )
+    rg = (
+        cn.groupBy("n_regionkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("r_sz"))
+    )
+    assigned = (
+        cn.join(F.broadcast(ng), ["c_nationkey", "c_mktsegment"])
+        .join(F.broadcast(rg), ["n_regionkey", "c_mktsegment"])
+        .select(
+            "c_custkey",
+            F.when(F.col("n_sz") >= 5, "nation")
+            .when(F.col("r_sz") >= 5, "region")
+            .otherwise("suppressed")
+            .alias("level"),
+            F.when(F.col("n_sz") >= 5, F.col("n_sz"))
+            .when(F.col("r_sz") >= 5, F.col("r_sz"))
+            .alias("class_size"),
+        )
+    )
+    return assigned.groupBy("level").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.min("class_size").alias("min_class"),
+        F.round(F.avg("class_size"), 4).alias("avg_class"),
+    )
+
+
+@spark_query(
+    "q_psi_drift",
+    oracle="""
+WITH ref AS (
+  SELECT value FROM events WHERE ts < TIMESTAMP '2024-01-16'
+),
+cur AS (
+  SELECT value FROM events WHERE ts >= TIMESTAMP '2024-01-16'
+),
+edges AS (
+  SELECT quantile_cont(value, 0.25) AS e1,
+         quantile_cont(value, 0.50) AS e2,
+         quantile_cont(value, 0.75) AS e3
+  FROM ref
+),
+ref_b AS (
+  SELECT CASE WHEN value <= e1 THEN 1 WHEN value <= e2 THEN 2
+              WHEN value <= e3 THEN 3 ELSE 4 END AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM ref CROSS JOIN edges GROUP BY 1
+),
+cur_b AS (
+  SELECT CASE WHEN value <= e1 THEN 1 WHEN value <= e2 THEN 2
+              WHEN value <= e3 THEN 3 ELSE 4 END AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM cur CROSS JOIN edges GROUP BY 1
+),
+ref_n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM ref_b),
+cur_n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cur_b),
+terms AS (
+  SELECT r.bucket,
+         r.c * 1.0 / ref_n.n AS p_ref,
+         cu.c * 1.0 / cur_n.n AS p_cur,
+         (cu.c * 1.0 / cur_n.n - r.c * 1.0 / ref_n.n)
+           * LN((cu.c * 1.0 / cur_n.n) / (r.c * 1.0 / ref_n.n)) AS term
+  FROM ref_b r JOIN cur_b cu ON r.bucket = cu.bucket
+  CROSS JOIN ref_n CROSS JOIN cur_n
+)
+SELECT bucket,
+       ROUND(p_ref, 4) AS p_ref,
+       ROUND(p_cur, 4) AS p_cur,
+       ROUND(term, 6) AS psi_term,
+       ROUND(SUM(term) OVER (), 6) AS psi_total
+FROM terms
+""",
+)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift detection: the event-value
+    distribution of the current period (second half of January) vs
+    the reference period (first half), bucketed at the REFERENCE
+    quartiles — PSI = sum((p_cur - p_ref) * ln(p_cur / p_ref)).
+    The monitoring statistic every production feature pipeline
+    computes per model input (PSI < 0.1 stable, > 0.25 action).
+
+    Plan shape: one pass computes reference quartile edges (1-row
+    broadcast frame), each period reduces to a 4-row bucket census,
+    and the PSI arithmetic runs on 4 rows — at 100 TB the cost is
+    two filtered scans with map-side partial counts, nothing else
+    scales with data.
+
+    Determinism: bucket edges are percentile-interpolated doubles
+    computed identically (proven pattern: q_curriculum_bands); counts
+    exact; LN over identical ratios; outputs rounded.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    split = "2024-01-16"
+    ref = ev.filter(F.col("ts") < split).select("value")
+    cur = ev.filter(F.col("ts") >= split).select("value")
+    edges = ref.agg(
+        F.expr("percentile(value, 0.25D)").alias("e1"),
+        F.expr("percentile(value, 0.50D)").alias("e2"),
+        F.expr("percentile(value, 0.75D)").alias("e3"),
+    )
+
+    def census(d: DataFrame, cname: str) -> DataFrame:
+        return (
+            d.crossJoin(F.broadcast(edges))
+            .select(
+                F.when(F.col("value") <= F.col("e1"), 1)
+                .when(F.col("value") <= F.col("e2"), 2)
+                .when(F.col("value") <= F.col("e3"), 3)
+                .otherwise(4)
+                .alias("bucket")
+            )
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias(cname))
+        )
+
+    ref_b = census(ref, "rc")
+    cur_b = census(cur, "cc")
+    ref_n = ref_b.agg(F.sum("rc").alias("rn"))
+    cur_n = cur_b.agg(F.sum("cc").alias("cn"))
+    terms = (
+        ref_b.join(cur_b, "bucket")
+        .crossJoin(F.broadcast(ref_n))
+        .crossJoin(F.broadcast(cur_n))
+        .withColumn("p_ref", F.col("rc") * 1.0 / F.col("rn"))
+        .withColumn("p_cur", F.col("cc") * 1.0 / F.col("cn"))
+        .withColumn(
+            "term",
+            (F.col("p_cur") - F.col("p_ref"))
+            * F.log(F.col("p_cur") / F.col("p_ref")),
+        )
+    )
+    from pyspark.sql import Window
+
+    return terms.select(
+        "bucket",
+        F.round("p_ref", 4).alias("p_ref"),
+        F.round("p_cur", 4).alias("p_cur"),
+        F.round("term", 6).alias("psi_term"),
+        F.round(
+            F.sum("term").over(
+                Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+            ),
+            6,
+        ).alias("psi_total"),
+    )

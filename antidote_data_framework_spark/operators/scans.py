@@ -295,3 +295,64 @@ def q_sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return layout(frag, "fragmented").unionAll(layout(compact, "compacted"))
+
+
+@spark_query(
+    "q_dpp_partition_pruned_join",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders
+WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+GROUP BY o_orderpriority
+""",
+)
+def q_dpp_partition_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact table is laid out
+    partitioned by priority; the query joins it to a tiny dim table
+    filtered on an ATTRIBUTE (``urgency``) that only the dim knows.
+    A static planner must scan every fact partition (the pruning
+    predicate is not known until the dim is evaluated); Spark's DPP
+    evaluates the broadcast dim first and injects its join keys as a
+    runtime partition filter — the fact scan opens ONLY the urgent
+    partitions (test_plans asserts ``dynamicpruning`` in the scan).
+
+    This is THE mechanism that makes star-schema queries cheap on
+    partitioned 100 TB facts: partition pruning through a join,
+    decided at runtime, no manual predicate duplication.  The oracle
+    states the post-pruning semantics directly (IN-list on the fact).
+
+    Layout write is once per scratch session; money via exact cents.
+    """
+    out = _scratch_dir("orders_part_dpp")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+    fact = spark.read.parquet(out)
+    # The dim filter must be a comparison predicate: Spark's DPP rule
+    # gates on isLikelySelective(), which accepts EqualTo/In/Like but
+    # NOT a bare boolean attribute — a real integration subtlety.
+    dim = spark.createDataFrame(
+        [
+            ("1-URGENT", "urgent"),
+            ("2-HIGH", "urgent"),
+            ("3-MEDIUM", "normal"),
+            ("4-NOT SPECIFIED", "normal"),
+            ("5-LOW", "normal"),
+        ],
+        "priority STRING, urgency STRING",
+    )
+    return (
+        fact.join(
+            F.broadcast(dim).filter(F.col("urgency") == "urgent"),
+            fact.o_orderpriority == F.col("priority"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+                "total_cents"
+            ),
+        )
+    )

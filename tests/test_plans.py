@@ -106,7 +106,8 @@ def test_no_forced_broadcast_of_sf_proportional_tables():
         r"total\b|candidates\b|m2\b|fence\b|"  # 1-row threshold/max/fence aggs; MG sketch output (<= k x partitions)
         r"bloom\b|"  # 1-row bit-array map, bounded at m/64 entries by construction
         r"med\b|mad\b|n_items\b|vocab\b|th\b|"
-        r"row_tot\b|col_tot\b|df_q\b|"  # contingency-cardinality aggs; query-term-bounded df  # patterns.py/negatives.py/curation.py: |event_type|=5-row percentile aggs, 1-row MAX, LIMIT-1000 vocab
+        r"row_tot\b|col_tot\b|df_q\b|"  # contingency-cardinality aggs; query-term-bounded df
+        r"rg\b|edges\b|ref_n\b|cur_n\b|dim\b|"  # QI-cardinality classes; 1-row quantile/count aggs; 5-row literal dim  # patterns.py/negatives.py/curation.py: |event_type|=5-row percentile aggs, 1-row MAX, LIMIT-1000 vocab
         r"df\) if n_rows"  # functions/hints.broadcast_bounded: stats-gated hint
         r")"
     )
@@ -175,3 +176,11 @@ def test_map_literal_lookup_is_join_free(spark, sf_dir):
     node of any kind — the lookup compiles into the scan stage."""
     plan = physical_plan(QUERIES["q_map_literal_lookup"](spark, sf_dir))
     assert "Join" not in plan
+
+
+def test_dpp_join_injects_runtime_partition_filter(spark, sf_dir):
+    """The partitioned-fact star join must carry a dynamicpruning
+    subquery in the fact scan's partition filters — proof the dim
+    filter prunes fact partitions at runtime, not a full scan."""
+    plan = physical_plan(QUERIES["q_dpp_partition_pruned_join"](spark, sf_dir))
+    assert "dynamicpruning" in plan.lower()

@@ -149,3 +149,28 @@ def test_multires_rollup_is_lossless(spark, sf_dir):
     ns = {r["n"] for r in totals}
     cents = {r["cents"] for r in totals}
     assert len(ns) == 1 and len(cents) == 1
+
+
+def test_k_anonymity_partitions_everyone(spark, sf_dir):
+    """Every customer lands in exactly one privacy level, and every
+    non-suppressed class is >= k=5."""
+    from antidote_data_framework_spark.sources import load_table
+
+    rows = {r["level"]: r for r in QUERIES["q_k_anonymity"](spark, sf_dir).collect()}
+    total = sum(r["n_customers"] for r in rows.values())
+    assert total == load_table(spark, sf_dir, "customer").count()
+    for level, r in rows.items():
+        if level != "suppressed":
+            assert r["min_class"] >= 5, r
+
+
+def test_psi_drift_is_nonnegative_and_proportions_sum_to_one(spark, sf_dir):
+    """PSI terms are each >= 0 ((p-q)ln(p/q) has the sign of its two
+    factors aligned) and bucket proportions are distributions."""
+    rows = QUERIES["q_psi_drift"](spark, sf_dir).collect()
+    assert len(rows) == 4
+    assert abs(sum(r["p_ref"] for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r["p_cur"] for r in rows) - 1.0) < 1e-3
+    for r in rows:
+        assert r["psi_term"] >= 0
+    assert abs(rows[0]["psi_total"] - sum(r["psi_term"] for r in rows)) < 1e-5
