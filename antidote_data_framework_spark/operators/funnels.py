@@ -304,3 +304,91 @@ def q_scd2_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@spark_query(
+    "q_rfm_segments",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+         date_diff('day', MAX(ts), TIMESTAMP '2024-02-01') AS recency_days,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS monetary_cents
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id
+),
+th AS (
+  SELECT quantile_cont(recency_days, 0.5) AS r_med,
+         quantile_cont(frequency, 0.5) AS f_med,
+         quantile_cont(monetary_cents, 0.5) AS m_med
+  FROM per_user
+),
+seg AS (
+  SELECT CASE WHEN recency_days <= r_med THEN 'R-hi' ELSE 'R-lo' END
+         || '/' ||
+         CASE WHEN frequency > f_med THEN 'F-hi' ELSE 'F-lo' END
+         || '/' ||
+         CASE WHEN monetary_cents > m_med THEN 'M-hi' ELSE 'M-lo' END AS segment,
+         recency_days, frequency, monetary_cents
+  FROM per_user CROSS JOIN th
+)
+SELECT segment,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       ROUND(AVG(recency_days), 4) AS avg_recency,
+       ROUND(AVG(frequency), 4) AS avg_frequency,
+       ROUND(AVG(monetary_cents), 4) AS avg_monetary_cents
+FROM seg GROUP BY segment
+""",
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per-user Recency (days since last
+    purchase, anchored at a fixed analysis date), Frequency, and
+    Monetary value, split hi/lo at the population MEDIANS into 8
+    segments — the classic lifecycle-marketing cube ("R-hi/F-hi/M-hi"
+    = champions, "R-lo/F-lo/M-lo" = lost).
+
+    Same scale design as q_curriculum_bands: thresholds come from ONE
+    percentile aggregate over the per-user frame (never a global
+    NTILE sort), broadcast as a 1-row frame; segment assignment is a
+    codegen CASE; the output is bounded at 8 rows.  Cost at 100 TB:
+    one purchase-filtered shuffle to per-user grain, one tiny agg.
+
+    Determinism: recency in whole days from exact timestamp diff;
+    medians are interpolated doubles computed identically in both
+    engines; money in exact cents; averages rounded 4 dp.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.datediff(F.lit("2024-02-01").cast("timestamp"), F.max("ts")).alias(
+            "recency_days"
+        ),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+            "monetary_cents"
+        ),
+    )
+    th = per_user.agg(
+        F.expr("percentile(recency_days, 0.5D)").alias("r_med"),
+        F.expr("percentile(frequency, 0.5D)").alias("f_med"),
+        F.expr("percentile(monetary_cents, 0.5D)").alias("m_med"),
+    )
+    seg = per_user.crossJoin(F.broadcast(th)).select(
+        F.concat(
+            F.when(F.col("recency_days") <= F.col("r_med"), "R-hi").otherwise("R-lo"),
+            F.lit("/"),
+            F.when(F.col("frequency") > F.col("f_med"), "F-hi").otherwise("F-lo"),
+            F.lit("/"),
+            F.when(F.col("monetary_cents") > F.col("m_med"), "M-hi").otherwise("M-lo"),
+        ).alias("segment"),
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+    )
+    return seg.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.round(F.avg("recency_days"), 4).alias("avg_recency"),
+        F.round(F.avg("frequency"), 4).alias("avg_frequency"),
+        F.round(F.avg("monetary_cents"), 4).alias("avg_monetary_cents"),
+    )

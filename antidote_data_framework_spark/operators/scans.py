@@ -356,3 +356,76 @@ def q_dpp_partition_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@spark_query("q_source_quarantine_corrupt")  # rows-only: malformed-input handling
+def q_source_quarantine_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record quarantine — the ingest-hardening surface:
+    read JSON lines in PERMISSIVE mode with an explicit
+    ``_corrupt_record`` column, route parse failures to a quarantine
+    sink and clean rows onward, and report the split.  At 100 TB the
+    same reader config turns "one bad line kills the job" (FAILFAST)
+    or "bad lines silently vanish" (DROPMALFORMED) into an auditable
+    quarantine table — the only production-safe choice.
+
+    The staged input is a deterministic mix: 200 event rows as JSON,
+    every 10th line truncated mid-record (a real-world partial-write
+    corruption).  Counts are structural: 20 corrupt, 180 clean.
+
+    Spark subtlety encoded here: filtering ON the corrupt column
+    requires the parsed frame to be cached/materialized first —
+    Spark refuses `_corrupt_record`-only queries on a lazy scan
+    (SPARK-21610); the cache() below is that contract, not an
+    optimization.
+    """
+    import json
+    import os
+
+    src_dir = _scratch_dir("quarantine_src")
+    os.makedirs(src_dir, exist_ok=True)
+    path = os.path.join(src_dir, "events.jsonl")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "event_type", "value")
+        .orderBy("event_id")
+        .limit(200)
+        .collect()
+    )
+    with open(path, "w") as f:
+        for i, r in enumerate(ev):
+            line = json.dumps(
+                {"event_id": r["event_id"], "event_type": r["event_type"], "value": r["value"]}
+            )
+            f.write((line[: len(line) // 2] if i % 10 == 9 else line) + "\n")
+
+    parsed = (
+        spark.read.schema(
+            "event_id BIGINT, event_type STRING, value DOUBLE, _corrupt_record STRING"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .cache()
+    )
+    good = parsed.filter(F.col("_corrupt_record").isNull())
+    bad = parsed.filter(F.col("_corrupt_record").isNotNull())
+    good_out = _scratch_dir("quarantine_good")
+    bad_out = _scratch_dir("quarantine_bad")
+    good.drop("_corrupt_record").write.mode("overwrite").parquet(good_out)
+    bad.select("_corrupt_record").write.mode("overwrite").parquet(bad_out)
+
+    def summarize(d: DataFrame, which: str) -> DataFrame:
+        return d.agg(
+            F.lit(which).alias("route"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"),
+        )
+
+    out = summarize(spark.read.parquet(good_out), "clean").unionAll(
+        summarize(
+            spark.read.parquet(bad_out).withColumn("value", F.lit(None).cast("double")),
+            "quarantined",
+        )
+    )
+    parsed.unpersist()
+    return out

@@ -174,3 +174,36 @@ def test_psi_drift_is_nonnegative_and_proportions_sum_to_one(spark, sf_dir):
     for r in rows:
         assert r["psi_term"] >= 0
     assert abs(rows[0]["psi_total"] - sum(r["psi_term"] for r in rows)) < 1e-5
+
+
+def test_quarantine_split_is_structural(spark, sf_dir):
+    """Exactly every 10th staged line is corrupt: 180 clean / 20
+    quarantined, and the clean route carries a cents checksum."""
+    rows = {r["route"]: r for r in QUERIES["q_source_quarantine_corrupt"](spark, sf_dir).collect()}
+    assert rows["clean"]["n_rows"] == 180
+    assert rows["quarantined"]["n_rows"] == 20
+    assert rows["clean"]["cents"] > 0
+    assert rows["quarantined"]["cents"] is None
+
+
+def test_rfm_segments_partition_all_purchasers(spark, sf_dir):
+    """Segment user counts sum to the distinct purchaser count and
+    segment labels come from the 8-cell RFM cube."""
+    from antidote_data_framework_spark.sources import load_table
+
+    rows = QUERIES["q_rfm_segments"](spark, sf_dir).collect()
+    n_purchasers = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_users"] for r in rows) == n_purchasers
+    valid = {
+        f"{r}/{f}/{m}"
+        for r in ("R-hi", "R-lo")
+        for f in ("F-hi", "F-lo")
+        for m in ("M-hi", "M-lo")
+    }
+    assert {r["segment"] for r in rows} <= valid
