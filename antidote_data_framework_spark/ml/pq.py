@@ -1,0 +1,126 @@
+"""Product quantization (PQ) for embedding storage + ADC search —
+the memory-bound leg of the similarity stack.
+
+Exact (q_cosine_topk) / LSH (q_knn_lsh) / IVF (q_ivf_cosine_topk)
+all keep full float vectors; at 100 TB the vectors themselves are the
+cost (64-dim float32 = 256 B/vec).  PQ stores each vector as m=8
+subspace codes of k=16 centroids — 8 x 4 bits = 4 B/vec, a 64x
+compression — and answers queries with Asymmetric Distance
+Computation: the query stays exact, each database vector's distance
+is approximated as the sum of 8 precomputed query-to-centroid
+distances looked up by code (Jegou et al., "Product Quantization for
+Nearest Neighbor Search", TPAMI 2011 — public method).
+
+Spark mapping:
+- codebooks: m tiny KMeans fits (k x subdim = 16 x 8 doubles each) —
+  model state is bounded by construction, like the IVF centroids;
+- encode: m MLlib ``model.transform`` passes — JVM-side, no Python;
+- ADC: the query's 8 x 16 lookup table is a LITERAL array expression
+  compiled into the scan (element_at by code) — scoring the whole
+  corpus is a codegen projection + TakeOrdered(10), zero shuffles
+  beyond the top-k reduction.
+
+At scale PQ composes with IVF (IVF-PQ): coarse cells prune the
+corpus, PQ codes score the survivors in memory; both halves already
+exist here as independent operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import spark_query
+from ..sources import load_table
+
+PQ_M = 8  # subspaces
+PQ_K = 16  # centroids per subspace (4-bit codes)
+
+
+def sliced_parts(emb: DataFrame) -> int:
+    """Partition count for the codebook-training frame: enough to
+    parallelize, few enough that 8 sequential tiny fits aren't pure
+    scheduling overhead."""
+    return min(8, emb.rdd.getNumPartitions())
+
+
+@spark_query("q_pq_adc_topk")  # rows-only: KMeans codebooks are run-relative
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 approximate neighbors of vec_id=0 by PQ/ADC distance,
+    with the per-vector storage cost (4 B codes vs 256 B floats).
+    Recall vs the exact search is test-enforced
+    (tests/test_pq_recall.py); ADC self-distance of the query's own
+    row must rank it first."""
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    subdim = 64 // PQ_M
+    # slice into m subvectors; cache — each KMeans fit iterates its slice
+    # coalesce: 8 sequential KMeans fits over a small cached frame are
+    # task-overhead-bound at 32 partitions; at real scale size this to
+    # corpus/partition-memory, not CPU count (same knob as the
+    # streaming state partitions).
+    n_part = max(4, sliced_parts(emb))
+    sliced = (
+        emb.coalesce(n_part)
+        .select(
+            "vec_id",
+            "label",
+            *[
+                array_to_vector(F.slice("v", i * subdim + 1, subdim)).alias(f"s{i}")
+                for i in range(PQ_M)
+            ],
+        )
+        .cache()
+    )
+
+    query = (
+        emb.filter(F.col("vec_id") == 0).select("v").first()["v"]
+    )  # 64 doubles — bounded driver state, like the IVF query row
+    q = np.array(query)
+
+    coded = sliced
+    luts: list[list[float]] = []
+    for i in range(PQ_M):
+        # random init: k-means|| runs ~5 extra passes per fit to seed
+        # 16 centers on an 8-dim subspace — measured 2x slower for no
+        # codebook quality gain at this k; random is the standard PQ
+        # codebook init.
+        km = KMeans(
+            k=PQ_K, seed=42 + i, maxIter=10, initMode="random",
+            featuresCol=f"s{i}", predictionCol=f"c{i}",
+        )
+        model = km.fit(sliced)
+        coded = model.transform(coded)
+        centers = np.vstack(model.clusterCenters())  # k x subdim, bounded
+        qs = q[i * subdim : (i + 1) * subdim]
+        luts.append([float(((qs - c) ** 2).sum()) for c in centers])
+
+    # ADC: literal 8 x 16 lookup tables compiled into the projection
+    adc = sum(
+        F.element_at(
+            F.array(*[F.lit(d) for d in luts[i]]), F.col(f"c{i}") + 1
+        )
+        for i in range(PQ_M)
+    )
+    out = (
+        coded.select(
+            "vec_id",
+            "label",
+            F.round(adc, 4).alias("adc_dist"),
+            F.lit(PQ_M * 1).alias("code_bytes"),  # 8 codes x 4 bit = 4 B, stored byte-wide here
+            F.lit(64 * 4).alias("float_bytes"),
+        )
+        .orderBy("adc_dist", "vec_id")
+        .limit(10)
+    )
+    rows = out.collect()
+    sliced.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "vec_id BIGINT, label INT, adc_dist DOUBLE, code_bytes INT, float_bytes INT",
+    )

@@ -644,3 +644,51 @@ def q_stream_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("n_matches").alias("n_matches"))
         .filter(F.col("n_matches") > 0)
     )
+
+
+@spark_query("q_stream_backfill_availablenow")  # rows-only: streaming runtime
+def q_stream_backfill_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backfill via ``Trigger.AvailableNow``: process EVERYTHING already
+    in the source as rate-limited micro-batches (maxFilesPerTrigger
+    still applies), then terminate on its own — the catch-up mode for
+    unified batch+stream pipelines.  Contrast the other q_stream_*
+    ops, which use a live trigger plus processAllAvailable(): that
+    shape never exits in production; AvailableNow is what a nightly
+    backfill or a bootstrap-then-tail deployment actually runs, with
+    exactly-once progress recorded in the checkpoint so an interrupted
+    backfill resumes where it stopped instead of rereading.
+
+    The aggregation is the corpus-total census per event type in
+    complete mode; tests/test_streaming.py asserts it equals the batch
+    twin over the same fixture (stream == batch is the unification
+    contract).  Money in exact cents (repo money rule).
+    """
+    src = _stage_events(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(_staged_schema(spark, src))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"),
+    )
+    sink = f"mem_{uuid.uuid4().hex[:8]}"
+    conf = spark.conf
+    prev = conf.get("spark.sql.shuffle.partitions")
+    conf.set("spark.sql.shuffle.partitions", _STREAM_SHUFFLE_PARTITIONS)
+    ckpt = os.path.join(SCRATCH, f"ckpt_backfill_{uuid.uuid4().hex[:8]}")
+    try:
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()  # AvailableNow self-terminates at drain
+    finally:
+        conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(sink)

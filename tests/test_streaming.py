@@ -146,3 +146,26 @@ def test_stream_pattern_match_matches_batch_twin(spark, sf_dir):
         for r in QUERIES["q_stream_pattern_match"](spark, sf_dir).collect()
     }
     assert streamed == batch
+
+
+def test_stream_backfill_availablenow_matches_batch_twin(spark, sf_dir):
+    """AvailableNow must drain every staged file then stop, leaving
+    exactly the batch census: same event types, counts, cents."""
+    from antidote_data_framework_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    batch = {
+        r["event_type"]: (r["n_events"], r["cents"])
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"),
+        )
+        .collect()
+    }
+    streamed = {
+        r["event_type"]: (r["n_events"], r["cents"])
+        for r in QUERIES["q_stream_backfill_availablenow"](spark, sf_dir).collect()
+    }
+    assert streamed == batch
