@@ -392,3 +392,71 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("frequency"), 4).alias("avg_frequency"),
         F.round(F.avg("monetary_cents"), 4).alias("avg_monetary_cents"),
     )
+
+
+@spark_query(
+    "q_gaps_islands_streaks",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d
+  FROM events
+),
+grp AS (
+  SELECT user_id, d,
+         d - INTERVAL 1 DAY * ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+           AS island_key
+  FROM days
+),
+islands AS (
+  SELECT user_id, island_key, CAST(COUNT(*) AS BIGINT) AS len
+  FROM grp GROUP BY user_id, island_key
+)
+SELECT user_id,
+       CAST(SUM(len) AS BIGINT) AS n_active_days,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks,
+       CAST(MAX(len) AS BIGINT) AS longest_streak
+FROM islands
+GROUP BY user_id
+HAVING MAX(len) >= 3
+""",
+)
+def q_gaps_islands_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per-user consecutive-day activity streaks via
+    the classic date-minus-row_number island key (consecutive days
+    share a constant difference), reporting active days, streak
+    count, and longest streak for users with a >= 3-day streak — the
+    engagement/retention statistic behind "N-day streak" features.
+
+    One distinct-day reduction, one user-partitioned window (the sort
+    is per-user, never global), two bounded aggregations.  At 100 TB
+    the window state is |active days per user| — calendar-bounded.
+
+    Determinism: day truncation is exact; island arithmetic is exact
+    timestamp/integer math; HAVING + integer outputs, nothing
+    floating anywhere.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    grp = days.select(
+        "user_id",
+        "d",
+        (
+            F.col("d").cast("long")
+            - F.row_number().over(w) * F.lit(86400)
+        ).alias("island_key"),
+    )
+    islands = grp.groupBy("user_id", "island_key").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return (
+        islands.groupBy("user_id")
+        .agg(
+            F.sum("len").alias("n_active_days"),
+            F.count(F.lit(1)).alias("n_streaks"),
+            F.max("len").alias("longest_streak"),
+        )
+        .filter(F.col("longest_streak") >= 3)
+    )

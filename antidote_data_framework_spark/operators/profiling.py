@@ -794,3 +794,66 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("psi_total"),
     )
+
+
+@spark_query(
+    "q_benford_audit",
+    oracle="""
+WITH digits AS (
+  SELECT CAST(SUBSTR(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+              AS BIGINT) AS d
+  FROM orders WHERE o_totalprice >= 1
+),
+obs AS (
+  SELECT d, CAST(COUNT(*) AS BIGINT) AS c FROM digits GROUP BY d
+),
+n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM obs)
+SELECT obs.d,
+       obs.c AS observed,
+       ROUND(obs.c * 1.0 / n.n, 4) AS p_obs,
+       ROUND(LOG10(1.0 + 1.0 / obs.d), 4) AS p_benford,
+       ROUND(ABS(obs.c * 1.0 / n.n - LOG10(1.0 + 1.0 / obs.d)), 4)
+         AS abs_dev
+FROM obs CROSS JOIN n
+""",
+)
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit: the first-significant-digit distribution
+    of order totals vs the Benford expectation log10(1 + 1/d) with
+    per-digit absolute deviation — the forensic-accounting /
+    synthetic-data smoke test (fabricated amounts flunk Benford;
+    multiplicative natural data passes).  The fixture's uniform-ish
+    synthetic prices WILL show deviation — that is the point: the
+    operator measures it.
+
+    One digit-extraction pass (string head of the FLOOR'd integer
+    part — explicit floor because double->int CAST rounds in DuckDB
+    but truncates in Spark, a real cross-engine off-by-one at digit
+    boundaries; and no log-based digit math), one 9-row census,
+    constant-size arithmetic after.
+
+    Determinism: digit extraction is exact string/integer work;
+    LOG10 over identical literals; proportions rounded 4 dp.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digits = o.select(
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("bigint")
+        .alias("d")
+    )
+    obs = digits.groupBy("d").agg(F.count(F.lit(1)).alias("c"))
+    n = obs.agg(F.sum("c").alias("n"))
+    p_obs = F.col("c") * 1.0 / F.col("n")
+    p_ben = F.log10(1.0 + 1.0 / F.col("d"))
+    return (
+        obs.crossJoin(F.broadcast(n))
+        .select(
+            "d",
+            F.col("c").alias("observed"),
+            F.round(p_obs, 4).alias("p_obs"),
+            F.round(p_ben, 4).alias("p_benford"),
+            F.round(F.abs(p_obs - p_ben), 4).alias("abs_dev"),
+        )
+    )

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -249,3 +250,46 @@ def q_sql_function_macro(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag
         """
     )
+
+
+@spark_query("q_maparrow_norms")  # rows-only: Python on the data path by design
+def q_maparrow_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow``: per-partition Arrow RecordBatch processing with
+    NO pandas materialization — the lowest-overhead Python boundary.
+    Completes the inventory (scalar UDF / pandas UDF / grouped agg /
+    mapInPandas / cogroup / UDTF / mapInArrow): choose mapInArrow when
+    the Python side is itself columnar (numpy/pyarrow kernels, FFI
+    into native libs) and pandas conversion would only add copies —
+    e.g. batched ONNX/tokenizer inference over packed float arrays.
+
+    The kernel computes embedding L2 norms by reading the Arrow
+    FixedSizeList/List buffer as one flat numpy array and reshaping —
+    zero per-row Python, one vectorized op per RecordBatch.
+    tests/test_round7_ops.py asserts the norms equal the JVM codegen
+    computation (the declarative twin stays the hot path; the Arrow
+    boundary is for logic Spark expressions cannot state).
+
+    Scale: embarrassingly parallel per partition, Arrow-batched both
+    directions, no shuffle introduced; batch size is bounded by
+    spark.sql.execution.arrow.maxRecordsPerBatch.
+    """
+    import pyarrow as pa
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def norms(batches):
+        for batch in batches:
+            tbl = pa.table(batch)
+            vecs = tbl.column("embedding")
+            flat = np.asarray(vecs.combine_chunks().flatten(), dtype=np.float64)
+            dim = len(flat) // len(tbl)
+            n = np.sqrt((flat.reshape(len(tbl), dim) ** 2).sum(axis=1))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    tbl.column("vec_id").combine_chunks(),
+                    pa.array(np.round(n, 4), type=pa.float64()),
+                ],
+                names=["vec_id", "l2_norm"],
+            )
+
+    return emb.mapInArrow(norms, "vec_id BIGINT, l2_norm DOUBLE")

@@ -207,3 +207,76 @@ def test_rfm_segments_partition_all_purchasers(spark, sf_dir):
         for m in ("M-hi", "M-lo")
     }
     assert {r["segment"] for r in rows} <= valid
+
+
+def test_streaks_match_bruteforce(spark, sf_dir):
+    """Longest streaks must equal a driver-side brute-force consecutive
+    -day computation for every returned user."""
+    from antidote_data_framework_spark.sources import load_table
+
+    got = {
+        r["user_id"]: (r["n_active_days"], r["n_streaks"], r["longest_streak"])
+        for r in QUERIES["q_gaps_islands_streaks"](spark, sf_dir).collect()
+    }
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.date_trunc("day", "ts").alias("d"))
+        .distinct()
+        .collect()
+    )
+    from collections import defaultdict
+
+    days = defaultdict(set)
+    for r in ev:
+        days[r["user_id"]].add(r["d"].date())
+    for uid, (nd, ns, longest) in got.items():
+        ds = sorted(days[uid])
+        assert nd == len(ds)
+        streaks, cur = [], 1
+        for a, b in zip(ds, ds[1:]):
+            if (b - a).days == 1:
+                cur += 1
+            else:
+                streaks.append(cur)
+                cur = 1
+        streaks.append(cur)
+        assert ns == len(streaks), uid
+        assert longest == max(streaks), uid
+        assert longest >= 3
+
+
+def test_benford_is_a_distribution(spark, sf_dir):
+    """Observed and Benford proportions both sum to ~1 over digits
+    1..9; deviations are consistent: |p_obs - p_benford| == abs_dev."""
+    rows = QUERIES["q_benford_audit"](spark, sf_dir).collect()
+    ds = sorted(r["d"] for r in rows)
+    assert ds == list(range(1, len(ds) + 1))
+    assert abs(sum(r["p_obs"] for r in rows) - 1.0) < 1e-2
+    for r in rows:
+        assert abs(abs(r["p_obs"] - r["p_benford"]) - r["abs_dev"]) < 2e-4
+
+
+def test_maparrow_norms_match_jvm_twin(spark, sf_dir):
+    """The Arrow-kernel norms must equal the codegen aggregate-based
+    norms row for row — the Python boundary may never drift."""
+    from antidote_data_framework_spark.operators.vectors import dot_product
+    from antidote_data_framework_spark.sources import load_table
+
+    got = {
+        r["vec_id"]: r["l2_norm"]
+        for r in QUERIES["q_maparrow_norms"](spark, sf_dir).collect()
+    }
+    jvm = {
+        r["vec_id"]: r["n"]
+        for r in load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.round(
+                F.sqrt(dot_product(F.col("embedding"), F.col("embedding"))), 4
+            ).alias("n"),
+        )
+        .collect()
+    }
+    assert len(got) == len(jvm)
+    for k, v in got.items():
+        assert abs(v - jvm[k]) < 1e-3, k
