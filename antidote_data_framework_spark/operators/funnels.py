@@ -460,3 +460,81 @@ def q_gaps_islands_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("longest_streak") >= 3)
     )
+
+
+@spark_query(
+    "q_time_to_convert",
+    oracle="""
+WITH clicks AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+),
+conv AS (
+  SELECT c.user_id,
+         MIN(date_diff('second', c.ts, p.ts)) AS secs_to_convert
+  FROM clicks c
+  JOIN purchases p
+    ON p.user_id = c.user_id
+   AND p.ts > c.ts
+   AND p.ts <= c.ts + INTERVAL 24 HOURS
+  GROUP BY c.user_id, c.ts
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_conversions,
+       CAST(ROUND(quantile_cont(secs_to_convert, 0.50), 0) AS BIGINT) AS p50_secs,
+       CAST(ROUND(quantile_cont(secs_to_convert, 0.90), 0) AS BIGINT) AS p90_secs,
+       CAST(MIN(secs_to_convert) AS BIGINT) AS min_secs,
+       CAST(MAX(secs_to_convert) AS BIGINT) AS max_secs
+FROM conv
+""",
+)
+def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: for every click that converts
+    within 24 h, the latency to the FIRST subsequent purchase by the
+    same user; reported as conversion count + p50/p90/min/max
+    latency — the funnel-velocity metric next to q_events_funnel
+    (did they convert) and q_attribution_touch (which touch gets
+    credit).
+
+    The click→purchase pairing is an equi-join on user_id with a
+    range residual (the binned-range-join rewrite of
+    q_join_range_binned applies verbatim when the time window spans
+    many partitions); MIN per click collapses the fan-out before the
+    percentile aggregation.
+
+    Determinism: second-granularity integer latencies; exact-count
+    percentile interpolation identical cross-engine (proven pattern);
+    ROUND->BIGINT outputs.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts")
+    )
+    conv = (
+        clicks.join(purchases, "user_id")
+        .filter(
+            (F.col("pts") > F.col("cts"))
+            & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id", "cts")
+        .agg(
+            F.min(
+                F.unix_timestamp("pts") - F.unix_timestamp("cts")
+            ).alias("secs_to_convert")
+        )
+    )
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.round(F.expr("percentile(secs_to_convert, 0.50D)"), 0)
+        .cast("long")
+        .alias("p50_secs"),
+        F.round(F.expr("percentile(secs_to_convert, 0.90D)"), 0)
+        .cast("long")
+        .alias("p90_secs"),
+        F.min("secs_to_convert").alias("min_secs"),
+        F.max("secs_to_convert").alias("max_secs"),
+    )

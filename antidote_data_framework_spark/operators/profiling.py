@@ -857,3 +857,57 @@ def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs(p_obs - p_ben), 4).alias("abs_dev"),
         )
     )
+
+
+@spark_query(
+    "q_corr_matrix",
+    oracle="""
+WITH pairs AS (
+  SELECT 'qty_price' AS pair, corr(l_quantity, l_extendedprice) AS r,
+         regr_slope(l_extendedprice, l_quantity) AS slope
+  FROM lineitem
+  UNION ALL
+  SELECT 'qty_discount', corr(l_quantity, l_discount),
+         regr_slope(l_discount, l_quantity)
+  FROM lineitem
+  UNION ALL
+  SELECT 'price_discount', corr(l_extendedprice, l_discount),
+         regr_slope(l_discount, l_extendedprice)
+  FROM lineitem
+)
+SELECT pair, ROUND(r, 4) AS r, ROUND(slope, 6) AS slope
+FROM pairs
+""",
+)
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise correlation matrix over the fact table's numeric
+    columns (quantity, price, discount) with the regression slope per
+    pair — the feature-redundancy screen of a profiling suite.
+
+    ONE pass over lineitem computes all three pairs' moments
+    (map-side partial aggregation; the oracle's UNION-of-scans form
+    is the naive plan, Spark's single multi-aggregate is the fused
+    one) — at 100 TB: one scan, one 1-row shuffle, nothing else.
+
+    Determinism: corr/regr_slope are moment-based doubles in both
+    engines; repo-standard round guard (4/6 dp).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.agg(
+        F.corr("l_quantity", "l_extendedprice").alias("r1"),
+        F.expr("regr_slope(l_extendedprice, l_quantity)").alias("s1"),
+        F.corr("l_quantity", "l_discount").alias("r2"),
+        F.expr("regr_slope(l_discount, l_quantity)").alias("s2"),
+        F.corr("l_extendedprice", "l_discount").alias("r3"),
+        F.expr("regr_slope(l_discount, l_extendedprice)").alias("s3"),
+    )
+    # stack() unpivots the single 1-row aggregate into 3 rows INSIDE
+    # one projection — a union of three selects over `m` would replay
+    # the aggregation (and the scan) three times.
+    return m.selectExpr(
+        """stack(3,
+              'qty_price',      round(r1, 4), round(s1, 6),
+              'qty_discount',   round(r2, 4), round(s2, 6),
+              'price_discount', round(r3, 4), round(s3, 6)
+           ) AS (pair, r, slope)"""
+    )

@@ -280,3 +280,27 @@ def test_maparrow_norms_match_jvm_twin(spark, sf_dir):
     assert len(got) == len(jvm)
     for k, v in got.items():
         assert abs(v - jvm[k]) < 1e-3, k
+
+
+def test_corr_matrix_matches_numpy(spark, sf_dir):
+    """Every pair's r must equal numpy's corrcoef on the raw columns."""
+    from antidote_data_framework_spark.sources import load_table
+
+    rows = {r["pair"]: r for r in QUERIES["q_corr_matrix"](spark, sf_dir).collect()}
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_extendedprice", "l_discount"
+    ).collect()
+    q = np.array([r["l_quantity"] for r in li], dtype=float)
+    p = np.array([r["l_extendedprice"] for r in li])
+    d = np.array([r["l_discount"] for r in li])
+    assert abs(rows["qty_price"]["r"] - np.corrcoef(q, p)[0, 1]) < 1e-3
+    assert abs(rows["qty_discount"]["r"] - np.corrcoef(q, d)[0, 1]) < 1e-3
+    assert abs(rows["price_discount"]["r"] - np.corrcoef(p, d)[0, 1]) < 1e-3
+
+
+def test_time_to_convert_bounds(spark, sf_dir):
+    """Latencies are within (0, 24 h]; percentiles are ordered."""
+    r = QUERIES["q_time_to_convert"](spark, sf_dir).collect()[0]
+    assert r["n_conversions"] > 0
+    assert 0 < r["min_secs"] <= r["p50_secs"] <= r["p90_secs"] <= r["max_secs"]
+    assert r["max_secs"] <= 24 * 3600
