@@ -69,3 +69,56 @@ def q_bucketed_join_noshuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@spark_query("q_cbo_stats_broadcast")  # rows-only: catalog-table + stats surface
+def q_cbo_stats_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-based optimization via ANALYZE TABLE: a filtered dim join
+    planned WITHOUT any broadcast hint — the build-side choice comes
+    from catalog statistics.  After ``ANALYZE TABLE ... COMPUTE
+    STATISTICS FOR COLUMNS``, Catalyst's filter-selectivity estimate
+    (ndv/min/max histograms) sizes the filtered customer slice below
+    autoBroadcastJoinThreshold and picks a broadcast join on its own
+    (asserted in tests/test_plans.py — no hint anywhere in this
+    plan).
+
+    This is the production answer to the question every forced-hint
+    op sidesteps: at 100 TB you don't hand-hint thousands of queries;
+    you ANALYZE the dims on ingest and let CBO make the same call —
+    correctly re-deciding when a filter is NOT selective.  The hint
+    ops (q_join_broadcast, q_join_strategy_hints) remain the manual
+    override for when stats mislead.
+
+    Output: the same pricing rollup any join strategy yields — only
+    the plan changes.
+    """
+    import shutil
+    from urllib.parse import urlparse
+
+    table = "cbo_customer"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{wh}/{table}", ignore_errors=True)
+    (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+        .write.mode("overwrite")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+    spark.sql(
+        f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR COLUMNS "
+        "c_custkey, c_mktsegment"
+    )
+    cust = spark.table(table).filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+                "total_cents"
+            ),
+        )
+    )

@@ -429,3 +429,41 @@ def q_source_quarantine_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     parsed.unpersist()
     return out
+
+
+@spark_query("q_sink_codec_tradeoff")  # rows-only: storage-layout operation
+def q_sink_codec_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-codec tradeoff audit: the same lineitem projection
+    written as parquet under snappy, zstd, and uncompressed, reporting
+    bytes on disk, files, and rows for each — the storage-engineering
+    decision that at 100 TB is a 2-3x bill multiplier (zstd ~30%
+    smaller than snappy at modest CPU cost; uncompressed only for
+    scan-bound temp spills on cheap disk).
+
+    Row counts must be identical across codecs (test-enforced:
+    compression changes bytes, never rows) and byte sizes must order
+    none > snappy >= zstd on this data.
+    """
+    import os
+
+    base = _scratch_dir("codec_tradeoff")
+    data = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_shipdate"
+    )
+    out_rows = []
+    for codec in ("none", "snappy", "zstd"):
+        path = os.path.join(base, codec)
+        data.repartition(4).write.mode("overwrite").option(
+            "compression", codec
+        ).parquet(path)
+        n_bytes = sum(
+            os.path.getsize(os.path.join(path, f))
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+        n_files = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+        n_rows = spark.read.parquet(path).count()
+        out_rows.append((codec, n_files, n_rows, n_bytes))
+    return spark.createDataFrame(
+        out_rows, "codec STRING, n_files INT, n_rows BIGINT, n_bytes BIGINT"
+    )

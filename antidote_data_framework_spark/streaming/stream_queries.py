@@ -692,3 +692,72 @@ def q_stream_backfill_availablenow(spark: SparkSession, sf_dir: str) -> DataFram
         conf.set("spark.sql.shuffle.partitions", prev)
         shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(sink)
+
+
+@spark_query("q_stream_checkpoint_recovery")  # rows-only: streaming runtime
+def q_stream_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once restart from a checkpoint: run an AvailableNow
+    backfill over HALF the staged files, "crash" (stop), land the
+    rest of the files, and restart the SAME query from the SAME
+    checkpoint — the second run must process ONLY the new files (the
+    checkpoint's source offsets record what was committed) and the
+    final census must equal the batch answer over everything.
+
+    This is the fault-tolerance contract a 100 TB ingest relies on:
+    progress is owned by the checkpoint, not the job, so a restarted
+    pipeline never re-reads or double-counts.  Output: the per-type
+    census plus each phase's processed input-row count — phase 2's
+    input is the delta, not the corpus (test-enforced, along with
+    stream == batch equality).
+    """
+    src = _stage_events(spark, sf_dir)
+    all_files = sorted(f for f in os.listdir(src) if f.endswith(".parquet"))
+    half = len(all_files) // 2
+    live = os.path.join(SCRATCH, f"ckpt_recovery_src_{uuid.uuid4().hex[:8]}")
+    os.makedirs(live, exist_ok=True)
+    ckpt = os.path.join(SCRATCH, f"ckpt_recovery_{uuid.uuid4().hex[:8]}")
+    conf = spark.conf
+    prev = conf.get("spark.sql.shuffle.partitions")
+    conf.set("spark.sql.shuffle.partitions", _STREAM_SHUFFLE_PARTITIONS)
+    sink = f"mem_{uuid.uuid4().hex[:8]}"
+    phase_rows: list[int] = []
+    try:
+        def run_phase(qname: str) -> int:
+            stream = (
+                spark.readStream.schema(_staged_schema(spark, src))
+                .option("maxFilesPerTrigger", 1)
+                .parquet(live)
+            )
+            agg = stream.groupBy("event_type").agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"),
+            )
+            q = (
+                agg.writeStream.outputMode("complete")
+                .format("memory")
+                .queryName(qname)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return sum(
+                int(p["numInputRows"]) for p in q.recentProgress
+            )
+
+        for f in all_files[:half]:
+            shutil.copyfile(os.path.join(src, f), os.path.join(live, f))
+        phase_rows.append(run_phase(sink))
+        # "crash" happened here; the rest of the data lands
+        for f in all_files[half:]:
+            shutil.copyfile(os.path.join(src, f), os.path.join(live, f))
+        phase_rows.append(run_phase(sink))
+    finally:
+        conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(live, ignore_errors=True)
+    return (
+        spark.table(sink)
+        .withColumn("phase1_rows", F.lit(phase_rows[0]).cast("long"))
+        .withColumn("phase2_rows", F.lit(phase_rows[1]).cast("long"))
+    )

@@ -184,3 +184,10 @@ def test_dpp_join_injects_runtime_partition_filter(spark, sf_dir):
     filter prunes fact partitions at runtime, not a full scan."""
     plan = physical_plan(QUERIES["q_dpp_partition_pruned_join"](spark, sf_dir))
     assert "dynamicpruning" in plan.lower()
+
+
+def test_cbo_stats_pick_broadcast_without_hint(spark, sf_dir):
+    """The ANALYZE'd, filtered dim must arrive via BroadcastHashJoin
+    with NO broadcast hint in the query (CBO decides from stats)."""
+    plan = physical_plan(QUERIES["q_cbo_stats_broadcast"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan

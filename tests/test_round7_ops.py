@@ -304,3 +304,12 @@ def test_time_to_convert_bounds(spark, sf_dir):
     assert r["n_conversions"] > 0
     assert 0 < r["min_secs"] <= r["p50_secs"] <= r["p90_secs"] <= r["max_secs"]
     assert r["max_secs"] <= 24 * 3600
+
+
+def test_codec_tradeoff_rows_invariant_and_sizes_ordered(spark, sf_dir):
+    """Compression changes bytes, never rows; uncompressed is the
+    largest layout."""
+    rows = {r["codec"]: r for r in QUERIES["q_sink_codec_tradeoff"](spark, sf_dir).collect()}
+    assert len({r["n_rows"] for r in rows.values()}) == 1
+    assert rows["none"]["n_bytes"] > rows["snappy"]["n_bytes"]
+    assert rows["none"]["n_bytes"] > rows["zstd"]["n_bytes"]

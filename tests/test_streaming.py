@@ -169,3 +169,28 @@ def test_stream_backfill_availablenow_matches_batch_twin(spark, sf_dir):
         for r in QUERIES["q_stream_backfill_availablenow"](spark, sf_dir).collect()
     }
     assert streamed == batch
+
+
+def test_checkpoint_recovery_is_exactly_once(spark, sf_dir):
+    """Phase 2 must process only the post-crash files (delta, not the
+    corpus), and the final census equals the batch answer."""
+    from antidote_data_framework_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    out = QUERIES["q_stream_checkpoint_recovery"](spark, sf_dir).collect()
+    batch = {
+        r["event_type"]: (r["n_events"], r["cents"])
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"),
+        )
+        .collect()
+    }
+    streamed = {r["event_type"]: (r["n_events"], r["cents"]) for r in out}
+    assert streamed == batch
+    total = sum(n for n, _ in batch.values())
+    p1, p2 = out[0]["phase1_rows"], out[0]["phase2_rows"]
+    assert p1 + p2 == total  # no re-read, no double-count
+    assert 0 < p2 < total  # phase 2 was a true delta
