@@ -35,12 +35,12 @@ _KNUTH = 2654435761
     oracle=f"""
 WITH {RATINGS_CTE.strip()},
 pos AS (SELECT DISTINCT user_id, item_id FROM ratings),
-np AS (SELECT MAX(p_partkey) + 1 AS n_items FROM part),
+np AS (SELECT MAX(p_partkey) AS max_item FROM part),
 ks AS (SELECT 0 AS k UNION ALL SELECT 1 UNION ALL SELECT 2),
 cand AS (
   SELECT pos.user_id,
-         ((pos.user_id % 2147483647) * {_KNUTH}
-          + pos.item_id * 97003 + ks.k * 1000003) % np.n_items AS neg_item
+         1 + ((pos.user_id % 2147483647) * {_KNUTH}
+          + pos.item_id * 97003 + ks.k * 1000003) % np.max_item AS neg_item
   FROM pos CROSS JOIN np CROSS JOIN ks
 )
 SELECT DISTINCT c.user_id, c.neg_item
@@ -57,9 +57,12 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     Downstream training unions these (label 0) with the positives
     (label 1) — emitted as bare pairs so the consumer picks labels."""
     pos = ratings_df(spark, sf_dir).select("user_id", "item_id").distinct()
+    # Candidates stay in the VALID 1-based item domain (r4 ADVICE:
+    # `hash % (max+1)` could emit neg_item=0, a nonexistent item):
+    # 1 + hash % max(p_partkey) covers exactly [1, max_item].
     n_items = (
         load_table(spark, sf_dir, "part")
-        .agg((F.max("p_partkey") + 1).alias("n_items"))
+        .agg(F.max("p_partkey").alias("max_item"))
     )
     cand = (
         pos.crossJoin(F.broadcast(n_items))
@@ -67,12 +70,13 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             (
-                (
+                F.lit(1)
+                + (
                     (F.col("user_id") % 2147483647) * F.lit(_KNUTH)
                     + F.col("item_id") * 97003
                     + F.col("k") * 1000003
                 )
-                % F.col("n_items")
+                % F.col("max_item")
             ).alias("neg_item"),
         )
     )

@@ -4,8 +4,11 @@ the memory-bound leg of the similarity stack.
 Exact (q_cosine_topk) / LSH (q_knn_lsh) / IVF (q_ivf_cosine_topk)
 all keep full float vectors; at 100 TB the vectors themselves are the
 cost (64-dim float32 = 256 B/vec).  PQ stores each vector as m=8
-subspace codes of k=16 centroids — 8 x 4 bits = 4 B/vec, a 64x
-compression — and answers queries with Asymmetric Distance
+subspace codes of k=16 centroids.  k=16 codes are 4-bit, so a packed
+layout is 4 B/vec (64x); THIS implementation stores each code in its
+own byte (TINYINT column, the natural Spark/parquet layout) = 8 B/vec,
+a 32x compression — the reported ``code_bytes`` is the byte-wide 8.
+It answers queries with Asymmetric Distance
 Computation: the query stays exact, each database vector's distance
 is approximated as the sum of 8 precomputed query-to-centroid
 distances looked up by code (Jegou et al., "Product Quantization for
@@ -47,7 +50,8 @@ def sliced_parts(emb: DataFrame) -> int:
 @spark_query("q_pq_adc_topk")  # rows-only: KMeans codebooks are run-relative
 def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 approximate neighbors of vec_id=0 by PQ/ADC distance,
-    with the per-vector storage cost (4 B codes vs 256 B floats).
+    with the per-vector storage cost (8 B byte-wide codes vs 256 B
+    floats; 4 B if 4-bit-packed — see module docstring).
     Recall vs the exact search is test-enforced
     (tests/test_pq_recall.py); ADC self-distance of the query's own
     row must rank it first."""
@@ -112,7 +116,7 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "label",
             F.round(adc, 4).alias("adc_dist"),
-            F.lit(PQ_M * 1).alias("code_bytes"),  # 8 codes x 4 bit = 4 B, stored byte-wide here
+            F.lit(PQ_M * 1).alias("code_bytes"),  # byte-wide storage: 8 x 1 B (4 B if 4-bit-packed)
             F.lit(64 * 4).alias("float_bytes"),
         )
         .orderBy("adc_dist", "vec_id")

@@ -71,6 +71,10 @@ def q_bucketed_join_noshuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# one catalog-table suffix per SparkSession (see hermeticity note below)
+_CBO_SESSION_SUFFIX: dict[int, str] = {}
+
+
 @spark_query("q_cbo_stats_broadcast")  # rows-only: catalog-table + stats surface
 def q_cbo_stats_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cost-based optimization via ANALYZE TABLE: a filtered dim join
@@ -93,9 +97,17 @@ def q_cbo_stats_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     the plan changes.
     """
     import shutil
+    import uuid
     from urllib.parse import urlparse
 
-    table = "cbo_customer"
+    # Hermeticity (r4 ADVICE): the table name is suffixed per-SESSION,
+    # so concurrent sessions sharing a warehouse can never drop each
+    # other's table.  The returned plan is lazy (it reads this catalog
+    # table at action time), so drop-in-finally is impossible here;
+    # instead each session reuses ONE name, recreated per invocation —
+    # no cross-session collision, no unbounded accumulation.
+    suffix = _CBO_SESSION_SUFFIX.setdefault(id(spark), uuid.uuid4().hex[:8])
+    table = f"cbo_customer_{suffix}"
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
     shutil.rmtree(f"{wh}/{table}", ignore_errors=True)

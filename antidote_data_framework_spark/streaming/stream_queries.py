@@ -712,6 +712,20 @@ def q_stream_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     src = _stage_events(spark, sf_dir)
     all_files = sorted(f for f in os.listdir(src) if f.endswith(".parquet"))
+    # The per-phase row accounting below sums q.recentProgress, a ring
+    # buffer capped at spark.sql.streaming.numRecentProgressUpdates
+    # (default 100).  With maxFilesPerTrigger=1, more files than the
+    # buffer would silently undercount and break the exactly-once
+    # assertion (r4 ADVICE) — fail loudly long before that edge.
+    progress_cap = int(
+        spark.conf.get("spark.sql.streaming.numRecentProgressUpdates", "100")
+    )
+    assert len(all_files) <= progress_cap // 2, (
+        f"{len(all_files)} staged files would overflow the "
+        f"recentProgress ring buffer ({progress_cap}); raise "
+        "spark.sql.streaming.numRecentProgressUpdates or switch the "
+        "accounting to a StreamingQueryListener"
+    )
     half = len(all_files) // 2
     live = os.path.join(SCRATCH, f"ckpt_recovery_src_{uuid.uuid4().hex[:8]}")
     os.makedirs(live, exist_ok=True)

@@ -8,6 +8,12 @@ no oracle get a rows-only check (runs + row count >= 0).
 Usage:
     python oracle_check.py                      # all queries at sf0.001
     python oracle_check.py --sf /root/testdata/sf0.01 q_agg_pricing_summary ...
+    python oracle_check.py --sf /root/testdata/sf0.01 --json ORACLE_SWEEP_sf0.01.json
+
+The ``--json`` form writes a machine-readable sweep artifact (one entry
+per query: mode, pass/fail, row counts, wall seconds) — committed each
+round as standing evidence for the queries outside the driver's 50-slot
+CORRECTNESS window (VERDICT r4 "Next round" #1).
 """
 
 from __future__ import annotations
@@ -112,7 +118,9 @@ def canon_rows(pdf: pd.DataFrame) -> tuple[list[str], list[tuple[str, ...]]]:
     return cols, rows
 
 
-def compare_one(spark, con, name: str, fn, sql: str | None, sf_dir: str) -> tuple[bool, str]:
+def compare_one(
+    spark, con, name: str, fn, sql: str | None, sf_dir: str
+) -> tuple[bool, str, dict]:
     t0 = time.time()
     sdf = fn(spark, sf_dir).toPandas()
     spark_s = time.time() - t0
@@ -120,27 +128,33 @@ def compare_one(spark, con, name: str, fn, sql: str | None, sf_dir: str) -> tupl
     # (r01: q_agg_approx_quantile, no oracle, still crashed its hasher) —
     # so strict canon must succeed even when there is no oracle SQL.
     scols, srows = canon_rows(sdf)
+    rec = {"mode": "rows-only" if sql is None else "sql", "spark_rows": len(sdf),
+           "spark_sec": round(spark_s, 3)}
     if sql is None:
-        return True, f"rows-only ok ({len(sdf)} rows, {spark_s:.1f}s)"
+        return True, f"rows-only ok ({len(sdf)} rows, {spark_s:.1f}s)", rec
     ddf = con.execute(sql).fetchdf()
     dcols, drows = canon_rows(ddf)
+    rec["oracle_rows"] = len(drows)
     if scols != dcols:
-        return False, f"COLUMN MISMATCH spark={scols} duck={dcols}"
+        return False, f"COLUMN MISMATCH spark={scols} duck={dcols}", rec
     if len(srows) != len(drows):
-        return False, f"ROWCOUNT MISMATCH spark={len(srows)} duck={len(drows)}"
+        return False, f"ROWCOUNT MISMATCH spark={len(srows)} duck={len(drows)}", rec
     if srows != drows:
         diffs = [
             (s, d) for s, d in zip(srows, drows) if s != d
         ][:5]
         detail = "\n".join(f"    spark={s}\n    duck ={d}" for s, d in diffs)
-        return False, f"VALUE MISMATCH ({len(diffs)}+ rows differ):\n{detail}"
-    return True, f"hash-match ok ({len(srows)} rows, {spark_s:.1f}s)"
+        return False, f"VALUE MISMATCH ({len(diffs)}+ rows differ):\n{detail}", rec
+    rec["hash_match"] = True
+    return True, f"hash-match ok ({len(srows)} rows, {spark_s:.1f}s)", rec
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="*", help="query keys (default: all)")
     ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    ap.add_argument("--json", dest="json_out", default=None,
+                    help="write a machine-readable sweep artifact here")
     args = ap.parse_args()
 
     qs = entrymod.queries()
@@ -154,11 +168,19 @@ def main() -> int:
     spark = get_spark("oracle_check")
     con = duck_connect(args.sf)
     failed = []
+    records: dict[str, dict] = {}
+    t_sweep = time.time()
     for name in names:
         try:
-            ok, msg = compare_one(spark, con, name, qs[name], oracles.get(name), args.sf)
+            ok, msg, rec = compare_one(
+                spark, con, name, qs[name], oracles.get(name), args.sf
+            )
         except Exception:
             ok, msg = False, "EXCEPTION\n" + traceback.format_exc(limit=8)
+            rec = {"mode": "sql" if oracles.get(name) else "rows-only",
+                   "error": traceback.format_exc(limit=2).splitlines()[-1]}
+        rec["pass"] = ok
+        records[name] = rec
         status = "PASS" if ok else "FAIL"
         print(f"[{status}] {name}: {msg}")
         if not ok:
@@ -166,6 +188,22 @@ def main() -> int:
     print(f"\n{len(names) - len(failed)}/{len(names)} passed at {args.sf}")
     if failed:
         print("failed:", " ".join(failed))
+    if args.json_out:
+        import json as _json
+
+        artifact = {
+            "sf_dir": args.sf,
+            "n_queries": len(names),
+            "n_passed": len(names) - len(failed),
+            "n_failed": len(failed),
+            "n_sql_oracled": sum(1 for r in records.values() if r["mode"] == "sql"),
+            "n_rows_only": sum(1 for r in records.values() if r["mode"] == "rows-only"),
+            "sweep_sec": round(time.time() - t_sweep, 1),
+            "queries": records,
+        }
+        with open(args.json_out, "w") as fh:
+            _json.dump(artifact, fh, indent=1, sort_keys=True)
+        print(f"wrote {args.json_out}")
     return 1 if failed else 0
 
 

@@ -68,13 +68,17 @@ def test_vocab_coverage_bounds(spark, sf_dir):
 
 
 def test_mad_outliers_flags_fewer_than_quarter(spark, sf_dir):
-    """By construction |dev| > 3*MAD can flag at most ~25% of rows
-    (MAD is the deviation median, so >=50% of rows sit at or below
-    1*MAD); sanity-check the gate is selective, not degenerate."""
+    """The guaranteed law is only that <=50% of rows exceed 1*MAD
+    (MAD is the median of deviations) — so 0.5 is the structural
+    bound for the 3*MAD gate.  The tighter 0.25 check below is a
+    fixture-specific regression value (r4 ADVICE: don't present it
+    as a law); it holds comfortably on the seed-42 events
+    distribution and would only move if the fixture generator does."""
     rows = QUERIES["q_mad_outliers"](spark, sf_dir).collect()
     assert rows
     for r in rows:
-        assert r["n_outliers"] <= r["n_events"] * 0.25
+        assert r["n_outliers"] <= r["n_events"] * 0.5  # structural law
+        assert r["n_outliers"] <= r["n_events"] * 0.25  # fixture regression value
         assert r["mad_cents"] > 0
 
 
