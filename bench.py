@@ -130,13 +130,20 @@ def main() -> None:
             stats[name] = {
                 "median": times[name],
                 "min": round(min(rs), 3),
+                "n_runs": len(rs),
                 "runs": [round(r, 3) for r in rs],
             }
         else:
             times[name] = -1.0
-            stats[name] = {"median": -1.0, "min": -1.0, "runs": []}
+            stats[name] = {"median": -1.0, "min": -1.0, "n_runs": 0, "runs": []}
 
     total = round(sum(t for t in times.values() if t >= 0), 3)
+    # Budget-guard visibility (r4 VERDICT #7): record how close the
+    # sweep loop came to the budget so a silent drop from 3 sweeps to
+    # 2 (medians comparing unlike with like round-over-round) is
+    # readable straight from the artifact.
+    elapsed = round(time.time() - t_start, 1)
+    min_runs = min((len(rs) for rs in runs.values()), default=0)
     queries_file = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_queries.json")
     with open(queries_file, "w") as f:
         json.dump(
@@ -144,6 +151,10 @@ def main() -> None:
                 "sf": sf,
                 "total_query_sec": total,
                 "sweeps": sweeps_done,
+                "budget_sec": budget,
+                "elapsed_sec": elapsed,
+                "budget_headroom_sec": round(budget - elapsed, 1),
+                "min_runs_any_query": min_runs,
                 "queries": stats,
             },
             f,
@@ -174,6 +185,7 @@ def main() -> None:
                 "n_queries": len(times),
                 "n_failed": sum(1 for t in times.values() if t < 0),
                 "sweeps": sweeps_done,
+                "budget_headroom_sec": round(budget - elapsed, 1),
                 "queries_file": "bench_queries.json",
             }
         )

@@ -12,10 +12,14 @@ import __spark_entry__ as entrymod
 from antidote_data_framework_spark.operators.multimodal import (
     FEATURE_DIM,
     FRAME_SAMPLES,
+    IMG_WIDTH,
     SAMPLE_RATE,
+    _decode_bmp,
     _decode_wav,
+    _encode_bmp,
     _encode_wav,
     _features,
+    _image_features,
 )
 
 
@@ -49,6 +53,44 @@ def test_features_shape_and_known_values():
     alt = _decode_wav(_encode_wav(b"\x00\xff" * 50))[0]
     feats = _features(alt)
     assert feats[1] == 1.0 and feats[2] == 1.0
+
+
+def test_bmp_roundtrip_is_a_real_container():
+    """Pixels survive the full container round-trip: header geometry,
+    palette offset, bottom-up row order, and 4-byte row padding are
+    all honored (width 64 is already 4-aligned, so also try width 6
+    where stride padding actually bites)."""
+    raw = bytes(range(256))
+    payload = _encode_bmp(raw)
+    assert payload[:2] == b"BM"
+    img = _decode_bmp(payload)
+    assert img.shape == (256 // IMG_WIDTH, IMG_WIDTH)
+    np.testing.assert_allclose(img.ravel(), np.arange(256) / 255.0)
+
+    img6 = _decode_bmp(_encode_bmp(bytes(range(18)), width=6))
+    assert img6.shape == (3, 6)
+    np.testing.assert_allclose(img6.ravel(), np.arange(18) / 255.0)
+
+
+def test_bmp_decode_rejects_non_bmp_bytes():
+    with pytest.raises(Exception):
+        _decode_bmp(b"PNG-ish bytes that are not a BMP")
+    # a real WAV payload is also not a BMP
+    with pytest.raises(Exception):
+        _decode_bmp(_encode_wav(b"\x00" * 64))
+
+
+def test_image_features_shape_and_known_values():
+    # constant black image: mean 0, std 0, gradient 0, all mass in bin 0
+    feats = _image_features(_decode_bmp(_encode_bmp(b"\x00" * 128)))
+    assert len(feats) == FEATURE_DIM
+    assert feats[0] == 0.0 and feats[1] == 0.0 and feats[2] == 0.0
+    assert feats[3] == 1.0
+
+    # alternating black/white columns: max gradient, split histogram
+    alt = _image_features(_decode_bmp(_encode_bmp(b"\x00\xff" * 64)))
+    assert alt[2] == 1.0  # every horizontal step is a full-range edge
+    assert abs(alt[3] - 0.5) < 1e-12 and abs(alt[7] - 0.5) < 1e-12
 
 
 def test_framesample_conserves_samples(spark, sf_dir):

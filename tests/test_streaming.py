@@ -194,3 +194,39 @@ def test_checkpoint_recovery_is_exactly_once(spark, sf_dir):
     p1, p2 = out[0]["phase1_rows"], out[0]["phase2_rows"]
     assert p1 + p2 == total  # no re-read, no double-count
     assert 0 < p2 < total  # phase 2 was a true delta
+
+
+def test_stage_events_invalidates_on_fixture_change(spark, sf_dir, tmp_path):
+    """r4 VERDICT #2: if the driver regenerates events.parquet in
+    place, the staged stream input must re-stage instead of silently
+    serving the stale copy.  The marker is keyed on the source file's
+    mtime+size, so an in-place rewrite (same path, new mtime) busts
+    the cache."""
+    import os
+    import shutil
+
+    from antidote_data_framework_spark.sources import fixtures
+    from antidote_data_framework_spark.streaming.stream_queries import _stage_events
+
+    fix = tmp_path / "sfX"
+    fix.mkdir()
+    shutil.copyfile(f"{sf_dir}/events.parquet", fix / "events.parquet")
+    staged1 = _stage_events(spark, str(fix))
+    files1 = {f: os.stat(os.path.join(staged1, f)).st_mtime_ns
+              for f in os.listdir(staged1) if f.endswith(".parquet")}
+    assert files1, "staging produced no files"
+
+    # reuse: same fixture bytes -> same staged dir, untouched
+    staged2 = _stage_events(spark, str(fix))
+    files2 = {f: os.stat(os.path.join(staged2, f)).st_mtime_ns
+              for f in os.listdir(staged2) if f.endswith(".parquet")}
+    assert staged2 == staged1 and files2 == files1, "unchanged fixture re-staged"
+
+    # in-place regeneration (content may or may not differ; mtime does)
+    os.utime(fix / "events.parquet")
+    fixtures._DF_CACHE.clear()  # the driver's regeneration = a fresh session
+    staged3 = _stage_events(spark, str(fix))
+    files3 = {f: os.stat(os.path.join(staged3, f)).st_mtime_ns
+              for f in os.listdir(staged3) if f.endswith(".parquet")}
+    assert files3 != files1, "stale staged copy served after fixture change"
+    shutil.rmtree(staged1, ignore_errors=True)
