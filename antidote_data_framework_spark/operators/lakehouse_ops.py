@@ -284,3 +284,60 @@ def q_lakehouse_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_rows") > 0)  # groups fully retracted disappear
     )
+
+
+@spark_query(
+    "q_lakehouse_zonemap_skip",
+    oracle="""
+WITH mx AS (SELECT MAX(o_orderkey) AS m FROM orders),
+rng AS (
+  SELECT m * 2 // 5 AS lo, m // 2 AS hi FROM mx
+)
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(14,2))), 2) AS DOUBLE)
+         AS sum_totalprice
+FROM orders o CROSS JOIN rng
+WHERE o.o_orderkey BETWEEN rng.lo AND rng.hi
+GROUP BY o.o_orderpriority
+""",
+)
+def q_lakehouse_zonemap_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest zone-map file skipping, hash-verified: the orders
+    table is committed to the versioned format range-partitioned on
+    o_orderkey (8 data files with near-disjoint key ranges), the
+    commit records each file's [min, max] per column FROM ITS PARQUET
+    FOOTER, and a key-range query resolves which files can possibly
+    match from the MANIFEST ALONE — then scans only those, applying
+    the real predicate on top (the zone map is a superset filter).
+
+    The oracle recomputes the same aggregate over the full table, so
+    the hash-match proves skipping lost no rows; the plan-level claim
+    — that most files were never opened — is asserted in
+    tests/test_vtable.py (n_files_read < n_files_total).
+
+    100 TB shape: planning cost = one manifest read (file count, not
+    data size); scan cost = only overlapping files.  This is the
+    mechanism behind Delta/Iceberg partition+stats pruning, and the
+    reason sorted/range-partitioned layout (q_zorder_layout) pays off
+    at write time."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    vt = VersionedTable(spark, _fresh_table_dir())
+    vt.create(orders.repartitionByRange(8, "o_orderkey"), collect_stats=True)
+
+    mx = orders.agg(F.max("o_orderkey")).first()[0]  # 1-row bound, driver-safe
+    lo, hi = mx * 2 // 5, mx // 2  # integer arithmetic on both engines
+    pruned, n_total, n_read = vt.read_pruned("o_orderkey", lo, hi)
+    assert n_read < n_total, (
+        f"zone maps pruned nothing ({n_read}/{n_total}) — range layout broken"
+    )
+    return (
+        pruned.filter(F.col("o_orderkey").between(lo, hi))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _money_sum("o_totalprice").alias("sum_totalprice"),
+        )
+    )

@@ -911,3 +911,67 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
               'price_discount', round(r3, 4), round(s3, 6)
            ) AS (pair, r, slope)"""
     )
+
+
+@spark_query(
+    "q_l_diversity",
+    oracle="""
+WITH banded AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(FLOOR(c_acctbal / 2000) AS BIGINT) AS bal_band
+  FROM customer
+),
+classes AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(COUNT(*) AS BIGINT) AS class_size,
+         CAST(COUNT(DISTINCT bal_band) AS BIGINT) AS n_sensitive
+  FROM banded GROUP BY c_nationkey, c_mktsegment
+)
+SELECT CASE WHEN n_sensitive >= 3 THEN 'diverse' ELSE 'at_risk' END AS status,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(class_size) AS BIGINT) AS n_records,
+       CAST(MIN(n_sensitive) AS BIGINT) AS min_diversity,
+       ROUND(AVG(n_sensitive), 4) AS avg_diversity
+FROM classes GROUP BY 1
+""",
+)
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (l=3) — the companion gate to q_k_anonymity:
+    k-anonymity bounds CLASS SIZE, but a class where every member
+    shares one sensitive value still leaks it (homogeneity attack);
+    l-diversity requires each quasi-identifier class to contain >= l
+    DISTINCT sensitive values.  QI = (nation, segment); sensitive =
+    the account-balance band (2000-wide).  Output: classes/records and
+    diversity stats per status — the second page of the privacy
+    release report.
+
+    Plan shape: one shuffle to (QI, band) partial-distinct, one to the
+    QI class rollup, one tiny status rollup — COUNT(DISTINCT) over a
+    banded value is the cheap two-phase distinct, never a
+    collect_set.  At 100 TB the QI-class table is bounded by QI
+    cardinality (25x5 here), not record count."""
+    banded = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 2000).cast("long").alias("bal_band"),
+    )
+    classes = banded.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("class_size"),
+        F.countDistinct("bal_band").alias("n_sensitive"),
+    )
+    return (
+        classes.select(
+            F.when(F.col("n_sensitive") >= 3, "diverse")
+            .otherwise("at_risk")
+            .alias("status"),
+            "class_size",
+            "n_sensitive",
+        )
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum("class_size").alias("n_records"),
+            F.min("n_sensitive").alias("min_diversity"),
+            F.round(F.avg("n_sensitive"), 4).alias("avg_diversity"),
+        )
+    )

@@ -63,15 +63,24 @@ class VersionedTable:
         with open(self._manifest_path(version)) as fh:
             return json.load(fh)
 
-    def _commit(self, files: list[str], op: str, version: int) -> int:
+    def _commit(
+        self, files: list[str], op: str, version: int, stats: dict | None = None
+    ) -> int:
         """Atomically publish ``version`` naming ``files``.  The caller
         passes the version it computed AGAINST ITS SNAPSHOT (base + 1):
         recomputing latest here would silently publish on top of a
         concurrent commit and drop its files (lost update).  os.link
         refuses to overwrite, so two committers racing for the same
         version number get exactly one winner — the loser sees
-        FileExistsError and must re-read the new snapshot."""
+        FileExistsError and must re-read the new snapshot.
+
+        ``stats`` (optional) carries per-file column zone maps
+        ({file: {col: [min, max]}}) into the manifest — the Delta
+        add-file stats / Iceberg manifest-entry idea that makes
+        file skipping a MANIFEST read, not a footer crawl."""
         manifest = {"version": version, "op": op, "files": sorted(files)}
+        if stats:
+            manifest["stats"] = {f: stats[f] for f in sorted(stats)}
         tmp = os.path.join(self.manifest_dir, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
@@ -104,11 +113,40 @@ class VersionedTable:
         shutil.rmtree(staging, ignore_errors=True)
         return out
 
+    def _footer_stats(self, filename: str) -> dict:
+        """Per-column [min, max] zone map of one data file, read from
+        the PARQUET FOOTER via pyarrow — row-group statistics the
+        writer already computed; no data pages are read.  Columns
+        whose stats aren't JSON-scalar (nested, binary, temporal) are
+        simply absent — skipping must stay conservative."""
+        import pyarrow.parquet as pq
+
+        meta = pq.ParquetFile(os.path.join(self.data_dir, filename)).metadata
+        stats: dict[str, list] = {}
+        for rg in range(meta.num_row_groups):
+            group = meta.row_group(rg)
+            for ci in range(group.num_columns):
+                col = group.column(ci)
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                name = col.path_in_schema
+                lo, hi = st.min, st.max
+                if not all(isinstance(v, (int, float, str)) for v in (lo, hi)):
+                    continue
+                if name in stats:
+                    stats[name] = [min(stats[name][0], lo), max(stats[name][1], hi)]
+                else:
+                    stats[name] = [lo, hi]
+        return stats
+
     # ---- operations --------------------------------------------------------
 
-    def create(self, df: DataFrame) -> int:
+    def create(self, df: DataFrame, collect_stats: bool = False) -> int:
         base = self.latest_version()
-        return self._commit(self._write_data_files(df), "create", base + 1)
+        files = self._write_data_files(df)
+        stats = {f: self._footer_stats(f) for f in files} if collect_stats else None
+        return self._commit(files, "create", base + 1, stats=stats)
 
     def append(self, df: DataFrame, retries: int = 3) -> int:
         """Append with optimistic-concurrency retry: a blind append is
@@ -177,3 +215,34 @@ class VersionedTable:
         return self.spark.read.parquet(
             *[os.path.join(self.data_dir, f) for f in files]
         )
+
+    def read_pruned(
+        self, col: str, lo, hi, version: int | None = None
+    ) -> tuple[DataFrame, int, int]:
+        """Snapshot read with MANIFEST-level file skipping: only data
+        files whose zone map for ``col`` overlaps [lo, hi] are handed
+        to the scan.  Files without stats for ``col`` are kept
+        (conservative — skipping may only remove provably-irrelevant
+        files).  Returns (df, n_files_total, n_files_read).
+
+        This is planning-time pruning from manifest metadata alone —
+        at 100 TB it turns "list + open a million footers" into one
+        manifest read, and is exactly how Delta/Iceberg serve
+        SELECT ... WHERE key BETWEEN without touching cold files.
+        Callers still apply the real predicate: the zone map is a
+        superset filter, never the filter itself."""
+        v = self.latest_version() if version is None else version
+        manifest = self._read_manifest(v)
+        stats = manifest.get("stats", {})
+        kept = []
+        for f in manifest["files"]:
+            zm = stats.get(f, {}).get(col)
+            if zm is None or (zm[0] <= hi and zm[1] >= lo):
+                kept.append(f)
+        if not kept:  # empty overlap: preserve schema with a 0-row scan
+            df = self.read(v).limit(0)
+        else:
+            df = self.spark.read.parquet(
+                *[os.path.join(self.data_dir, f) for f in kept]
+            )
+        return df, len(manifest["files"]), len(kept)

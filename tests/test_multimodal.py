@@ -122,3 +122,36 @@ def test_features_query_runs_per_modality(spark, sf_dir):
     assert len(out) > 0
     assert set(out.columns) == {"modality", "n_media", "avg_feature_norm", "avg_bytes"}
     assert (out["n_media"] > 0).all()
+
+
+def test_dhash_stability_and_sensitivity():
+    """Identical pixels -> identical hash; one flipped block changes
+    few bits (locality — the property banding relies on)."""
+    from antidote_data_framework_spark.operators.multimodal import _dhash
+
+    base = bytes(range(256)) * 4
+    h1 = _dhash(_decode_bmp(_encode_bmp(base)))
+    h2 = _dhash(_decode_bmp(_encode_bmp(base)))
+    assert h1 == h2
+    # flip a single byte far from most block boundaries
+    mutated = bytearray(base)
+    mutated[100] = 255 - mutated[100]
+    h3 = _dhash(_decode_bmp(_encode_bmp(bytes(mutated))))
+    assert bin((h1 ^ h3) & ((1 << 64) - 1)).count("1") <= 8
+    # short image (fewer than 8 pixel rows) is still well-defined
+    assert isinstance(_dhash(_decode_bmp(_encode_bmp(b"abcdef" * 10))), int)
+
+
+def test_image_phash_neardup_pairs_verified(spark, sf_dir):
+    """Every emitted pair must satisfy the hamming gate, be ordered,
+    and be unique; the fixture is known to contain phash near-dups."""
+    from antidote_data_framework_spark.operators.multimodal import PHASH_MAX_HAMMING
+
+    rows = entrymod.queries()["q_image_phash_neardup"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    seen = set()
+    for r in rows:
+        assert r["media_a"] < r["media_b"]
+        assert 0 <= r["hamming"] <= PHASH_MAX_HAMMING
+        assert (r["media_a"], r["media_b"]) not in seen
+        seen.add((r["media_a"], r["media_b"]))
