@@ -602,3 +602,112 @@ def five_grams(docs: DataFrame) -> DataFrame:
         ),
     )
     return base.select("doc_id", F.explode(grams_col).alias("gram"))
+
+
+WINNOW_K = 3  # tokens per k-gram
+WINNOW_W = 4  # k-gram hashes per winnowing window
+WINNOW_B = 131
+WINNOW_P = 1000000007
+
+
+@spark_query(
+    "q_doc_winnowing",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+),
+sv AS (
+  SELECT doc_id,
+         list_transform(ts, t -> LENGTH(t) * 31 + (ord(t[1]) % 97)) AS s,
+         len(ts) AS n
+  FROM toks
+),
+kg AS (
+  SELECT doc_id, n,
+         CASE WHEN n >= {WINNOW_K} THEN
+           list_transform(range(1, n - {WINNOW_K} + 2),
+             i -> (s[i] * {WINNOW_B * WINNOW_B} + s[i+1] * {WINNOW_B} + s[i+2])
+                  % {WINNOW_P})
+         ELSE [] END AS h
+  FROM sv
+),
+fp AS (
+  SELECT doc_id, len(h) AS n_kgrams,
+         CASE WHEN len(h) >= {WINNOW_W} THEN
+           list_distinct(list_transform(range(1, len(h) - {WINNOW_W} + 2),
+             i -> list_aggregate(h[i:i+{WINNOW_W - 1}], 'min')))
+         ELSE list_distinct(h) END AS fps
+  FROM kg
+)
+SELECT doc_id,
+       CAST(n_kgrams AS INT) AS n_kgrams,
+       CAST(len(fps) AS INT) AS n_fingerprints,
+       CAST(list_aggregate(fps, 'sum') % {WINNOW_P} AS BIGINT) AS fp_checksum
+FROM fp
+""",
+)
+def q_doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003 — the public rolling-hash fingerprinting method): per
+    document, hash every K-token gram with a polynomial rolling hash,
+    slide a W-wide window over the hash sequence, keep each window's
+    MINIMUM, and emit the distinct selected fingerprints.  Guarantees:
+    any shared run of >= W+K-1 tokens between two documents shares at
+    least one fingerprint — the position-robust, ORDER-SENSITIVE
+    complement to q_doc_fingerprint's order-free bag hash.
+
+    Engine-portable arithmetic (no engine hash functions), so the
+    fingerprint checksums hash-match DuckDB exactly.  Plan shape: one
+    pass of nested array expressions inside codegen — no explode, no
+    shuffle until the (absent) final aggregation; at 100 TB each doc's
+    fingerprint set is computed where the doc lives, and a dedup join
+    on fingerprints is the standard next stage (same banded-join shape
+    as q_minhash_lsh)."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = F.transform(
+        F.split("text", " "),
+        lambda t: F.length(t) * 31 + (F.ascii(F.substring(t, 1, 1)) % 97),
+    )
+    sv = docs.select("doc_id", s.alias("s"), F.size(s).alias("n"))
+    poly = (
+        lambda i: (
+            F.element_at("s", i) * (WINNOW_B * WINNOW_B)
+            + F.element_at("s", i + 1) * WINNOW_B
+            + F.element_at("s", i + 2)
+        )
+        % WINNOW_P
+    )
+    kg = sv.select(
+        "doc_id",
+        F.when(
+            F.col("n") >= WINNOW_K,
+            F.transform(
+                F.sequence(F.lit(1), F.col("n") - WINNOW_K + 1), poly
+            ),
+        )
+        .otherwise(F.array().cast("array<long>"))
+        .alias("h"),
+    )
+    fps = F.when(
+        F.size("h") >= WINNOW_W,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("h") - WINNOW_W + 1),
+                lambda i: F.array_min(F.slice("h", i, WINNOW_W)),
+            )
+        ),
+    ).otherwise(F.array_distinct("h"))
+    out = kg.select(
+        "doc_id",
+        F.size("h").alias("n_kgrams"),
+        fps.alias("fps"),
+    )
+    return out.select(
+        "doc_id",
+        "n_kgrams",
+        F.size("fps").alias("n_fingerprints"),
+        (
+            F.aggregate("fps", F.lit(0).cast("long"), lambda a, x: a + x)
+            % WINNOW_P
+        ).alias("fp_checksum"),
+    )

@@ -313,3 +313,56 @@ def test_codec_tradeoff_rows_invariant_and_sizes_ordered(spark, sf_dir):
     assert len({r["n_rows"] for r in rows.values()}) == 1
     assert rows["none"]["n_bytes"] > rows["snappy"]["n_bytes"]
     assert rows["none"]["n_bytes"] > rows["zstd"]["n_bytes"]
+
+
+def test_winnowing_shared_run_guarantee(spark, tmp_path):
+    """Winnowing's core theorem: documents sharing a token run of
+    length >= W + K - 1 must share at least one fingerprint.  Built
+    on a synthetic 2-doc fixture with a planted 6-token shared run
+    and otherwise-disjoint vocabulary."""
+    from antidote_data_framework_spark.operators.textstats import (
+        WINNOW_K,
+        WINNOW_W,
+    )
+    from antidote_data_framework_spark.sources import fixtures
+
+    shared = "alpha beta gamma delta epsilon zeta"  # W+K-1 = 6 tokens
+    assert len(shared.split()) == WINNOW_W + WINNOW_K - 1
+    docs = spark.createDataFrame(
+        [
+            (0, f"one two three {shared} four five six", "en", "src0", 0),
+            (1, f"seven eight nine ten {shared} eleven", "en", "src1", 0),
+            (2, "completely different words everywhere here now", "en", "src2", 0),
+        ],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars INT",
+    )
+    fix = tmp_path / "sfW"
+    fix.mkdir()
+    docs.coalesce(1).write.mode("overwrite").parquet(str(fix / "documents.parquet"))
+    fixtures._DF_CACHE.clear()
+    try:
+        out = QUERIES["q_doc_winnowing"](spark, str(fix))
+        rows = {r["doc_id"]: r for r in out.collect()}
+        assert set(rows) == {0, 1, 2}
+        # recompute the fingerprint SETS via the same registered plan
+        # semantics: equal checksums for doc 0/1 would be a fluke, so
+        # assert set overlap directly with a python mirror
+        def mirror(text):
+            s = [len(t) * 31 + (ord(t[0]) % 97) for t in text.split(" ")]
+            h = [
+                (s[i] * 131 * 131 + s[i + 1] * 131 + s[i + 2]) % 1000000007
+                for i in range(len(s) - WINNOW_K + 1)
+            ]
+            return {
+                min(h[i : i + WINNOW_W]) for i in range(len(h) - WINNOW_W + 1)
+            }
+        f0 = mirror(f"one two three {shared} four five six")
+        f1 = mirror(f"seven eight nine ten {shared} eleven")
+        f2 = mirror("completely different words everywhere here now")
+        assert f0 & f1, "shared 6-token run produced no shared fingerprint"
+        # spark output agrees with the mirror on counts and checksum
+        for did, fset in [(0, f0), (1, f1), (2, f2)]:
+            assert rows[did]["n_fingerprints"] == len(fset)
+            assert rows[did]["fp_checksum"] == sum(fset) % 1000000007
+    finally:
+        fixtures._DF_CACHE.clear()
