@@ -231,13 +231,30 @@ class VersionedTable:
         SELECT ... WHERE key BETWEEN without touching cold files.
         Callers still apply the real predicate: the zone map is a
         superset filter, never the filter itself."""
+        return self.read_pruned_all({col: (lo, hi)}, version=version)
+
+    def read_pruned_all(
+        self, preds: dict[str, tuple], version: int | None = None
+    ) -> tuple[DataFrame, int, int]:
+        """Multi-predicate file skipping: a file is kept only if its
+        zone map overlaps EVERY (col, [lo, hi]) range — the AND
+        semantics of a conjunctive predicate.  With a Z-ordered write
+        layout (q_zorder_layout) each file is tight in several
+        dimensions at once, so multi-column pruning multiplies the
+        skip rate instead of being dominated by one sort column."""
         v = self.latest_version() if version is None else version
         manifest = self._read_manifest(v)
         stats = manifest.get("stats", {})
         kept = []
         for f in manifest["files"]:
-            zm = stats.get(f, {}).get(col)
-            if zm is None or (zm[0] <= hi and zm[1] >= lo):
+            fstats = stats.get(f, {})
+            keep = True
+            for col, (lo, hi) in preds.items():
+                zm = fstats.get(col)
+                if zm is not None and not (zm[0] <= hi and zm[1] >= lo):
+                    keep = False
+                    break
+            if keep:
                 kept.append(f)
         if not kept:  # empty overlap: preserve schema with a 0-row scan
             df = self.read(v).limit(0)

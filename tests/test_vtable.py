@@ -172,3 +172,38 @@ def test_zonemap_query_prunes_files(spark, sf_dir):
     )
     got = {r["o_orderpriority"]: r["n_orders"] for r in out.collect()}
     assert got == {r["o_orderpriority"]: r["count"] for r in expect}
+
+
+def test_multi_predicate_pruning_is_conjunctive(spark, vt):
+    """read_pruned_all keeps only files overlapping EVERY range, and
+    never prunes on a column without stats."""
+    import pyspark.sql.functions as F
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 10).cast("long").alias("g"),
+        (F.col("id") * 1.5).alias("val"),
+    )
+    vt.create(df.repartitionByRange(5, "k"), collect_stats=True)
+
+    # k-range alone keeps a strict subset; adding a g-range that every
+    # file satisfies (g spans 0-9 in each file) must not prune further
+    _, tot, read_k = vt.read_pruned_all({"k": (0, 99)})
+    _, _, read_kg = vt.read_pruned_all({"k": (0, 99), "g": (0, 9)})
+    assert read_k < tot and read_kg == read_k
+
+    # an impossible second range prunes everything
+    empty, _, read0 = vt.read_pruned_all({"k": (0, 99), "g": (50, 60)})
+    assert read0 == 0 and empty.count() == 0
+
+    # equivalence: pruned scan + real predicate == full scan + predicate
+    pruned, _, _ = vt.read_pruned_all({"k": (100, 299), "g": (2, 5)})
+    want = (
+        vt.read()
+        .filter(F.col("k").between(100, 299) & F.col("g").between(2, 5))
+        .count()
+    )
+    got = pruned.filter(
+        F.col("k").between(100, 299) & F.col("g").between(2, 5)
+    ).count()
+    assert got == want > 0
