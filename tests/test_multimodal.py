@@ -155,3 +155,62 @@ def test_image_phash_neardup_pairs_verified(spark, sf_dir):
         assert 0 <= r["hamming"] <= PHASH_MAX_HAMMING
         assert (r["media_a"], r["media_b"]) not in seen
         seen.add((r["media_a"], r["media_b"]))
+
+
+def test_avi_roundtrip_is_a_real_container():
+    """Frames survive the full RIFF/AVI mux-demux round-trip: chunk
+    walking, avih geometry, bottom-up DIB rows, stride padding, and
+    even-size chunk padding all honored."""
+    from antidote_data_framework_spark.operators.multimodal import (
+        VID_H,
+        VID_W,
+        _decode_avi,
+        _encode_avi,
+    )
+
+    raw = bytes(range(256)) + bytes(range(64))  # 2.5 frames -> 3 frames
+    payload = _encode_avi(raw)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"AVI "
+    assert b"movi" in payload and b"idx1" in payload and b"00db" in payload
+    frames = _decode_avi(payload)
+    assert len(frames) == 3
+    assert all(f.shape == (VID_H, VID_W) for f in frames)
+    flat = np.concatenate([f.ravel() for f in frames]) * 255.0
+    expect = np.frombuffer(raw + b"\x00" * (3 * VID_W * VID_H - len(raw)), dtype=np.uint8)
+    np.testing.assert_allclose(flat, expect.astype(np.float64))
+
+
+def test_avi_decode_rejects_non_avi_bytes():
+    from antidote_data_framework_spark.operators.multimodal import (
+        _decode_avi,
+        _encode_wav,
+    )
+
+    with pytest.raises(Exception):
+        _decode_avi(b"not an avi at all, definitely")
+    with pytest.raises(Exception):
+        _decode_avi(_encode_wav(b"\x00" * 64))  # RIFF but WAVE, not AVI
+
+
+def test_video_framesample_conserves_frames(spark, sf_dir):
+    """n_frames_total must equal ceil(n_bytes / frame_px) per video,
+    and the sampled count the ceil-half of that."""
+    from antidote_data_framework_spark.operators.multimodal import VID_H, VID_W
+    from antidote_data_framework_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    out = entrymod.queries()["q_video_framesample"](spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.length(F.encode("text", "utf-8")).cast("long").alias("n_bytes"),
+    )
+    joined = out.join(docs, "media_id").withColumn(
+        "expect_frames",
+        F.greatest(F.ceil(F.col("n_bytes") / (VID_W * VID_H)), F.lit(1)).cast("int"),
+    )
+    bad = joined.filter(
+        (F.col("n_frames_total") != F.col("expect_frames"))
+        | (F.col("n_frames_sampled") != F.ceil(F.col("n_frames_total") / 2))
+    )
+    assert bad.count() == 0
+    assert out.count() == docs.count()
