@@ -711,3 +711,108 @@ def q_doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
             % WINNOW_P
         ).alias("fp_checksum"),
     )
+
+
+@spark_query(
+    "q_winnow_neardup",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+),
+sv AS (
+  SELECT doc_id,
+         list_transform(ts, t -> LENGTH(t) * 31 + (ord(t[1]) % 97)) AS s,
+         len(ts) AS n
+  FROM toks
+),
+kg AS (
+  SELECT doc_id, n,
+         CASE WHEN n >= {WINNOW_K} THEN
+           list_transform(range(1, n - {WINNOW_K} + 2),
+             i -> (s[i] * {WINNOW_B * WINNOW_B} + s[i+1] * {WINNOW_B} + s[i+2])
+                  % {WINNOW_P})
+         ELSE [] END AS h
+  FROM sv
+),
+fp AS (
+  SELECT doc_id,
+         CASE WHEN len(h) >= {WINNOW_W} THEN
+           list_distinct(list_transform(range(1, len(h) - {WINNOW_W} + 2),
+             i -> list_aggregate(h[i:i+{WINNOW_W - 1}], 'min')))
+         ELSE list_distinct(h) END AS fps
+  FROM kg
+),
+inv AS (SELECT doc_id, UNNEST(fps) AS fpv FROM fp)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM inv a JOIN inv b ON a.fpv = b.fpv AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= 2
+""",
+)
+def q_winnow_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document shared-run detection via the winnowing inverted
+    index — the guarantee-carrying complement to the probabilistic
+    MinHash/SimHash stack: any pair emitted here PROVABLY shares >= 2
+    selected k-gram fingerprints, and any pair sharing two token runs
+    of length >= W+K-1 is guaranteed to appear (the winnowing
+    theorem, Schleimer et al. 2003).  This is the plagiarism /
+    near-verbatim-overlap detector a training corpus runs after
+    fuzzy dedup.
+
+    Plan shape: fingerprints explode into an inverted index
+    (doc_id, fp) — the ONLY shuffle key is the 8-byte fingerprint;
+    the self-equi-join on fp is bucketed by construction (each
+    fingerprint's posting list is tiny for natural text), and the
+    >= 2 threshold is a post-join partial count.  No text bodies ever
+    shuffle; no all-pairs stage.  At 100 TB fan-out is bounded by
+    posting-list length — hot fingerprints (boilerplate) are the skew
+    knob, handled exactly like hot n-grams in
+    q_corpus_boilerplate_ngrams (drop fps with document frequency
+    above a cap before the join)."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = F.transform(
+        F.split("text", " "),
+        lambda t: F.length(t) * 31 + (F.ascii(F.substring(t, 1, 1)) % 97),
+    )
+    sv = docs.select("doc_id", s.alias("s"), F.size(s).alias("n"))
+    poly = (
+        lambda i: (
+            F.element_at("s", i) * (WINNOW_B * WINNOW_B)
+            + F.element_at("s", i + 1) * WINNOW_B
+            + F.element_at("s", i + 2)
+        )
+        % WINNOW_P
+    )
+    kg = sv.select(
+        "doc_id",
+        F.when(
+            F.col("n") >= WINNOW_K,
+            F.transform(F.sequence(F.lit(1), F.col("n") - WINNOW_K + 1), poly),
+        )
+        .otherwise(F.array().cast("array<long>"))
+        .alias("h"),
+    )
+    fps = F.when(
+        F.size("h") >= WINNOW_W,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("h") - WINNOW_W + 1),
+                lambda i: F.array_min(F.slice("h", i, WINNOW_W)),
+            )
+        ),
+    ).otherwise(F.array_distinct("h"))
+    inv = kg.select("doc_id", F.explode(fps).alias("fpv"))
+    a, b = inv.alias("a"), inv.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fpv") == F.col("b.fpv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
