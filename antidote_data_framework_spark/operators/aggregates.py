@@ -15,7 +15,7 @@ between Spark and DuckDB cannot flip the hash.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import spark_query
@@ -358,3 +358,73 @@ def q_reagg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_daily_sketches"),
     )
     return monthly.orderBy("month", "o_orderpriority")
+
+
+@spark_query(
+    "q_agg_exact_median_mode",
+    oracle="""
+WITH med AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         ROUND(median(l_quantity), 4) AS median_qty,
+         ROUND(quantile_cont(l_quantity, 0.9), 4) AS p90_qty
+  FROM lineitem GROUP BY 1, 2
+),
+cnts AS (
+  SELECT l_returnflag, l_linestatus, l_quantity AS qty,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY 1, 2, 3
+),
+mode_t AS (
+  SELECT l_returnflag, l_linestatus,
+         MIN(qty) FILTER (WHERE cnt = mx) AS mode_qty,
+         MAX(cnt) AS mode_cnt
+  FROM (SELECT *, MAX(cnt) OVER (PARTITION BY l_returnflag, l_linestatus) AS mx
+        FROM cnts)
+  GROUP BY 1, 2
+)
+SELECT m.l_returnflag, m.l_linestatus, m.n_rows, m.median_qty, m.p90_qty,
+       t.mode_qty, t.mode_cnt
+FROM med m JOIN mode_t t USING (l_returnflag, l_linestatus)
+""",
+)
+def q_agg_exact_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT order statistics per group: interpolated median and p90
+    (percentile_cont semantics) plus the mode with a DETERMINISTIC
+    min-value tie-break — the native ``mode()`` of both engines is
+    free to pick any modal value on ties, so the mode here is computed
+    explicitly from the (group, value) count relation: max count, then
+    min value among the maxima.
+
+    Shape: the median/p90 leg is one groupBy over 6 groups (exact
+    percentile holds per-group value buffers — fine because the GROUP
+    count is tiny; for high-cardinality groups the approx_percentile
+    sketch in q_agg_approx_quantile is the scale path).  The mode leg
+    pre-aggregates to (group, value) partial counts first — shuffle
+    carries at most |groups| x |distinct values| rows, never raw rows
+    — then a 6-row window + fold.  The two 6-row legs broadcast-join.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.round(F.median("l_quantity"), 4).alias("median_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.9)), 4).alias("p90_qty"),
+    )
+    cnts = li.groupBy(
+        "l_returnflag", "l_linestatus", F.col("l_quantity").alias("qty")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    w = Window.partitionBy("l_returnflag", "l_linestatus")
+    mode_t = (
+        cnts.withColumn("mx", F.max("cnt").over(w))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.min(F.when(F.col("cnt") == F.col("mx"), F.col("qty"))).alias("mode_qty"),
+            F.max("cnt").alias("mode_cnt"),
+        )
+    )
+    return med.join(
+        F.broadcast(mode_t), ["l_returnflag", "l_linestatus"]
+    ).select(
+        "l_returnflag", "l_linestatus", "n_rows", "median_qty", "p90_qty",
+        "mode_qty", "mode_cnt",
+    )

@@ -293,3 +293,71 @@ def q_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return tag(hourly, "hour").unionAll(tag(daily, "day")).unionAll(tag(weekly, "week"))
+
+
+@spark_query(
+    "q_ewma_smooth",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_id,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS c,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         list(CAST(ROUND(value * 100, 0) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS arr
+  FROM events
+)
+SELECT user_id, rn, event_id, c,
+       ROUND(CAST(CAST(list_sum(list_transform(range(1, len(arr)+1),
+                 i -> arr[i] * (CAST(1 AS BIGINT) << (i-1)))) AS BIGINT) AS DOUBLE)
+             / CAST((CAST(1 AS BIGINT) << len(arr)) - 1 AS DOUBLE), 6) AS ewma_cents
+FROM seq
+""",
+)
+def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (alpha = 1/2, lookback 12)
+    of each user's event-value stream — the smoothing pass between raw
+    gauges and anomaly/trend features.
+
+    Determinism across engines is usually the EWMA killer (pow() of a
+    float decay is not ulp-identical between JVM and C runtimes), so
+    the decay here is BINARY: weight of the j-th most recent sample is
+    2^-j, i.e. the weighted numerator is an exact integer
+    Sigma c_i << i over the frame (max ~1e6 cents * 2^11 * 12 well
+    inside int64) and the denominator is 2^L - 1.  One exact int
+    division-to-double at the end; no pow(), no float accumulation.
+
+    Plan shape: ONE window exchange on user_id serves row_number and
+    the 12-row frame collect; the per-row weighted fold is a codegen
+    array expression (zip_with + aggregate) on data already sitting in
+    the task — no second shuffle, no UDF.  At 100 TB the frame bound
+    (12) caps per-row state; an unbounded EWMA would instead be the
+    running-recurrence form s_i = (c_i + s_{i-1}) / 2-ish, which is a
+    sequential scan per key — the bounded-window form is the one that
+    parallelizes."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(-11, Window.currentRow)
+    c = F.round(F.col("value") * 100, 0).cast("long")
+    seq = events.select(
+        "user_id",
+        "event_id",
+        c.alias("c"),
+        F.row_number().over(w).alias("rn"),
+        F.collect_list(c).over(wf).alias("arr"),
+    )
+    # Horner fold, newest-first: acc*2 + x accumulates exactly
+    # Sigma c_i << i (oldest sample ends at weight 2^0).
+    weighted = F.aggregate(
+        F.reverse("arr"),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc * 2 + x,
+    )
+    den = F.expr("CAST(1 AS BIGINT) << size(arr)") - 1
+    return seq.select(
+        "user_id",
+        "rn",
+        "event_id",
+        "c",
+        F.round(weighted.cast("double") / den.cast("double"), 6).alias("ewma_cents"),
+    )
