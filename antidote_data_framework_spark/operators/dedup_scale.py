@@ -169,3 +169,103 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.filter(F.col("cos_raw") >= 0.15)
         .select("vec_a", "vec_b", "label", F.round("cos_raw", 4).alias("cosine_sim"))
     )
+
+
+# Sign-bit coarse clustering for semantic dedup: 8 leading dims -> 256
+# deterministic buckets.  Unlike learned KMeans cells this is
+# hash-matchable cross-engine, and the blocking guarantee is the same
+# shape: pairs are only scored within a bucket.
+SEMDEDUP_SIGN_DIMS = 8
+
+
+@spark_query(
+    "q_semantic_dedup",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, embedding,
+         list_sum(list_transform(range(1, {SEMDEDUP_SIGN_DIMS + 1}),
+           i -> CASE WHEN embedding[i] >= 0 THEN 1 << (i - 1) ELSE 0 END))
+           AS bucket
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS keep_cand, b.vec_id AS vec_id
+  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        / (SQRT(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+           * SQRT(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))
+        >= 0.15
+),
+kmin AS (
+  SELECT vec_id, MIN(keep_cand) AS min_neighbor,
+         CAST(COUNT(*) AS BIGINT) AS n_smaller_neighbors
+  FROM pairs GROUP BY vec_id
+)
+SELECT v.vec_id, CAST(v.bucket AS BIGINT) AS bucket,
+       COALESCE(k.min_neighbor, v.vec_id) AS keeper_id,
+       (k.min_neighbor IS NULL) AS is_kept,
+       COALESCE(k.n_smaller_neighbors, 0) AS n_smaller_neighbors
+FROM v LEFT JOIN kmin k ON v.vec_id = k.vec_id
+""",
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication (Abbas et al. 2023):
+    coarse-cluster the embedding space, score exact cosine ONLY within
+    a cluster, and keep one representative per near-duplicate
+    neighborhood (the smallest vec_id; every other member points at
+    its keeper).  This is the embedding-space analogue of document
+    dedup — it removes *semantically* redundant training points that
+    no lexical dedup can see.
+
+    The coarse clusters here are the 8 leading sign bits (256
+    deterministic cells) so the whole operator — blocking included —
+    hash-matches DuckDB; in production the bucket column comes from
+    q_kmeans_labels centroids instead, and the within-cell pass is
+    unchanged.  Keeper election is ONE-HOP (min smaller-id cosine
+    neighbor), the per-cell greedy SemDeDup uses; transitive-closure
+    canonicalization on top of these edges is exactly
+    q_dedup_components.
+
+    Shape: bucket assignment is a per-row array fold in codegen on the
+    scan; the self-join shuffles (bucket, id, vec) once on an 8-bit
+    key; within-cell pairs are the only cosine evaluations (cells
+    bound the quadratic term: n²/256 in expectation for isotropic
+    data).  The keeper rollup and the left-join back both reuse the
+    vec_id hash partitioning.  At 100 TB: cells come from a trained
+    coarse quantizer (IVF), hot cells get a second-level split —
+    the within-cell exact pass is embarrassingly parallel per cell."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    # Horner fold over the REVERSED leading dims: dim 1 lands on the
+    # 2^0 bit, matching the oracle's 1 << (i-1) weighting.
+    bucket = F.aggregate(
+        F.reverse(F.slice("embedding", 1, SEMDEDUP_SIGN_DIMS)),
+        F.lit(0),
+        lambda acc, x: acc * 2 + F.when(x >= 0, 1).otherwise(0),
+    )
+    v = emb.select("vec_id", "embedding", bucket.cast("long").alias("bucket"))
+    a, b = v.alias("a"), v.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cosine(F.col("a.embedding"), F.col("b.embedding")) >= 0.15)
+        .select(
+            F.col("a.vec_id").alias("keep_cand"), F.col("b.vec_id").alias("vec_id")
+        )
+    )
+    kmin = pairs.groupBy("vec_id").agg(
+        F.min("keep_cand").alias("min_neighbor"),
+        F.count(F.lit(1)).cast("bigint").alias("n_smaller_neighbors"),
+    )
+    return v.join(kmin, "vec_id", "left").select(
+        "vec_id",
+        "bucket",
+        F.coalesce("min_neighbor", "vec_id").alias("keeper_id"),
+        F.col("min_neighbor").isNull().alias("is_kept"),
+        F.coalesce("n_smaller_neighbors", F.lit(0).cast("bigint")).alias(
+            "n_smaller_neighbors"
+        ),
+    )

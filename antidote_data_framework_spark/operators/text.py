@@ -458,3 +458,95 @@ def q_text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(25)
         .drop("containment_raw")
     )
+
+
+@spark_query(
+    "q_dedup_chunk_prune",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t, len(string_split(text, ' ')) AS n
+  FROM documents WHERE LENGTH(text) > 0
+),
+chunks AS (
+  SELECT doc_id, n,
+         CAST(cidx AS BIGINT) AS chunk_idx,
+         CAST(LEAST(32, n - cidx * 32) AS BIGINT) AS n_tok,
+         md5(array_to_string(t[cidx * 32 + 1 : cidx * 32 + 32], ' ')) AS h
+  FROM (SELECT doc_id, t, n,
+               unnest(range(0, CAST(CEIL(n / 32.0) AS BIGINT))) AS cidx
+        FROM toks)
+),
+owner AS (
+  SELECT h, MIN(doc_id * 1000 + chunk_idx) AS keeper_key
+  FROM chunks GROUP BY h
+)
+SELECT c.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN o.keeper_key <> c.doc_id * 1000 + c.chunk_idx
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       CAST(SUM(c.n_tok) AS BIGINT) AS tokens_total,
+       CAST(SUM(CASE WHEN o.keeper_key = c.doc_id * 1000 + c.chunk_idx
+                     THEN c.n_tok ELSE 0 END) AS BIGINT) AS tokens_kept
+FROM chunks c JOIN owner o ON c.h = o.h
+GROUP BY c.doc_id
+""",
+)
+def q_dedup_chunk_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-granular exact dedup across the WHOLE corpus — the
+    practical form of exact-substring training-data dedup (Lee et al.
+    2022 dedup at span level rather than document level): every
+    document splits into non-overlapping 32-token chunks, each chunk
+    is hashed, and for every hash ONE canonical occurrence (the
+    lexicographically-first (doc_id, chunk_idx)) is kept; all other
+    occurrences are pruned.  Output is the per-document accounting a
+    curation run reports: chunks, duplicate chunks, tokens before and
+    after pruning — document-level dedup misses the boilerplate spans
+    this catches inside otherwise-unique documents.
+
+    Shape: chunking + md5 run inside the scan stage (array slice +
+    hash, zero Python); the ONLY shuffled payload is (16-byte hash,
+    packed 8-byte position) — chunk TEXT never shuffles.  One groupBy
+    on the hash elects keepers, one hash-equi-join back, one per-doc
+    rollup.  The packed keeper key (doc_id*1000+chunk_idx; chunk_idx
+    < 1000 is guaranteed by the 32-token chunk over <32k-token docs
+    and asserted by construction) turns keeper election into a plain
+    MIN — no struct min or window needed.  At 100 TB the hash groupBy
+    is uniform by construction (md5), so no skew handling is needed
+    except for the degenerate all-identical-chunk corpus, where the
+    partial-aggregated MIN still collapses map-side."""
+    CHUNK = 32
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    t = F.split("text", " ")
+    base = docs.select("doc_id", t.alias("t"), F.size(t).alias("n"))
+    chunks = (
+        base.select(
+            "doc_id", "t", "n",
+            F.explode(
+                F.sequence(F.lit(0), F.ceil(F.col("n") / F.lit(float(CHUNK))) - 1)
+            ).alias("cidx"),
+        )
+        .select(
+            "doc_id",
+            F.col("cidx").cast("long").alias("chunk_idx"),
+            F.least(F.lit(CHUNK), F.col("n") - F.col("cidx") * CHUNK)
+            .cast("long")
+            .alias("n_tok"),
+            F.md5(
+                F.array_join(
+                    F.slice("t", (F.col("cidx") * CHUNK + 1).cast("int"), CHUNK), " "
+                )
+            ).alias("h"),
+        )
+    )
+    packed = F.col("doc_id") * 1000 + F.col("chunk_idx")
+    owner = chunks.groupBy("h").agg(F.min(packed).alias("keeper_key"))
+    joined = chunks.join(owner, "h")
+    kept = F.col("keeper_key") == packed
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.sum(F.when(~kept, 1).otherwise(0)).cast("bigint").alias("n_dup_chunks"),
+        F.sum("n_tok").cast("bigint").alias("tokens_total"),
+        F.sum(F.when(kept, F.col("n_tok")).otherwise(0))
+        .cast("bigint")
+        .alias("tokens_kept"),
+    )
