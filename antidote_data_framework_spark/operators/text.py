@@ -550,3 +550,106 @@ def q_dedup_chunk_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("tokens_kept"),
     )
+
+
+@spark_query(
+    "q_setsim_prefix_join",
+    oracle="""
+WITH tok AS (
+  SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS w
+  FROM documents
+),
+df AS (SELECT w, COUNT(*) AS dfreq FROM tok GROUP BY w),
+ranked AS (
+  SELECT t.doc_id, t.w,
+         ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY d.dfreq, t.w) AS rk,
+         COUNT(*) OVER (PARTITION BY t.doc_id) AS n
+  FROM tok t JOIN df d ON t.w = d.w
+),
+prefix AS (
+  SELECT doc_id, w FROM ranked
+  WHERE rk <= n - CAST(CEIL(0.6 * n) AS BIGINT) + 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM prefix a JOIN prefix b ON a.w = b.w AND a.doc_id < b.doc_id
+),
+sets AS (SELECT doc_id, list(w ORDER BY w) AS arr, COUNT(*) AS n FROM tok GROUP BY doc_id),
+scored AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(len(list_intersect(sa.arr, sb.arr)) AS BIGINT) AS n_common,
+         sa.n + sb.n - len(list_intersect(sa.arr, sb.arr)) AS n_union
+  FROM cand c
+  JOIN sets sa ON sa.doc_id = c.doc_a
+  JOIN sets sb ON sb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, n_common,
+       ROUND(n_common * 1.0 / n_union, 4) AS jaccard
+FROM scored
+WHERE n_common * 1.0 / n_union >= 0.6
+""",
+)
+def q_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-similarity join with PREFIX FILTERING (the PPJoin family,
+    Xiao et al. WWW'08): exact Jaccard >= 0.6 over distinct-token
+    sets, but candidate pairs are generated ONLY from each document's
+    prefix — its |d| - ceil(t*|d|) + 1 RAREST tokens under a global
+    (document-frequency, token) order.  The prefix-filter theorem
+    guarantees completeness: two sets with Jaccard >= t MUST share at
+    least one prefix token, so unlike MinHash this loses nothing, and
+    unlike q_jaccard_block it needs no blocking attribute — the data
+    itself provides the blocks.
+
+    Shape: token DF is one groupBy; per-doc rank is a doc-partitioned
+    window (doc-sized state); the candidate join touches only prefix
+    postings — rare tokens by construction, so posting lists are
+    short and the join fan-out stays near-linear while frequent
+    (boilerplate) tokens never generate candidates at all — the exact
+    inverse of the hot-key problem.  Verification joins the candidate
+    pairs (not all pairs) against per-doc sorted token arrays and
+    intersects in codegen.  At 100 TB the DF relation is vocabulary-
+    sized (broadcastable); everything else keys on token or doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
+    )
+    dfreq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("dfreq"))
+    wdoc = Window.partitionBy("doc_id")
+    ranked = (
+        tok.join(F.broadcast(dfreq), "w")
+        .withColumn("rk", F.row_number().over(wdoc.orderBy("dfreq", "w")))
+        .withColumn("n", F.count(F.lit(1)).over(wdoc))
+    )
+    prefix = ranked.filter(
+        F.col("rk") <= F.col("n") - F.ceil(0.6 * F.col("n")) + 1
+    ).select("doc_id", "w")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sets = tok.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("w")).alias("arr"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    inter = F.size(F.array_intersect(F.col("sa.arr"), F.col("sb.arr")))
+    scored = (
+        cand.join(sets.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sets.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.cast("bigint").alias("n_common"),
+            (F.col("sa.n") + F.col("sb.n") - inter).alias("n_union"),
+        )
+    )
+    return (
+        scored.filter(F.col("n_common") * 1.0 / F.col("n_union") >= 0.6)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            F.round(F.col("n_common") * 1.0 / F.col("n_union"), 4).alias("jaccard"),
+        )
+    )

@@ -816,3 +816,81 @@ def q_winnow_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= 2)
     )
+
+
+@spark_query(
+    "q_corpus_token_budget",
+    oracle="""
+WITH per_source AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens,
+         1 + (CAST(SUBSTR(source, 4) AS INTEGER) % 3) AS weight
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT SUM(tokens) AS corpus_tokens,
+         SUM(weight * tokens) AS wsum
+  FROM per_source
+)
+SELECT s.source, s.n_docs, s.tokens, CAST(s.weight AS BIGINT) AS weight,
+       CAST(FLOOR(0.5 * t.corpus_tokens * (s.weight * s.tokens) * 1.0 / t.wsum)
+            AS BIGINT) AS alloc_tokens,
+       ROUND(LEAST(4.0,
+         FLOOR(0.5 * t.corpus_tokens * (s.weight * s.tokens) * 1.0 / t.wsum)
+           * 1.0 / s.tokens), 4) AS epochs,
+       CAST(FLOOR(LEAST(4.0,
+         FLOOR(0.5 * t.corpus_tokens * (s.weight * s.tokens) * 1.0 / t.wsum)
+           * 1.0 / s.tokens) * s.tokens) AS BIGINT) AS tokens_served
+FROM per_source s CROSS JOIN tot t
+""",
+)
+def q_corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture planning — the TRAINING-RUN side of corpus
+    curation (q_corpus_mixture plans which documents survive; this
+    plans how many TOKENS each source contributes to a fixed training
+    budget, including repetition): each source gets a
+    weight-proportional share of a budget equal to half the corpus,
+    expressed as epochs over that source, with epochs capped at 4
+    (repeating data beyond a few epochs stops helping — the
+    data-constrained scaling regime of Muennighoff et al. 2023).
+
+    All quantities are exact integers (token counts, weights) until
+    the final epoch ratio, so the plan hash-matches across engines.
+
+    Shape: one groupBy(source) over the corpus computes the token
+    census (sum of per-row token counts — partial-aggregated, the
+    scan's only shuffle), the totals row is a 1-row cross join
+    broadcast, and the allocation arithmetic is per-source codegen.
+    The output IS the sampling spec a 100 TB training-data job
+    executes (epochs < 1 -> subsample rate; epochs > 1 -> repeat
+    count), so planning cost is one census pass regardless of
+    corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("tokens"),
+        (1 + F.substring(F.first("source"), 4, 10).cast("int") % 3).alias("weight"),
+    )
+    tot = per_source.agg(
+        F.sum("tokens").alias("corpus_tokens"),
+        F.sum(F.col("weight") * F.col("tokens")).alias("wsum"),
+    )
+    j = per_source.crossJoin(F.broadcast(tot))
+    alloc = F.floor(
+        0.5
+        * F.col("corpus_tokens")
+        * (F.col("weight") * F.col("tokens"))
+        * 1.0
+        / F.col("wsum")
+    )
+    epochs = F.least(F.lit(4.0), alloc * 1.0 / F.col("tokens"))
+    return j.select(
+        "source",
+        "n_docs",
+        "tokens",
+        F.col("weight").cast("bigint").alias("weight"),
+        alloc.cast("bigint").alias("alloc_tokens"),
+        F.round(epochs, 4).alias("epochs"),
+        F.floor(epochs * F.col("tokens")).cast("bigint").alias("tokens_served"),
+    )
