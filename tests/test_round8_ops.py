@@ -1,0 +1,165 @@
+"""Property tests for the round-8 batch (EWMA, exact median/mode,
+chunk pruning, semantic dedup, prefix-filter join, token budget, geo
+kNN): laws the differential oracle can't express — completeness
+guarantees, bound checks, and brute-force cross-checks on the tiny SF.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from antidote_data_framework_spark.sources import load_table
+
+QUERIES = entrymod.queries()
+
+
+def test_ewma_is_bounded_by_window_extremes(spark, sf_dir):
+    """Any weighted average with positive weights lies in
+    [min, max] of its window; spot-check with a per-user replay."""
+    rows = QUERIES["q_ewma_smooth"](spark, sf_dir).collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for user, rs in list(by_user.items())[:20]:
+        rs.sort(key=lambda r: r["rn"])
+        cs = [r["c"] for r in rs]
+        for i, r in enumerate(rs):
+            win = cs[max(0, i - 11) : i + 1]
+            assert min(win) - 1e-6 <= r["ewma_cents"] <= max(win) + 1e-6
+            # binary decay: the newest sample carries >= half the weight
+            # of the whole window, so the EWMA sits within half the
+            # window range of the newest value.
+            assert abs(r["ewma_cents"] - cs[i]) <= (max(win) - min(win)) / 2 + 1e-6
+
+
+def test_ewma_first_row_equals_value(spark, sf_dir):
+    rows = QUERIES["q_ewma_smooth"](spark, sf_dir).collect()
+    for r in rows:
+        if r["rn"] == 1:
+            assert r["ewma_cents"] == float(r["c"])
+
+
+def test_median_mode_against_python(spark, sf_dir):
+    """Brute-force the order statistics per group from raw rows."""
+    import statistics
+
+    got = {
+        (r["l_returnflag"], r["l_linestatus"]): r
+        for r in QUERIES["q_agg_exact_median_mode"](spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity"
+    ).collect()
+    groups: dict = {}
+    for r in li:
+        groups.setdefault((r["l_returnflag"], r["l_linestatus"]), []).append(
+            r["l_quantity"]
+        )
+    assert set(got) == set(groups)
+    for key, vals in groups.items():
+        r = got[key]
+        assert r["n_rows"] == len(vals)
+        assert abs(r["median_qty"] - statistics.median(vals)) < 1e-6
+        counts: dict = {}
+        for v in vals:
+            counts[v] = counts.get(v, 0) + 1
+        best = max(counts.values())
+        assert r["mode_cnt"] == best
+        assert r["mode_qty"] == min(v for v, c in counts.items() if c == best)
+
+
+def test_chunk_prune_conserves_tokens_and_keeps_first_doc_intact(spark, sf_dir):
+    rows = QUERIES["q_dedup_chunk_prune"](spark, sf_dir).collect()
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    total_kept = 0
+    for r in rows:
+        assert 0 <= r["n_dup_chunks"] <= r["n_chunks"]
+        assert r["tokens_kept"] <= r["tokens_total"]
+        assert r["tokens_total"] == len(docs[r["doc_id"]].split(" "))
+        total_kept += r["tokens_kept"]
+    # the corpus-wide kept set contains every DISTINCT chunk exactly once
+    all_chunks = []
+    for text in docs.values():
+        toks = text.split(" ")
+        for i in range(0, len(toks), 32):
+            all_chunks.append(" ".join(toks[i : i + 32]))
+    distinct_tokens = sum(
+        len(c.split(" ")) for c in dict.fromkeys(all_chunks)
+    )
+    assert total_kept == distinct_tokens
+
+
+def test_semantic_dedup_keeper_properties(spark, sf_dir):
+    rows = QUERIES["q_semantic_dedup"](spark, sf_dir).collect()
+    by_id = {r["vec_id"]: r for r in rows}
+    assert len(by_id) == len(rows)  # one row per vector
+    for r in rows:
+        assert r["keeper_id"] <= r["vec_id"]
+        assert r["is_kept"] == (r["keeper_id"] == r["vec_id"])
+        if not r["is_kept"]:
+            # a keeper pointer must target a vector in the same bucket
+            assert by_id[r["keeper_id"]]["bucket"] == r["bucket"]
+
+
+def test_prefix_join_is_complete_vs_bruteforce(spark, sf_dir):
+    """Prefix filtering must lose NOTHING: compare against the
+    all-pairs exact Jaccard >= 0.6 on the raw corpus."""
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in QUERIES["q_setsim_prefix_join"](spark, sf_dir).collect()
+    }
+    sets = {
+        r["doc_id"]: set(r["text"].split(" "))
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    expect = {}
+    for (da, sa), (db, sb) in itertools.combinations(sorted(sets.items()), 2):
+        inter = len(sa & sb)
+        union = len(sa | sb)
+        if union and inter / union >= 0.6:
+            expect[(da, db)] = round(inter / union, 4)
+    assert got == expect
+
+
+def test_token_budget_caps_and_budget(spark, sf_dir):
+    rows = QUERIES["q_corpus_token_budget"](spark, sf_dir).collect()
+    corpus_tokens = sum(r["tokens"] for r in rows)
+    for r in rows:
+        assert 0 < r["epochs"] <= 4.0
+        assert r["tokens_served"] <= 4 * r["tokens"]
+    # allocations never exceed the budget (floor rounding only loses)
+    assert sum(r["alloc_tokens"] for r in rows) <= 0.5 * corpus_tokens + 1
+
+
+def test_geo_knn_nearest_is_truly_nearest_within_neighborhood(spark, sf_dir):
+    """Replay the 3x3-cell search in Python; the picked supplier must
+    be the true within-neighborhood argmin with suppkey tie-break."""
+    rows = QUERIES["q_geo_grid_knn"](spark, sf_dir).collect()
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey").collect()
+    sup_pts = {}
+    for r in supp:
+        k = r["s_suppkey"]
+        sup_pts[k] = (-60 + (k * 6271 % 12000) / 100.0, -180 + (k * 99991 % 36000) / 100.0)
+    import math
+
+    for r in rows:
+        clat, clon = r["c_lat"], r["c_lon"]
+        ccell = (math.floor(clat / 5), math.floor(clon / 5))
+        cands = []
+        for k, (slat, slon) in sup_pts.items():
+            scell = (math.floor(slat / 5), math.floor(slon / 5))
+            if abs(scell[0] - ccell[0]) <= 1 and abs(scell[1] - ccell[1]) <= 1:
+                d2 = (clat - slat) ** 2 + (clon - slon) ** 2
+                cands.append((d2, k))
+        if not cands:
+            assert r["nearest_suppkey"] is None
+        else:
+            d2, k = min(cands)
+            assert r["nearest_suppkey"] == k
+            assert abs(r["dist2_deg"] - round(d2, 4)) < 1e-6
