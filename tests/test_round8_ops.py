@@ -109,7 +109,7 @@ def test_semantic_dedup_keeper_properties(spark, sf_dir):
 
 def test_prefix_join_is_complete_vs_bruteforce(spark, sf_dir):
     """Prefix filtering must lose NOTHING: compare against the
-    all-pairs exact Jaccard >= 0.6 on the raw corpus."""
+    all-pairs exact Jaccard >= 0.9 on the operator's doc cohort."""
     got = {
         (r["doc_a"], r["doc_b"]): r["jaccard"]
         for r in QUERIES["q_setsim_prefix_join"](spark, sf_dir).collect()
@@ -117,12 +117,13 @@ def test_prefix_join_is_complete_vs_bruteforce(spark, sf_dir):
     sets = {
         r["doc_id"]: set(r["text"].split(" "))
         for r in load_table(spark, sf_dir, "documents").collect()
+        if r["doc_id"] % 20 == 0
     }
     expect = {}
     for (da, sa), (db, sb) in itertools.combinations(sorted(sets.items()), 2):
         inter = len(sa & sb)
         union = len(sa | sb)
-        if union and inter / union >= 0.6:
+        if union and inter / union >= 0.9:
             expect[(da, db)] = round(inter / union, 4)
     assert got == expect
 
