@@ -975,3 +975,127 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("n_sensitive"), 4).alias("avg_diversity"),
         )
     )
+
+
+@spark_query(
+    "q_t_closeness",
+    oracle="""
+WITH q AS (
+  SELECT quantile_cont(c_acctbal, 0.25) AS q1,
+         quantile_cont(c_acctbal, 0.50) AS q2,
+         quantile_cont(c_acctbal, 0.75) AS q3
+  FROM customer
+),
+banded AS (
+  SELECT c.c_nationkey, c.c_mktsegment,
+         CASE WHEN c.c_acctbal <= q.q1 THEN 1
+              WHEN c.c_acctbal <= q.q2 THEN 2
+              WHEN c.c_acctbal <= q.q3 THEN 3
+              ELSE 4 END AS band
+  FROM customer c CROSS JOIN q
+),
+cls AS (
+  SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS class_sz
+  FROM banded GROUP BY 1, 2
+),
+gband AS (
+  SELECT band, COUNT(*) * 1.0 / SUM(COUNT(*)) OVER () AS gfrac
+  FROM banded GROUP BY band
+),
+cells AS (
+  SELECT c.c_nationkey, c.c_mktsegment, c.class_sz, g.band, g.gfrac,
+         COALESCE(b.n, 0) * 1.0 / c.class_sz AS cfrac
+  FROM cls c
+  CROSS JOIN gband g
+  LEFT JOIN (SELECT c_nationkey, c_mktsegment, band, COUNT(*) AS n
+             FROM banded GROUP BY 1, 2, 3) b
+    ON b.c_nationkey = c.c_nationkey AND b.c_mktsegment = c.c_mktsegment
+   AND b.band = g.band
+),
+cum AS (
+  SELECT c_nationkey, c_mktsegment, class_sz,
+         SUM(cfrac - gfrac) OVER (
+           PARTITION BY c_nationkey, c_mktsegment ORDER BY band) AS cumdiff
+  FROM cells
+)
+SELECT c_nationkey, c_mktsegment, class_sz,
+       ROUND(SUM(ABS(cumdiff)) / 3.0, 4) AS emd,
+       (SUM(ABS(cumdiff)) / 3.0 <= 0.2) AS passes_t
+FROM cum GROUP BY 1, 2, 3
+""",
+)
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-closeness audit (Li et al. ICDE'07) — the third rung of the
+    governance ladder after q_k_anonymity (class size) and
+    q_l_diversity (sensitive-value count): each quasi-identifier class
+    (nation, segment) must have a sensitive-attribute DISTRIBUTION
+    close to the global one, measured by Earth Mover's Distance over
+    the ordered attribute (account balance in global quartile bands):
+    EMD = (1/(B-1)) * Sigma |cumulative(class_frac - global_frac)|.
+    L-diversity alone passes a class whose balances are 99% in the top
+    band — t-closeness is what catches that skew-disclosure.
+
+    Determinism: band boundaries are exact interpolated quartiles
+    (cross-engine stable, same as q_agg_exact_median_mode), band
+    assignment is threshold comparison, and the EMD is a <= 4-term
+    cumulative sum of count ratios — rational arithmetic until one
+    final round.
+
+    Shape: ONE pass bands every record (boundaries are a broadcast
+    1-row aggregate); class sizes, global band fractions, and
+    class-band cells are all aggregations bounded by QI x band
+    cardinality (125 x 4) — the record stream is never joined to
+    itself, and the EMD window runs over 4-row partitions.  At 100 TB
+    the quartiles come from approx_percentile (sketch) instead; every
+    other stage is already record-count-free after the first
+    aggregation."""
+    cust = load_table(spark, sf_dir, "customer")
+    q = cust.agg(
+        F.percentile("c_acctbal", F.lit(0.25)).alias("q1"),
+        F.percentile("c_acctbal", F.lit(0.50)).alias("q2"),
+        F.percentile("c_acctbal", F.lit(0.75)).alias("q3"),
+    )
+    banded = cust.crossJoin(F.broadcast(q)).select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.when(F.col("c_acctbal") <= F.col("q1"), 1)
+        .when(F.col("c_acctbal") <= F.col("q2"), 2)
+        .when(F.col("c_acctbal") <= F.col("q3"), 3)
+        .otherwise(4)
+        .alias("band"),
+    )
+    cls = banded.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("class_sz")
+    )
+    glob = (
+        banded.groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "band", (F.col("n") * 1.0 / F.sum("n").over(Window.partitionBy())).alias("gfrac")
+        )
+    )
+    cell_counts = banded.groupBy("c_nationkey", "c_mktsegment", "band").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    cells = (
+        cls.crossJoin(F.broadcast(glob))
+        .join(cell_counts, ["c_nationkey", "c_mktsegment", "band"], "left")
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "class_sz",
+            "band",
+            "gfrac",
+            (F.coalesce(F.col("n"), F.lit(0)) * 1.0 / F.col("class_sz")).alias("cfrac"),
+        )
+    )
+    wcum = (
+        Window.partitionBy("c_nationkey", "c_mktsegment")
+        .orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = cells.withColumn("cumdiff", F.sum(F.col("cfrac") - F.col("gfrac")).over(wcum))
+    return cum.groupBy("c_nationkey", "c_mktsegment", "class_sz").agg(
+        F.round(F.sum(F.abs("cumdiff")) / 3.0, 4).alias("emd"),
+        (F.sum(F.abs("cumdiff")) / 3.0 <= 0.2).alias("passes_t"),
+    )

@@ -316,3 +316,94 @@ def q_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_recall"),
         )
     )
+
+
+# Deterministic +/-1 projection matrix for q_random_projection: the
+# sign at (i, j) is a fixed integer mixing law, so both engines build
+# bit-identical matrices with zero driver state.  Production swaps
+# this for a seeded xxhash sign — the plan does not change.
+RP_OUT_DIMS = 16
+RP_IN_DIMS = 64
+
+
+def _rp_sign(i, j):
+    """+1/-1 from integer mixing; i, j are Columns or ints."""
+    return F.when(((i * 73 + j * 151 + i * j * 1009) % 97) < 48, 1.0).otherwise(-1.0)
+
+
+@spark_query(
+    "q_random_projection",
+    oracle=f"""
+WITH proj AS (
+  SELECT vec_id,
+         list_transform(range(0, {RP_OUT_DIMS}), j ->
+           list_sum(list_transform(range(1, {RP_IN_DIMS} + 1), i ->
+             CAST(embedding[i] AS DOUBLE)
+             * (CASE WHEN ((i-1) * 73 + j * 151 + (i-1) * j * 1009) % 97 < 48
+                     THEN 1.0 ELSE -1.0 END))) / 4.0) AS p,
+         list_sum(list_transform(embedding,
+           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS norm2_in
+  FROM embeddings
+)
+SELECT vec_id,
+       array_to_string(list_transform(p,
+         x -> CAST(CAST(ROUND(x * 10000, 0) AS BIGINT) AS VARCHAR)), ',')
+         AS proj_units,
+       ROUND(list_sum(list_transform(p, x -> x * x)) / norm2_in, 4)
+         AS norm_ratio
+FROM proj
+""",
+)
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: 64-dim embeddings down
+    to 16 dims via a dense +/-1 sign matrix scaled by 1/sqrt(k)
+    (Achlioptas 2003 — database-friendly random projections).  The
+    data-INDEPENDENT cheap twin of q_pca_project: no training pass, no
+    Gram matrix, distance preservation within (1 +/- eps) with high
+    probability — the emitted norm_ratio column IS that guarantee made
+    visible per row.
+
+    Shape: the whole projection is a per-row nested array fold in
+    whole-stage codegen — no UDF, no shuffle, no driver matrix
+    (signs are generated in-expression from the (i, j) mixing law).
+    At 100 TB this is the ideal operator: embarrassingly parallel on
+    the scan, output 4x narrower than input, and downstream ANN
+    (q_knn_lsh / q_ivf_cosine_topk) runs on the 16-dim column at a
+    quarter of the dot-product cost."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    p = F.transform(
+        F.sequence(F.lit(0), F.lit(RP_OUT_DIMS - 1)),
+        lambda j: F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.sequence(F.lit(0), F.lit(RP_IN_DIMS - 1)),
+                lambda x, i: x.cast("double") * _rp_sign(i, j),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / 4.0,
+    )
+    norm2_in = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    base = emb.select("vec_id", p.alias("p"), norm2_in.alias("norm2_in"))
+    norm2_p = F.aggregate(
+        F.transform(F.col("p"), lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+    )
+    # scalar-column output rule: components ship as exact integer
+    # 1e-4 units joined into one string (double->string formatting is
+    # engine-specific; integers are not).
+    return base.select(
+        "vec_id",
+        F.array_join(
+            F.transform(
+                F.col("p"),
+                lambda x: F.round(x * 10000, 0).cast("bigint").cast("string"),
+            ),
+            ",",
+        ).alias("proj_units"),
+        F.round(norm2_p / F.col("norm2_in"), 4).alias("norm_ratio"),
+    )
