@@ -164,3 +164,31 @@ def test_geo_knn_nearest_is_truly_nearest_within_neighborhood(spark, sf_dir):
             d2, k = min(cands)
             assert r["nearest_suppkey"] == k
             assert abs(r["dist2_deg"] - round(d2, 4)) < 1e-6
+
+
+def test_t_closeness_emd_bounds(spark, sf_dir):
+    """EMD over 4 bands is bounded by 2*max_cum/3 <= 1; classes
+    equal to the global distribution must score ~0."""
+    rows = QUERIES["q_t_closeness"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["emd"] <= 1.0
+        assert r["passes_t"] == (r["emd"] <= 0.2)
+    # the union of all classes IS the global distribution, so the
+    # class-size-weighted mean EMD must be well below the max
+    total = sum(r["class_sz"] for r in rows)
+    wmean = sum(r["emd"] * r["class_sz"] for r in rows) / total
+    assert wmean < 0.5
+
+
+def test_random_projection_preserves_norms_on_average(spark, sf_dir):
+    """JL: E[norm_ratio] = 1; check the population mean is close and
+    every ratio is positive and finite."""
+    rows = QUERIES["q_random_projection"](spark, sf_dir).collect()
+    assert rows
+    ratios = [r["norm_ratio"] for r in rows]
+    for r in rows:
+        assert r["norm_ratio"] > 0
+        assert len(r["proj_units"].split(",")) == 16
+    mean = sum(ratios) / len(ratios)
+    assert 0.8 < mean < 1.2, f"JL mean norm ratio drifted: {mean}"
