@@ -131,7 +131,10 @@ def q_geo_grid_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (
         cust.alias("c")
         .join(
-            F.broadcast(supp_rep).alias("s"),
+            # no forced broadcast: supp_rep is SF-proportional (9x the
+            # supplier dim) — AQE broadcasts it while it fits and falls
+            # back to a shuffle hash join on the cell keys beyond that.
+            supp_rep.alias("s"),
             (F.floor(F.col("c.lat") / CELL_DEG) == F.col("s.cell_lat"))
             & (F.floor(F.col("c.lon") / CELL_DEG) == F.col("s.cell_lon")),
         )

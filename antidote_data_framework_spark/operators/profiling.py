@@ -1067,7 +1067,7 @@ def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     cls = banded.groupBy("c_nationkey", "c_mktsegment").agg(
         F.count(F.lit(1)).cast("bigint").alias("class_sz")
     )
-    glob = (
+    gband = (
         banded.groupBy("band")
         .agg(F.count(F.lit(1)).alias("n"))
         .select(
@@ -1078,7 +1078,7 @@ def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n")
     )
     cells = (
-        cls.crossJoin(F.broadcast(glob))
+        cls.crossJoin(F.broadcast(gband))
         .join(cell_counts, ["c_nationkey", "c_mktsegment", "band"], "left")
         .select(
             "c_nationkey",

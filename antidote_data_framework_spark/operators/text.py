@@ -628,7 +628,9 @@ def q_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("dfreq"))
     wdoc = Window.partitionBy("doc_id")
     ranked = (
-        tok.join(F.broadcast(dfreq), "w")
+        # DF is vocabulary-proportional (natural-text vocab grows with
+        # corpus) — no forced broadcast; AQE picks while it fits.
+        tok.join(dfreq, "w")
         .withColumn("rk", F.row_number().over(wdoc.orderBy("dfreq", "w")))
         .withColumn("n", F.count(F.lit(1)).over(wdoc))
     )

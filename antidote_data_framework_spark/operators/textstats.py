@@ -872,11 +872,11 @@ def q_corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.size(F.split("text", " "))).cast("bigint").alias("tokens"),
         (1 + F.substring(F.first("source"), 4, 10).cast("int") % 3).alias("weight"),
     )
-    tot = per_source.agg(
+    total = per_source.agg(
         F.sum("tokens").alias("corpus_tokens"),
         F.sum(F.col("weight") * F.col("tokens")).alias("wsum"),
     )
-    j = per_source.crossJoin(F.broadcast(tot))
+    j = per_source.crossJoin(F.broadcast(total))
     alloc = F.floor(
         0.5
         * F.col("corpus_tokens")
