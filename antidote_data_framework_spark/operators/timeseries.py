@@ -361,3 +361,74 @@ def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c",
         F.round(weighted.cast("double") / den.cast("double"), 6).alias("ewma_cents"),
     )
+
+
+@spark_query(
+    "q_seasonal_baseline",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type,
+         date_trunc('hour', ts) AS hr,
+         dayofweek(ts) + 1 AS dow,
+         hour(ts) AS hod,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2, 3, 4
+),
+seasonal AS (
+  SELECT event_type, dow, hod,
+         CAST(COUNT(*) AS BIGINT) AS n_obs,
+         ROUND(AVG(n), 4) AS mean_n,
+         ROUND(COALESCE(stddev_samp(n), 0.0), 4) AS sd_n,
+         CAST(MAX(n) AS BIGINT) AS max_n,
+         CAST(MIN(n) AS BIGINT) AS min_n
+  FROM hourly GROUP BY 1, 2, 3
+)
+SELECT event_type, CAST(dow AS BIGINT) AS dow, CAST(hod AS BIGINT) AS hod,
+       n_obs, mean_n, sd_n, max_n, min_n,
+       (max_n - mean_n > 2 * sd_n AND n_obs >= 4) AS has_spike
+FROM seasonal
+""",
+)
+def q_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-profile anomaly baseline: hourly volumes per event
+    type, profiled by (day-of-week, hour-of-day) seasonal cell —
+    mean, spread, extremes, and a spike flag when the cell's max hour
+    exceeds its own seasonal norm by 2 sigma.  The seasonal complement
+    of q_events_anomaly_zscore (which scores against the GLOBAL daily
+    distribution and so flags every Friday peak as anomalous).
+
+    Shape: the raw stream collapses to |types| x |hours-of-history|
+    rows in the first partial-aggregated groupBy; the seasonal rollup
+    then works on that bounded relation (cells = types x 7 x 24).  At
+    100 TB both stages are classic map-side-combine aggregations —
+    the seasonal profile table is what a streaming scorer broadcasts
+    to flag live hours.  DOW convention pinned to Sunday=1: Spark's
+    dayofweek is 1-based, DuckDB's 0-based, so the oracle adds 1."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("hr"),
+        F.dayofweek("ts").alias("dow"),
+        F.hour("ts").alias("hod"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    seasonal = hourly.groupBy("event_type", "dow", "hod").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        F.round(F.avg("n"), 4).alias("mean_n"),
+        F.round(F.coalesce(F.stddev_samp("n"), F.lit(0.0)), 4).alias("sd_n"),
+        F.max("n").cast("bigint").alias("max_n"),
+        F.min("n").cast("bigint").alias("min_n"),
+    )
+    return seasonal.select(
+        "event_type",
+        F.col("dow").cast("long").alias("dow"),
+        F.col("hod").cast("long").alias("hod"),
+        "n_obs",
+        "mean_n",
+        "sd_n",
+        "max_n",
+        "min_n",
+        (
+            (F.col("max_n") - F.col("mean_n") > 2 * F.col("sd_n"))
+            & (F.col("n_obs") >= 4)
+        ).alias("has_spike"),
+    )

@@ -365,3 +365,56 @@ def q_window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
         """
     )
+
+
+@spark_query(
+    "q_stable_row_ids",
+    oracle="""
+SELECT o_orderkey,
+       ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS stable_id
+FROM orders
+""",
+)
+def q_stable_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous stable ids 0..n-1 in key order WITHOUT the global
+    single-partition sort — the id-assignment every training-data
+    export needs (example ids, shard offsets), and the classic
+    anti-pattern trap: ``row_number() OVER (ORDER BY key)`` collapses
+    the world into ONE task.
+
+    Two-phase plan instead: (1) range-bucket rows by key against a
+    broadcast 1-row max aggregate (32 fixed-width buckets); (2) the
+    bucket COUNT table (32 rows) gets exclusive-prefix offsets via a
+    window over itself; (3) each row's id = its bucket offset + its
+    row_number WITHIN the bucket — per-bucket windows run in
+    parallel, so no stage ever holds more than one bucket's rows.
+    The oracle states the global-window semantics; results are
+    identical.  At 100 TB the bucket count rises with data and the
+    split points come from a range sampler (as orderBy already does),
+    but the offset table stays bucket-cardinality-bounded — the
+    pattern is exactly zipWithIndex done in DataFrame algebra."""
+    B = 32
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    mx = o.agg(F.max("o_orderkey").alias("mx"))
+    bucketed = o.crossJoin(F.broadcast(mx)).select(
+        "o_orderkey",
+        F.least(
+            F.lit(B - 1), F.floor(F.col("o_orderkey") * B / (F.col("mx") + 1))
+        ).alias("bucket"),
+    )
+    counts = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    # 32-row offset table: inclusive prefix sum minus own count =
+    # exclusive offset.  The single-partition window is over 32 rows,
+    # never over data.
+    offsets = counts.select(
+        "bucket",
+        (F.sum("n").over(Window.orderBy("bucket")) - F.col("n")).alias("offset"),
+    )
+    w_in = Window.partitionBy("bucket").orderBy("o_orderkey")
+    return (
+        bucketed.join(F.broadcast(offsets), "bucket")
+        .select(
+            "o_orderkey",
+            (F.row_number().over(w_in) - 1 + F.col("offset")).alias("stable_id"),
+        )
+    )
