@@ -1099,3 +1099,115 @@ def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.abs("cumdiff")) / 3.0, 4).alias("emd"),
         (F.sum(F.abs("cumdiff")) / 3.0 <= 0.2).alias("passes_t"),
     )
+
+
+@spark_query(
+    "q_grouped_ols_multivar",
+    oracle="""
+WITH pts AS (
+  SELECT l_returnflag AS g,
+         CAST(l_quantity AS BIGINT)                       AS x1,
+         CAST(ROUND(l_discount * 100, 0) AS BIGINT)       AS x2,
+         CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)  AS y
+  FROM lineitem
+),
+s AS (
+  SELECT g, COUNT(*) AS n,
+         SUM(x1) AS s1, SUM(x2) AS s2,
+         SUM(x1 * x1) AS s11, SUM(x1 * x2) AS s12, SUM(x2 * x2) AS s22,
+         SUM(y) AS sy, SUM(x1 * y) AS s1y, SUM(x2 * y) AS s2y
+  FROM pts GROUP BY g
+),
+d AS (
+  SELECT g, CAST(n AS BIGINT) AS n,
+         CAST(n AS DOUBLE) AS m11, CAST(s1 AS DOUBLE) AS m12,
+         CAST(s2 AS DOUBLE) AS m13, CAST(s11 AS DOUBLE) AS m22,
+         CAST(s12 AS DOUBLE) AS m23, CAST(s22 AS DOUBLE) AS m33,
+         CAST(sy AS DOUBLE) AS b1, CAST(s1y AS DOUBLE) AS b2,
+         CAST(s2y AS DOUBLE) AS b3
+  FROM s
+)
+SELECT g AS l_returnflag, n,
+       ROUND((b1*(m22*m33 - m23*m23) - m12*(b2*m33 - m23*b3) + m13*(b2*m23 - m22*b3))
+           / (m11*(m22*m33 - m23*m23) - m12*(m12*m33 - m23*m13) + m13*(m12*m23 - m22*m13)),
+           4) AS beta0_cents,
+       ROUND((m11*(b2*m33 - b3*m23) - b1*(m12*m33 - m23*m13) + m13*(m12*b3 - b2*m13))
+           / (m11*(m22*m33 - m23*m23) - m12*(m12*m33 - m23*m13) + m13*(m12*m23 - m22*m13)),
+           6) AS beta1_cents_per_qty,
+       ROUND((m11*(m22*b3 - m23*b2) - m12*(m12*b3 - b2*m13) + b1*(m12*m23 - m22*m13))
+           / (m11*(m22*m33 - m23*m23) - m12*(m12*m33 - m23*m13) + m13*(m12*m23 - m22*m13)),
+           6) AS beta2_cents_per_pct
+FROM d
+""",
+)
+def q_grouped_ols_multivar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group MULTIVARIATE least squares (price ~ quantity +
+    discount, with intercept) solved in closed form from distributed
+    sufficient statistics — the pattern that turns "train a model per
+    segment" into ONE aggregation: each group reduces to its 3x3
+    normal-equation moments (n, Sx1, Sx2, Sx1x1, Sx1x2, Sx2x2, Sy,
+    Sx1y, Sx2y), and the coefficients are Cramer's rule on that tiny
+    system in codegen.  q_grouped_linreg is the 1-feature case; this
+    is the general shape (k features -> k(k+3)/2 + 1 moments).
+
+    Determinism: inputs are exact integer units (quantity, discount
+    %% points, price cents) so every moment is an exact int64 sum
+    (partial-aggregated, order-free); determinant products would
+    overflow int64 (~1e20) so moments convert ONCE to double and the
+    Cramer arithmetic is written with IDENTICAL structure in both
+    engines — correctly-rounded IEEE ops on identical inputs.
+
+    Shape: one map-side-combined groupBy produces 10 numbers per
+    group; the solve is a projection.  At 100 TB this runs at scan
+    speed regardless of group count — the entire "model" shuffle is
+    10 doubles per group, which is why sufficient-statistics training
+    (linear/ridge/GLM-IRLS step) is THE distributed pattern when the
+    feature count is small."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_quantity").cast("long").alias("x1"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("x2"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("y"),
+    )
+    s = pts.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+    )
+    m11, m12, m13 = (F.col(c).cast("double") for c in ("n", "s1", "s2"))
+    m22, m23, m33 = (F.col(c).cast("double") for c in ("s11", "s12", "s22"))
+    b1, b2, b3 = (F.col(c).cast("double") for c in ("sy", "s1y", "s2y"))
+    det = (
+        m11 * (m22 * m33 - m23 * m23)
+        - m12 * (m12 * m33 - m23 * m13)
+        + m13 * (m12 * m23 - m22 * m13)
+    )
+    det_b0 = (
+        b1 * (m22 * m33 - m23 * m23)
+        - m12 * (b2 * m33 - m23 * b3)
+        + m13 * (b2 * m23 - m22 * b3)
+    )
+    det_b1 = (
+        m11 * (b2 * m33 - b3 * m23)
+        - b1 * (m12 * m33 - m23 * m13)
+        + m13 * (m12 * b3 - b2 * m13)
+    )
+    det_b2 = (
+        m11 * (m22 * b3 - m23 * b2)
+        - m12 * (m12 * b3 - b2 * m13)
+        + b1 * (m12 * m23 - m22 * m13)
+    )
+    return s.select(
+        F.col("g").alias("l_returnflag"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round(det_b0 / det, 4).alias("beta0_cents"),
+        F.round(det_b1 / det, 6).alias("beta1_cents_per_qty"),
+        F.round(det_b2 / det, 6).alias("beta2_cents_per_pct"),
+    )

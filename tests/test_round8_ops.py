@@ -192,3 +192,47 @@ def test_random_projection_preserves_norms_on_average(spark, sf_dir):
         assert len(r["proj_units"].split(",")) == 16
     mean = sum(ratios) / len(ratios)
     assert 0.8 < mean < 1.2, f"JL mean norm ratio drifted: {mean}"
+
+
+def test_grouped_ols_matches_numpy_lstsq(spark, sf_dir):
+    """The Cramer solve must agree with numpy's QR-based lstsq."""
+    import numpy as np
+
+    got = {
+        r["l_returnflag"]: r
+        for r in QUERIES["q_grouped_ols_multivar"](spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_discount", "l_extendedprice"
+    ).collect()
+    groups: dict = {}
+    for r in li:
+        groups.setdefault(r["l_returnflag"], []).append(
+            (r["l_quantity"], round(r["l_discount"] * 100), round(r["l_extendedprice"] * 100))
+        )
+    for g, rows in groups.items():
+        X = np.array([[1.0, x1, x2] for x1, x2, _ in rows])
+        y = np.array([float(y) for _, _, y in rows])
+        beta = np.linalg.lstsq(X, y, rcond=None)[0]
+        r = got[g]
+        assert r["n"] == len(rows)
+        assert abs(r["beta0_cents"] - beta[0]) < max(1e-2, abs(beta[0]) * 1e-5)
+        assert abs(r["beta1_cents_per_qty"] - beta[1]) < max(1e-3, abs(beta[1]) * 1e-5)
+        assert abs(r["beta2_cents_per_pct"] - beta[2]) < max(1e-3, abs(beta[2]) * 1e-5)
+
+
+def test_stable_row_ids_are_contiguous_rank(spark, sf_dir):
+    rows = QUERIES["q_stable_row_ids"](spark, sf_dir).collect()
+    rows.sort(key=lambda r: r["o_orderkey"])
+    assert [r["stable_id"] for r in rows] == list(range(len(rows)))
+
+
+def test_seasonal_baseline_cells_bounded(spark, sf_dir):
+    rows = QUERIES["q_seasonal_baseline"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["dow"] <= 7
+        assert 0 <= r["hod"] <= 23
+        assert r["min_n"] <= r["mean_n"] <= r["max_n"]
+        if r["has_spike"]:
+            assert r["n_obs"] >= 4 and r["max_n"] - r["mean_n"] > 2 * r["sd_n"]
