@@ -108,7 +108,7 @@ def test_no_forced_broadcast_of_sf_proportional_tables():
         r"med\b|mad\b|n_items\b|vocab\b|th\b|"
         r"row_tot\b|col_tot\b|df_q\b|"  # contingency-cardinality aggs; query-term-bounded df
         r"rg\b|edges\b|ref_n\b|cur_n\b|dim\b|"
-        r"mode_t\b|offsets\b|gband\b|"  # 6-row group-bounded mode table; 9-row literal offsets; 4-row band fractions  # QI-cardinality classes; 1-row quantile/count aggs; 5-row literal dim  # patterns.py/negatives.py/curation.py: |event_type|=5-row percentile aggs, 1-row MAX, LIMIT-1000 vocab
+        r"mode_t\b|offsets\b|gband\b|mx\b|"  # 6-row group-bounded mode table; 9-row literal offsets; 4-row band fractions; 1-row max agg  # QI-cardinality classes; 1-row quantile/count aggs; 5-row literal dim  # patterns.py/negatives.py/curation.py: |event_type|=5-row percentile aggs, 1-row MAX, LIMIT-1000 vocab
         r"df\) if n_rows"  # functions/hints.broadcast_bounded: stats-gated hint
         r")"
     )
@@ -192,3 +192,32 @@ def test_cbo_stats_pick_broadcast_without_hint(spark, sf_dir):
     with NO broadcast hint in the query (CBO decides from stats)."""
     plan = physical_plan(QUERIES["q_cbo_stats_broadcast"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
+
+
+def test_stable_row_ids_never_windows_data_globally(spark, sf_dir):
+    """The id-assignment window must partition by bucket; the only
+    SinglePartition exchanges allowed are for the 32-row offset
+    table's own prefix-sum window (they sit under the tiny groupBy,
+    never under the data-sized window)."""
+    plan = physical_plan(QUERIES["q_stable_row_ids"](spark, sf_dir))
+    assert "row_number() windowspecdefinition(bucket" in plan, (
+        "data window lost its bucket partitioning"
+    )
+
+
+def test_geo_knn_uses_group_limit_and_no_cartesian(spark, sf_dir):
+    """The cell equi-join must plan as a hash/broadcast join (never a
+    cartesian), and the rank<=1 filter must push into WindowGroupLimit
+    so losers drop before the final window sort."""
+    plan = physical_plan(QUERIES["q_geo_grid_knn"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_winnow_and_chunk_dedup_join_on_hash_keys(spark, sf_dir):
+    """Posting-list self-joins must be equi-joins on the fingerprint/
+    hash keys — no nested-loop fallbacks anywhere."""
+    for key in ("q_winnow_neardup", "q_dedup_chunk_prune"):
+        plan = physical_plan(QUERIES[key](spark, sf_dir))
+        assert "CartesianProduct" not in plan, key
+        assert "BroadcastNestedLoopJoin" not in plan, key
