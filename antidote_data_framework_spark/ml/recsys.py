@@ -383,3 +383,68 @@ def q_bias_shrinkage_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(F.avg(err_r * err_r)), 4).alias("rmse_raw"),
         F.round(F.sqrt(F.avg(err_s * err_s)), 4).alias("rmse_shrunk"),
     )
+
+
+@spark_query(
+    "q_split_by_group",
+    oracle="""
+WITH assigned AS (
+  SELECT user_id, event_id,
+         CASE WHEN (user_id * 2654435761) % 10 < 8 THEN 'train' ELSE 'test' END
+           AS split
+  FROM events
+),
+per_split AS (
+  SELECT split,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM assigned GROUP BY split
+),
+leak AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_leaked_users
+  FROM (SELECT user_id FROM assigned GROUP BY user_id
+        HAVING COUNT(DISTINCT split) > 1)
+)
+SELECT p.split, p.n_rows, p.n_users, l.n_leaked_users
+FROM per_split p CROSS JOIN leak l
+""",
+)
+def q_split_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-aware train/test split: every row of a user lands in the
+    SAME split (assignment hashes the user id, not the row), plus the
+    leakage audit — the count of users appearing in both splits,
+    which must be zero by construction and is emitted so the
+    guarantee is data-checked, not assumed.  Row-level splitting
+    (q_split_train_test) leaks across correlated rows of one entity;
+    group-level splitting is what recommendation/user-model evals
+    require (a user's test events must be unseen in training).
+
+    The assignment law is a deterministic Knuth-multiplicative hash
+    of the group key — reproducible across runs, engines, and
+    cluster sizes, with no stored split table to keep in sync.
+
+    Shape: the split column is codegen on the scan; the per-split
+    census is one partial-aggregated groupBy; the leakage audit
+    aggregates (user, split) distincts — all shuffles carry the
+    group key.  At 100 TB the assignment itself costs nothing (it
+    recomputes anywhere from the key), which is exactly why
+    hash-based splits beat materialized split tables at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    assigned = ev.select(
+        "user_id",
+        "event_id",
+        F.when((F.col("user_id") * 2654435761) % 10 < 8, "train")
+        .otherwise("test")
+        .alias("split"),
+    )
+    per_split = assigned.groupBy("split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )
+    leak = (
+        assigned.groupBy("user_id")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_leaked_users"))
+    )
+    return per_split.crossJoin(F.broadcast(leak))

@@ -609,3 +609,90 @@ def q_curriculum_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_chars").alias("max_chars"),
         F.round(F.avg("n_chars"), 4).alias("avg_chars"),
     )
+
+
+@spark_query(
+    "q_shard_packing",
+    oracle="""
+WITH sized AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS tokens FROM documents
+),
+ranked AS (
+  SELECT doc_id, tokens,
+         ROW_NUMBER() OVER (ORDER BY tokens DESC, doc_id) - 1 AS rank0
+  FROM sized
+),
+sharded AS (
+  SELECT doc_id, tokens,
+         CASE WHEN (rank0 // 16) % 2 = 0 THEN rank0 % 16
+              ELSE 15 - (rank0 % 16) END AS shard
+  FROM ranked
+),
+stats AS (
+  SELECT shard,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(tokens) AS BIGINT) AS shard_tokens,
+         CAST(MAX(tokens) AS BIGINT) AS max_doc_tokens
+  FROM sharded GROUP BY shard
+)
+SELECT CAST(shard AS BIGINT) AS shard, n_docs, shard_tokens, max_doc_tokens,
+       ROUND(shard_tokens * 16.0 / SUM(shard_tokens) OVER (), 4) AS balance_ratio
+FROM stats
+""",
+)
+def q_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced training-shard assignment: documents ranked by token
+    count (largest first) deal out to 16 shards in SERPENTINE order
+    (0..15 then 15..0), the streaming-friendly approximation of LPT
+    bin packing — each boustrophedon pass gives every shard one large
+    and one small turn, so shard token totals stay within a fraction
+    of a percent of each other (the emitted balance_ratio makes that
+    measurable: 1.0 = perfect).  Balanced shards are what keep every
+    trainer rank finishing its epoch at the same time.
+
+    The global size rank is computed WITHOUT a global sort: token
+    counts histogram into a bounded relation (distinct sizes), an
+    exclusive prefix sum over that histogram gives each size its rank
+    offset, and a per-size window ranks doc_ids within a size — the
+    same two-phase shape as q_stable_row_ids, so no stage ever holds
+    more than one size-class's rows.  At 100 TB the histogram is
+    size-cardinality-bounded (thousands of rows) and the heavy window
+    partitions by size class."""
+    N = 16
+    sized = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("tokens")
+    )
+    hist = sized.groupBy("tokens").agg(F.count(F.lit(1)).alias("n"))
+    offsets = hist.select(
+        "tokens",
+        (
+            F.sum("n").over(Window.orderBy(F.desc("tokens"))) - F.col("n")
+        ).alias("offset"),
+    )
+    w_in = Window.partitionBy("tokens").orderBy("doc_id")
+    ranked = sized.join(F.broadcast(offsets), "tokens").select(
+        "doc_id",
+        "tokens",
+        (F.col("offset") + F.row_number().over(w_in) - 1).alias("rank0"),
+    )
+    col = F.col("rank0") % N
+    shard = F.when((F.floor(F.col("rank0") / N) % 2) == 0, col).otherwise(
+        N - 1 - col
+    )
+    stats = ranked.select("doc_id", "tokens", shard.alias("shard")).groupBy(
+        "shard"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("tokens").cast("bigint").alias("shard_tokens"),
+        F.max("tokens").cast("bigint").alias("max_doc_tokens"),
+    )
+    return stats.select(
+        F.col("shard").cast("bigint").alias("shard"),
+        "n_docs",
+        "shard_tokens",
+        "max_doc_tokens",
+        F.round(
+            F.col("shard_tokens") * float(N) / F.sum("shard_tokens").over(Window.partitionBy()),
+            4,
+        ).alias("balance_ratio"),
+    )

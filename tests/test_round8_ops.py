@@ -236,3 +236,27 @@ def test_seasonal_baseline_cells_bounded(spark, sf_dir):
         assert r["min_n"] <= r["mean_n"] <= r["max_n"]
         if r["has_spike"]:
             assert r["n_obs"] >= 4 and r["max_n"] - r["mean_n"] > 2 * r["sd_n"]
+
+
+def test_split_by_group_has_zero_leakage_and_covers_all(spark, sf_dir):
+    rows = QUERIES["q_split_by_group"](spark, sf_dir).collect()
+    assert {r["split"] for r in rows} == {"train", "test"}
+    for r in rows:
+        assert r["n_leaked_users"] == 0
+    ev = load_table(spark, sf_dir, "events")
+    assert sum(r["n_rows"] for r in rows) == ev.count()
+    assert sum(r["n_users"] for r in rows) == ev.select("user_id").distinct().count()
+
+
+def test_shard_packing_is_balanced_and_complete(spark, sf_dir):
+    rows = QUERIES["q_shard_packing"](spark, sf_dir).collect()
+    assert len(rows) == 16
+    docs = load_table(spark, sf_dir, "documents")
+    total_tokens = docs.select(
+        F.sum(F.size(F.split("text", " "))).alias("t")
+    ).first()["t"]
+    assert sum(r["shard_tokens"] for r in rows) == total_tokens
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    # serpentine LPT: every shard within 5% of the mean token load
+    for r in rows:
+        assert 0.95 <= r["balance_ratio"] <= 1.05, rows
