@@ -1211,3 +1211,201 @@ def q_grouped_ols_multivar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(det_b1 / det, 6).alias("beta1_cents_per_qty"),
         F.round(det_b2 / det, 6).alias("beta2_cents_per_pct"),
     )
+
+
+@spark_query(
+    "q_anova_oneway",
+    oracle="""
+WITH cells AS (
+  SELECT event_type AS g,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS s,
+         SUM(CAST(ROUND(value * 100, 0) AS BIGINT)
+             * CAST(ROUND(value * 100, 0) AS BIGINT)) AS ss
+  FROM events GROUP BY event_type
+),
+tot AS (
+  SELECT SUM(n) AS nt, SUM(s) AS st, SUM(ss) AS sst,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM cells
+),
+parts AS (
+  SELECT t.k, t.nt,
+         SUM(CAST(c.s AS DOUBLE) * CAST(c.s AS DOUBLE) / CAST(c.n AS DOUBLE))
+           - CAST(t.st AS DOUBLE) * CAST(t.st AS DOUBLE) / CAST(t.nt AS DOUBLE)
+           AS ss_between,
+         CAST(t.sst AS DOUBLE)
+           - SUM(CAST(c.s AS DOUBLE) * CAST(c.s AS DOUBLE) / CAST(c.n AS DOUBLE))
+           AS ss_within
+  FROM cells c CROSS JOIN tot t
+  GROUP BY t.k, t.nt, t.st, t.sst
+)
+SELECT k AS n_groups, CAST(nt AS BIGINT) AS n_total,
+       ROUND(ss_between / (k - 1), 4) AS ms_between,
+       ROUND(ss_within / (nt - k), 4) AS ms_within,
+       ROUND((ss_between / (k - 1)) / (ss_within / (nt - k)), 6) AS f_stat
+FROM parts
+""",
+)
+def q_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F statistic across event types — completes the
+    engine's hypothesis-test family (chi-square for independence,
+    Welch t for two means, F for k means): is between-group variance
+    of purchase value large relative to within-group variance?
+
+    Sufficient-statistics discipline (same as q_grouped_ols_multivar):
+    per-group (n, Sx, Sx²) in exact integer cents, ONE partial-
+    aggregated groupBy; the F decomposition SS_between = Sigma s_g²/n_g
+    - s²/n and SS_within = Sigma x² - Sigma s_g²/n_g happens on the
+    k-row cell table in identically-structured double arithmetic.
+    At 100 TB the test costs one scan; the cell table is
+    group-cardinality-bounded."""
+    ev = load_table(spark, sf_dir, "events")
+    c = F.round(F.col("value") * 100, 0).cast("long")
+    cells = ev.select(F.col("event_type").alias("g"), c.alias("c")).groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    tot = cells.agg(
+        F.sum("n").alias("nt"),
+        F.sum("s").alias("st"),
+        F.sum("ss").alias("sst"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    j = cells.crossJoin(F.broadcast(tot))
+    parts = j.groupBy("k", "nt", "st", "sst").agg(
+        (
+            F.sum(
+                F.col("s").cast("double")
+                * F.col("s").cast("double")
+                / F.col("n").cast("double")
+            )
+            - F.col("st").cast("double")
+            * F.col("st").cast("double")
+            / F.col("nt").cast("double")
+        ).alias("ss_between"),
+        (
+            F.col("sst").cast("double")
+            - F.sum(
+                F.col("s").cast("double")
+                * F.col("s").cast("double")
+                / F.col("n").cast("double")
+            )
+        ).alias("ss_within"),
+    )
+    return parts.select(
+        F.col("k").alias("n_groups"),
+        F.col("nt").cast("bigint").alias("n_total"),
+        F.round(F.col("ss_between") / (F.col("k") - 1), 4).alias("ms_between"),
+        F.round(F.col("ss_within") / (F.col("nt") - F.col("k")), 4).alias("ms_within"),
+        F.round(
+            (F.col("ss_between") / (F.col("k") - 1))
+            / (F.col("ss_within") / (F.col("nt") - F.col("k"))),
+            6,
+        ).alias("f_stat"),
+    )
+
+
+@spark_query(
+    "q_poisson_bootstrap_ci",
+    oracle="""
+WITH purchases AS (
+  SELECT event_id, CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+  FROM events WHERE event_type = 'purchase'
+),
+weighted AS (
+  SELECT b.b, p.c,
+         CASE WHEN u < 3679 THEN 0 WHEN u < 7358 THEN 1 WHEN u < 9197 THEN 2
+              WHEN u < 9810 THEN 3 WHEN u < 9963 THEN 4 ELSE 5 END AS w
+  FROM purchases p
+  CROSS JOIN (SELECT UNNEST(range(0, 32)) AS b) b
+  CROSS JOIN LATERAL (SELECT (p.event_id * 1103515245 + b.b * 12345) % 10000 AS u) u
+),
+reps AS (
+  SELECT b, CAST(SUM(w * c) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS mean_b
+  FROM weighted GROUP BY b
+),
+point AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(c) AS DOUBLE) / COUNT(*) AS mean_cents
+  FROM purchases
+)
+SELECT p.n_events, CAST(32 AS BIGINT) AS n_replicates,
+       ROUND(p.mean_cents, 4) AS point_mean_cents,
+       ROUND(quantile_cont(r.mean_b, 0.025), 4) AS ci_lo,
+       ROUND(quantile_cont(r.mean_b, 0.975), 4) AS ci_hi,
+       ROUND(stddev_samp(r.mean_b), 4) AS se_boot
+FROM reps r CROSS JOIN point p
+GROUP BY p.n_events, p.mean_cents
+""",
+)
+def q_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap confidence interval for the mean purchase
+    value — THE bootstrap that works on distributed data (Chamandy et
+    al., Google 2012): true resampling-with-replacement needs global
+    coordination, but Poisson(1) per-row replicate weights
+    approximate it with INDEPENDENT per-row draws, so all 32
+    replicates accumulate in ONE pass over the data (explode row ->
+    32 (replicate, weight) pairs, partial-aggregated groupBy).
+
+    Determinism: the Poisson draw is inverse-CDF over a deterministic
+    integer mixing law u(event, b) in 1e-4 grid units with LITERAL
+    cumulative thresholds (0.3679/0.7358/0.9197/0.9810/0.9963) — both
+    engines compute identical weights, so the CI hash-matches despite
+    being a "randomized" algorithm; swap the mixing law for a seeded
+    hash in production and nothing else changes.
+
+    Shape: weights are codegen CASE arithmetic; the replicate table
+    is 32 rows; the quantile/stddev run on those 32.  At 100 TB the
+    single pass costs 32 integer multiply-adds per row — compare a
+    naive bootstrap's 32 shuffled resamples."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    purchases = ev.select(
+        "event_id", F.round(F.col("value") * 100, 0).cast("long").alias("c")
+    )
+    exploded = purchases.select(
+        "event_id", "c", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b")
+    )
+    u = (F.col("event_id") * 1103515245 + F.col("b") * 12345) % 10000
+    w = (
+        F.when(u < 3679, 0)
+        .when(u < 7358, 1)
+        .when(u < 9197, 2)
+        .when(u < 9810, 3)
+        .when(u < 9963, 4)
+        .otherwise(5)
+    )
+    reps = (
+        exploded.select("b", "c", w.alias("w"))
+        .groupBy("b")
+        .agg(
+            (
+                F.sum(F.col("w") * F.col("c")).cast("double")
+                / F.sum("w").cast("double")
+            ).alias("mean_b")
+        )
+    )
+    stats = purchases.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        (F.sum("c").cast("double") / F.count(F.lit(1))).alias("mean_cents"),
+    )
+    return (
+        reps.crossJoin(F.broadcast(stats))
+        .groupBy("n_events", "mean_cents")
+        .agg(
+            F.round(F.percentile("mean_b", F.lit(0.025)), 4).alias("ci_lo"),
+            F.round(F.percentile("mean_b", F.lit(0.975)), 4).alias("ci_hi"),
+            F.round(F.stddev_samp("mean_b"), 4).alias("se_boot"),
+        )
+        .select(
+            "n_events",
+            F.lit(32).cast("bigint").alias("n_replicates"),
+            F.round("mean_cents", 4).alias("point_mean_cents"),
+            "ci_lo",
+            "ci_hi",
+            "se_boot",
+        )
+    )

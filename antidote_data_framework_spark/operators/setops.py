@@ -95,3 +95,69 @@ def q_set_bag_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("except_all").alias("which"), "l_partkey", "n")
     )
     return inter.unionAll(exc)
+
+
+@spark_query(
+    "q_bitmap_membership",
+    oracle="""
+SELECT c.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CASE WHEN EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_custkey = c.c_custkey)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_with_orders
+FROM customer c
+GROUP BY c.c_mktsegment
+""",
+)
+def q_bitmap_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-index membership: "which customers have orders" answered
+    through a COMPRESSED BITMAP instead of a semi-join — the ordering
+    customer keys pack into 64-bit blocks (block = key DIV 64, bit =
+    key MOD 64, bit_or-aggregated), and membership is one shift-AND
+    against the probe row's block.  The oracle states the EXISTS
+    semantics, so the hash-match proves the bitmap path computes
+    exactly the semi-join — a cross-PARADIGM equivalence, not a
+    mechanical restatement.
+
+    Why it matters at 100 TB: the bitmap of a billion-key set is
+    ~16 M blocks x 16 bytes — a broadcastable structure 64x denser
+    than the distinct-key list a semi-join shuffles, and bitmap
+    AND/OR composes filters without touching the fact table again
+    (the roaring-bitmap idea in plain SQL).  Shape: one groupBy on
+    block builds the index (partial bit_or is map-side), the probe is
+    an equi-join on block + a codegen shift — no row explosion
+    anywhere."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    bitmap = (
+        orders.select(
+            (F.col("o_custkey") / 64).cast("long").alias("block"),
+            (F.col("o_custkey") % 64).cast("int").alias("bit"),
+        )
+        .groupBy("block")
+        .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").alias("mask"))
+    )
+    probed = (
+        cust.select(
+            "c_custkey",
+            "c_mktsegment",
+            (F.col("c_custkey") / 64).cast("long").alias("block"),
+            (F.col("c_custkey") % 64).cast("int").alias("bit"),
+        )
+        .join(bitmap, "block", "left")
+        .select(
+            "c_mktsegment",
+            (
+                F.coalesce(
+                    F.expr("shiftright(mask, bit) & CAST(1 AS BIGINT)"), F.lit(0)
+                )
+                == 1
+            ).alias("member"),
+        )
+    )
+    return probed.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum(F.when(F.col("member"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_with_orders"),
+    )

@@ -260,3 +260,47 @@ def test_shard_packing_is_balanced_and_complete(spark, sf_dir):
     # serpentine LPT: every shard within 5% of the mean token load
     for r in rows:
         assert 0.95 <= r["balance_ratio"] <= 1.05, rows
+
+
+def test_bitmap_membership_equals_semi_join(spark, sf_dir):
+    """The bitmap path must agree with a plain semi-join census."""
+    got = {
+        r["c_mktsegment"]: r
+        for r in QUERIES["q_bitmap_membership"](spark, sf_dir).collect()
+    }
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    semi = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .count()
+        .collect()
+    )
+    for r in semi:
+        assert got[r["c_mktsegment"]]["n_with_orders"] == r["count"]
+
+
+def test_anova_f_matches_reference_formula(spark, sf_dir):
+    """Recompute F from raw rows in Python."""
+    r = QUERIES["q_anova_oneway"](spark, sf_dir).collect()[0]
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value").collect()
+    groups: dict = {}
+    for row in ev:
+        groups.setdefault(row["event_type"], []).append(round(row["value"] * 100))
+    k = len(groups)
+    nt = sum(len(v) for v in groups.values())
+    grand = sum(sum(v) for v in groups.values()) / nt
+    ssb = sum(len(v) * (sum(v) / len(v) - grand) ** 2 for v in groups.values())
+    ssw = sum(sum((x - sum(v) / len(v)) ** 2 for x in v) for v in groups.values())
+    f = (ssb / (k - 1)) / (ssw / (nt - k))
+    assert r["n_groups"] == k and r["n_total"] == nt
+    assert abs(r["f_stat"] - f) < max(1e-4, abs(f) * 1e-6)
+
+
+def test_poisson_bootstrap_ci_brackets_point_estimate(spark, sf_dir):
+    r = QUERIES["q_poisson_bootstrap_ci"](spark, sf_dir).collect()[0]
+    assert r["n_replicates"] == 32
+    assert r["ci_lo"] <= r["point_mean_cents"] <= r["ci_hi"]
+    assert r["se_boot"] > 0
+    # CI width should be a few standard errors, not degenerate or huge
+    assert (r["ci_hi"] - r["ci_lo"]) < 10 * r["se_boot"]
