@@ -448,3 +448,68 @@ def q_split_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_leaked_users"))
     )
     return per_split.crossJoin(F.broadcast(leak))
+
+
+@spark_query(
+    "q_cold_start_fallback",
+    oracle="""
+WITH pop AS (
+  SELECT c.c_mktsegment, l.l_partkey AS item_id,
+         CAST(COUNT(*) AS BIGINT) AS n_sold
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+topk AS (
+  SELECT c_mktsegment, item_id, n_sold,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY n_sold DESC, item_id) AS rank
+  FROM pop
+),
+cold AS (
+  SELECT c_custkey, c_mktsegment FROM customer c
+  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+)
+SELECT cold.c_custkey, cold.c_mktsegment,
+       CAST(t.rank AS BIGINT) AS rank, t.item_id, t.n_sold
+FROM cold JOIN topk t ON t.c_mktsegment = cold.c_mktsegment
+WHERE t.rank <= 3
+""",
+)
+def q_cold_start_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cold-start recommendation fallback: customers with NO order
+    history (the users ALS cannot score — no interactions, no factor
+    row) get their segment's 3 most-sold items.  This is the serving
+    layer every factor model needs underneath it: personalized scores
+    when factors exist, popularity-by-cohort when they don't.
+
+    Shape: cold users come from an ANTI join on custkey (no
+    history materialized, just absence); segment popularity is one
+    aggregation of the fact table with top-3 kept via
+    WindowGroupLimit (losers drop before the final sort); the
+    assignment join is segment -> 3 rows, i.e. a broadcast-sized
+    recommendation table replicated to cold users — at 100 TB the
+    popularity table is |segments| x k and the only data-sized
+    operations are the anti join and the one aggregation."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pop = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", F.col("l_partkey").alias("item_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sold"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("n_sold"), "item_id")
+    topk = (
+        pop.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("c_mktsegment", "item_id", "n_sold", F.col("rank").cast("bigint").alias("rank"))
+    )
+    cold = cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_mktsegment")
+    return cold.join(F.broadcast(topk), "c_mktsegment").select(
+        "c_custkey", "c_mktsegment", "rank", "item_id", "n_sold"
+    )
