@@ -667,3 +667,99 @@ def q_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_common") * 1.0 / F.col("n_union"), 4).alias("jaccard"),
         )
     )
+
+
+@spark_query(
+    "q_source_overlap_matrix",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS t,
+         len(string_split(text, ' ')) AS n
+  FROM documents WHERE LENGTH(text) > 0
+),
+chunks AS (
+  SELECT DISTINCT source,
+         md5(array_to_string(t[cidx * 32 + 1 : cidx * 32 + 32], ' ')) AS h
+  FROM (SELECT doc_id, source, t, n,
+               unnest(range(0, CAST(CEIL(n / 32.0) AS BIGINT))) AS cidx
+        FROM toks)
+),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared_chunks
+  FROM chunks a JOIN chunks b ON a.h = b.h AND a.source < b.source
+  GROUP BY 1, 2
+),
+sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_chunks FROM chunks GROUP BY source)
+SELECT p.source_a, p.source_b, p.n_shared_chunks,
+       ROUND(p.n_shared_chunks * 1.0 / LEAST(sa.n_chunks, sb.n_chunks), 4)
+         AS containment
+FROM pairs p
+JOIN sizes sa ON sa.source = p.source_a
+JOIN sizes sb ON sb.source = p.source_b
+""",
+)
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-SOURCE contamination matrix: for every pair of corpus
+    sources, how many distinct 32-token chunks they share, and the
+    containment ratio (shared / smaller side) — the provenance audit
+    that catches one crawl re-scraping another before both count as
+    "independent" training data (and the corpus-level rollup of what
+    q_dedup_chunk_prune measures per document).
+
+    Shape: chunk hashing runs in the scan stage (same codegen slice +
+    md5 as chunk_prune); the per-source DISTINCT collapses each
+    source to its chunk-hash set BEFORE any pairing, so the pair join
+    is hash-posting-list sized, never document-pair sized; source
+    sizes join back over a |sources|-row relation.  At 100 TB the
+    distinct-by-(source, hash) aggregation is the only data-sized
+    shuffle and it partial-aggregates; the matrix itself is
+    |sources|² bounded."""
+    CHUNK = 32
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    t = F.split("text", " ")
+    base = docs.select("source", t.alias("t"), F.size(t).alias("n"))
+    chunks = (
+        base.select(
+            "source", "t",
+            F.explode(
+                F.sequence(F.lit(0), F.ceil(F.col("n") / F.lit(float(CHUNK))) - 1)
+            ).alias("cidx"),
+        )
+        .select(
+            "source",
+            F.md5(
+                F.array_join(
+                    F.slice("t", (F.col("cidx") * CHUNK + 1).cast("int"), CHUNK), " "
+                )
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_chunks"))
+    )
+    sizes = chunks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks")
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    return (
+        pairs.join(sa, F.col("source_a") == F.col("sa.source"))
+        .join(sb, F.col("source_b") == F.col("sb.source"))
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared_chunks",
+            F.round(
+                F.col("n_shared_chunks")
+                * 1.0
+                / F.least(F.col("sa.n_chunks"), F.col("sb.n_chunks")),
+                4,
+            ).alias("containment"),
+        )
+    )
