@@ -486,3 +486,54 @@ def q_sink_codec_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out_rows, "codec STRING, n_files INT, n_rows BIGINT, n_bytes BIGINT"
     )
+
+
+@spark_query(
+    "q_source_xml_roundtrip",
+    oracle="""
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+         AS sum_bal_cents
+FROM customer
+GROUP BY c_mktsegment
+""",
+)
+def q_source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native XML roundtrip (Spark 4 built-in XML source): the
+    customer dim writes as <customers><customer>... documents and
+    reads back with an EXPLICIT schema (inference on XML is both slow
+    and lossy — the engine-wide never-infer rule).  Unlike the
+    rows-only CSV/JSON/ORC roundtrips this one is SQL-ORACLED: the
+    aggregate over the read-back XML must hash-match the same
+    aggregate DuckDB computes over the ORIGINAL parquet — proving the
+    roundtrip is lossless, not merely row-preserving (balances ride
+    as exact integer cents so text serialization cannot smear them).
+
+    Scale note: XML is the interchange format of enterprise feeds,
+    not an analytics layout — one document per row, schema applied at
+    read, predicate pushdown impossible; the operator's point is the
+    INGEST boundary (XML -> columnar once), after which everything
+    downstream is parquet.  Write and read both parallelize per
+    partition file."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("bal_cents"),
+    )
+    out = _scratch_dir("roundtrip_xml")
+    (
+        cust.write.mode("overwrite")
+        .option("rootTag", "customers")
+        .option("rowTag", "customer")
+        .xml(out)
+    )
+    back = (
+        spark.read.option("rowTag", "customer")
+        .schema("c_custkey BIGINT, c_mktsegment STRING, bal_cents BIGINT")
+        .xml(out)
+    )
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("bal_cents").cast("bigint").alias("sum_bal_cents"),
+    )
