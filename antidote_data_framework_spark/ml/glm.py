@@ -69,8 +69,9 @@ def _irls_moments(df: DataFrame, beta: np.ndarray):
     return A, b
 
 
-def train_logreg_irls(spark: SparkSession, sf_dir: str) -> np.ndarray:
-    """IRLS_ITERS fixed steps from beta = 0; each step is one scan."""
+def train_logreg_irls(spark: SparkSession, sf_dir: str):
+    """IRLS_ITERS fixed steps from beta = 0; each step is one scan.
+    Returns (beta, cached feature frame) — caller unpersists."""
     df = _features(spark, sf_dir).cache()
     try:
         beta = np.zeros(3)

