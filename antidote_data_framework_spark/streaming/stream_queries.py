@@ -775,3 +775,64 @@ def q_stream_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("phase1_rows", F.lit(phase_rows[0]).cast("long"))
         .withColumn("phase2_rows", F.lit(phase_rows[1]).cast("long"))
     )
+
+
+@spark_query("q_stream_ewma_stateful")  # rows-only: custom streaming state
+def q_stream_ewma_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EWMA (alpha = 1/2) per user with O(1) state — the
+    UNBOUNDED-recurrence twin of the batch q_ewma_smooth (whose
+    bounded 12-sample window is the parallelizable batch form; the
+    recurrence s' = (c + s)/2 is inherently sequential per key, which
+    is exactly what per-key streaming state is FOR).  State per user
+    is two numbers (current smoothed value, count) carried across
+    micro-batches by applyInPandasWithState; rows within a batch are
+    sorted by (ts, event_id) before folding so the recurrence order
+    is the event-time order regardless of Arrow batch layout.
+
+    Emits update-mode rows; the final (max-count) row per user is the
+    stream's answer, and tests/test_streaming.py replays the same
+    fold over the staged data in plain Python — stream == replay
+    exactly (identical float ops in identical order).  At 100 TB
+    state is 16 bytes x |active users| in the state store; the
+    recurrence never re-reads history."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src = _stage_events(spark, sf_dir, n_files=2)
+    stream = (
+        spark.readStream.schema(_staged_schema(spark, src))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def fold_ewma(key, pdfs, state: GroupState):
+        s, n = state.get if state.exists else (0.0, 0)
+        frames = [pdf for pdf in pdfs]
+        if frames:
+            allp = pd.concat(frames).sort_values(["ts", "event_id"])
+            for c in (allp["value"] * 100).round(0):
+                c = float(c)
+                s = c if n == 0 else (c + s) / 2.0
+                n += 1
+        state.update((s, n))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "ewma_cents": [s]}
+        )
+
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        fold_ewma,
+        outputStructType="user_id BIGINT, n_events BIGINT, ewma_cents DOUBLE",
+        stateStructType="s DOUBLE, n BIGINT",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = _run_stream(out, "update")
+    latest = spark.table(sink)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        latest.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", F.round("ewma_cents", 4).alias("ewma_cents"))
+    )

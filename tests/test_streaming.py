@@ -230,3 +230,32 @@ def test_stage_events_invalidates_on_fixture_change(spark, sf_dir, tmp_path):
               for f in os.listdir(staged3) if f.endswith(".parquet")}
     assert files3 != files1, "stale staged copy served after fixture change"
     shutil.rmtree(staged1, ignore_errors=True)
+
+
+def test_stream_ewma_equals_python_replay(spark, sf_dir):
+    """The stateful streaming EWMA must equal the same sequential fold
+    replayed in plain Python over the staged events, per user."""
+    import __spark_entry__ as entrymod
+    from antidote_data_framework_spark.streaming.stream_queries import _stage_events
+
+    got = {
+        r["user_id"]: r
+        for r in entrymod.queries()["q_stream_ewma_stateful"](spark, sf_dir).collect()
+    }
+    src = _stage_events(spark, sf_dir, n_files=2)
+    rows = (
+        spark.read.parquet(src)
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    )
+    rows.sort(key=lambda r: (r["user_id"], r["ts"], r["event_id"]))
+    state: dict = {}
+    for r in rows:
+        c = float(round(r["value"] * 100))
+        s, n = state.get(r["user_id"], (0.0, 0))
+        s = c if n == 0 else (c + s) / 2.0
+        state[r["user_id"]] = (s, n + 1)
+    assert set(got) == set(state)
+    for uid, (s, n) in state.items():
+        assert got[uid]["n_events"] == n, uid
+        assert abs(got[uid]["ewma_cents"] - round(s, 4)) < 1e-9, uid
