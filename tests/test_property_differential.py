@@ -167,3 +167,99 @@ def test_joins_match_duckdb(spark, tables):
     dcols, drows = canon_rows(duck_out)
     assert scols == dcols
     assert srows == drows
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=rows_strategy)
+def test_order_statistics_match_duckdb(spark, rows):
+    """Exact median / interpolated percentile / deterministic-mode
+    parity on random frames — the q_agg_exact_median_mode assumptions
+    fuzz-checked: interpolation arithmetic and min-tie-break modes
+    must agree for any value multiset, including all-dupes and
+    negative values."""
+    pdf = pd.DataFrame(rows, columns=["k", "i", "x"])
+    sdf = spark.createDataFrame(pdf)
+    sdf.createOrReplaceTempView("fuzz_os")
+    spark_sql = """
+        SELECT k,
+               ROUND(MEDIAN(i), 4) + 0.0 AS med_i,
+               ROUND(PERCENTILE(i, 0.9), 4) + 0.0 AS p90_i,
+               CAST(MIN(mode_cand) AS BIGINT) AS mode_i
+        FROM (
+          SELECT k, i,
+                 CASE WHEN cnt = MAX(cnt) OVER (PARTITION BY k)
+                      THEN i END AS mode_cand
+          FROM (SELECT k, i, COUNT(*) OVER (PARTITION BY k, i) AS cnt
+                FROM fuzz_os)
+        )
+        GROUP BY k
+    """
+    duck_sql = spark_sql.replace("PERCENTILE(i, 0.9)", "QUANTILE_CONT(i, 0.9)")
+    spark_out = spark.sql(spark_sql).toPandas()
+    con = duckdb.connect()
+    con.register("fuzz_os", pdf)
+    duck_out = con.execute(duck_sql).fetchdf()
+    con.close()
+    scols, srows = canon_rows(spark_out)
+    dcols, drows = canon_rows(duck_out)
+    assert scols == dcols
+    assert srows == drows
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=rows_strategy)
+def test_ewma_horner_fold_matches_duckdb(spark, rows):
+    """The binary-decay EWMA's exact-integer Horner fold (windowed
+    collect + fold) must agree cross-engine on any value stream —
+    fuzzes the q_ewma_smooth construction with negative and extreme
+    ints, where pow()-based EWMAs would drift."""
+    pdf = pd.DataFrame(rows, columns=["k", "i", "x"])
+    pdf = pdf.reset_index().rename(columns={"index": "rid"})
+    pdf["c"] = pdf["i"] % 10_000  # bound so the shifted fold stays in int64
+    sdf = spark.createDataFrame(pdf[["k", "rid", "c"]])
+    sdf.createOrReplaceTempView("fuzz_ew")
+    spark_sql = """
+        SELECT k, rid,
+               ROUND(
+                 CAST(AGGREGATE(REVERSE(arr), CAST(0 AS BIGINT),
+                                (acc, v) -> acc * 2 + v) AS DOUBLE)
+                 / CAST((CAST(1 AS BIGINT) << SIZE(arr)) - 1 AS DOUBLE),
+                 6) + 0.0 AS ewma
+        FROM (
+          SELECT k, rid,
+                 COLLECT_LIST(c) OVER (PARTITION BY k ORDER BY rid
+                   ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS arr
+          FROM fuzz_ew
+        )
+    """
+    duck_sql = """
+        SELECT k, rid,
+               ROUND(
+                 CAST(CAST(list_sum(list_transform(range(1, len(arr)+1),
+                        i -> arr[i] * (CAST(1 AS BIGINT) << (i-1)))) AS BIGINT) AS DOUBLE)
+                 / CAST((CAST(1 AS BIGINT) << len(arr)) - 1 AS DOUBLE),
+                 6) + 0.0 AS ewma
+        FROM (
+          SELECT k, rid,
+                 list(c) OVER (PARTITION BY k ORDER BY rid
+                   ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS arr
+          FROM fuzz_ew
+        )
+    """
+    spark_out = spark.sql(spark_sql).toPandas()
+    con = duckdb.connect()
+    con.register("fuzz_ew", pdf[["k", "rid", "c"]])
+    duck_out = con.execute(duck_sql).fetchdf()
+    con.close()
+    scols, srows = canon_rows(spark_out)
+    dcols, drows = canon_rows(duck_out)
+    assert scols == dcols
+    assert srows == drows
