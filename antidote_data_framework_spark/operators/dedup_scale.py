@@ -332,20 +332,26 @@ inter AS (
   GROUP BY 1, 2
 ),
 scored AS (
-  SELECT i.doc_a, i.doc_b,
-         i.c * 1.0 / (sa.n_sh + sb.n_sh - i.c) AS j,
-         (cd.doc_a IS NOT NULL) AS collided
-  FROM inter i
-  JOIN sigs sa ON sa.doc_id = i.doc_a
-  JOIN sigs sb ON sb.doc_id = i.doc_b
-  LEFT JOIN cand cd ON cd.doc_a = i.doc_a AND cd.doc_b = i.doc_b
+  SELECT j, collided, q*q AS q2 FROM (
+    SELECT i.c * 1.0 / (sa.n_sh + sb.n_sh - i.c) AS j,
+           1.0 - (i.c * 1.0 / (sa.n_sh + sb.n_sh - i.c))
+               * (i.c * 1.0 / (sa.n_sh + sb.n_sh - i.c))
+               * (i.c * 1.0 / (sa.n_sh + sb.n_sh - i.c))
+               * (i.c * 1.0 / (sa.n_sh + sb.n_sh - i.c)) AS q,
+           (cd.doc_a IS NOT NULL) AS collided
+    FROM inter i
+    JOIN sigs sa ON sa.doc_id = i.doc_a
+    JOIN sigs sb ON sb.doc_id = i.doc_b
+    LEFT JOIN cand cd ON cd.doc_a = i.doc_a AND cd.doc_b = i.doc_b
+  )
 )
 SELECT CAST(LEAST(9, CAST(FLOOR(j * 10) AS BIGINT)) AS BIGINT) AS j_decile,
        CAST(COUNT(*) AS BIGINT) AS n_pairs,
        CAST(SUM(CASE WHEN collided THEN 1 ELSE 0 END) AS BIGINT) AS n_collided,
        ROUND(SUM(CASE WHEN collided THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4)
          AS empirical_rate,
-       ROUND(AVG(1.0 - POWER(1.0 - j*j*j*j, {EVAL_BANDS})), 4) AS theoretical_rate
+       ROUND(AVG(1.0 - ((q2*q2) * (q2*q2)) * ((q2*q2) * (q2*q2))), 4)
+         AS theoretical_rate
 FROM scored
 GROUP BY 1
 """,
@@ -368,9 +374,11 @@ def q_minhash_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_countmin_sketch trick), and band keys are a polynomial combine
     of 4 signature slots.  The production twin (q_minhash_lsh) swaps
     the vocabulary join for xxhash64 — same plan, engine-specific
-    sketch.  POWER(double, int) on the theory column is repeated
-    multiplication in both engines; the round-4 guard covers the
-    AVG-order residue like every stats query.
+    sketch.  The theory column avoids libm pow() entirely — (1-s^4)^16
+    is staged squarings written with IDENTICAL multiply structure in
+    both engines (libm pow is not ulp-stable cross-runtime); the
+    round-4 guard covers the AVG-order residue like every stats
+    query.
 
     Measured insight (sf0.1): the affine family is 2-universal but
     only APPROXIMATELY min-wise independent, so the low tail runs
@@ -476,7 +484,13 @@ def q_minhash_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("collided", F.lit(False)).alias("collided"),
         )
     )
-    theory = 1.0 - F.pow(1.0 - F.pow(F.col("j"), 4), EVAL_BANDS)
+    # staged squarings, grouped identically to the oracle:
+    # q16 = (q4*q4) with q4 = q2*q2 — no libm pow anywhere.
+    q = 1.0 - F.col("j") * F.col("j") * F.col("j") * F.col("j")
+    q2 = q * q
+    q4 = q2 * q2
+    q8 = q4 * q4
+    theory = 1.0 - q8 * q8
     return scored.groupBy(
         F.least(F.lit(9), F.floor(F.col("j") * 10)).cast("bigint").alias("j_decile")
     ).agg(
