@@ -1409,3 +1409,120 @@ def q_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "se_boot",
         )
     )
+
+
+@spark_query(
+    "q_join_skew_report",
+    oracle="""
+WITH freq AS (
+  SELECT o_custkey AS key, CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY o_custkey
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(n) AS BIGINT) AS n_rows,
+         CAST(MAX(n) AS BIGINT) AS max_key_rows,
+         ROUND(AVG(n), 4) AS avg_key_rows,
+         ROUND(CAST(MAX(n) AS DOUBLE) / AVG(n), 4) AS skew_factor
+  FROM freq
+),
+topk AS (
+  SELECT key, n, ROW_NUMBER() OVER (ORDER BY n DESC, key) AS rk FROM freq
+)
+SELECT s.n_keys, s.n_rows, s.max_key_rows, s.avg_key_rows, s.skew_factor,
+       CAST(t.rk AS BIGINT) AS rank, t.key AS hot_key, t.n AS hot_key_rows
+FROM stats s JOIN topk t ON t.rk <= 5
+""",
+)
+def q_join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic: the pre-flight report that decides
+    whether a join on this key needs salting or AQE skew handling —
+    key cardinality, max/avg rows per key (the skew factor), and the
+    5 hottest keys.  A skew factor near 1 means hash partitioning
+    balances; 100x means the hot keys each need a salt fan-out of
+    roughly their overage.
+
+    Shape: ONE partial-aggregated groupBy builds the key histogram;
+    everything downstream (global stats, top-5 window) runs on the
+    key-cardinality-bounded relation.  At 100 TB this replaces
+    guessing with measurement for exactly the cost of a count — and
+    the histogram itself is reusable as the salting plan (hot keys ->
+    fan-out factors)."""
+    orders = load_table(spark, sf_dir, "orders")
+    freq = orders.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    stats = freq.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.max("n").cast("bigint").alias("max_key_rows"),
+        F.round(F.avg("n"), 4).alias("avg_key_rows"),
+        F.round(F.max("n").cast("double") / F.avg("n"), 4).alias("skew_factor"),
+    )
+    # top-5 via TakeOrderedAndProject (distributed partial top-k),
+    # NOT a row_number window over the full key histogram — that
+    # window is a single-partition sort of an SF-proportional
+    # relation.  The rank is assigned on the 5 survivors.
+    top5 = freq.orderBy(F.desc("n"), "key").limit(5)
+    w5 = Window.orderBy(F.desc("n"), "key")
+    topk = top5.withColumn("rk", F.row_number().over(w5)).select(
+        F.col("rk").cast("bigint").alias("rank"),
+        F.col("key").alias("hot_key"),
+        F.col("n").alias("hot_key_rows"),
+    )
+    return stats.crossJoin(F.broadcast(topk)).select(
+        "n_keys", "n_rows", "max_key_rows", "avg_key_rows", "skew_factor",
+        "rank", "hot_key", "hot_key_rows",
+    )
+
+
+@spark_query("q_plan_self_audit")  # rows-only: physical-plan strings
+# are engine-specific by definition — no DuckDB twin exists
+def q_plan_self_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine auditing ITSELF: compile (never execute) a panel of
+    its own flagship queries and report the scale-critical plan
+    properties as data — pushed-down filters, broadcast-join count,
+    map-side partial aggregation, whole-stage codegen, and whether
+    any Python evaluator leaked into the plan.  This is
+    tests/test_plans.py exposed as a runtime surface: a deployment
+    can assert its OWN plans after a Spark upgrade or a conf change,
+    on the real cluster, without running a row of data (compilation
+    is driver-only).
+
+    The panel spans the plan families: pushdown scan, broadcast star
+    join, partial-agg rollup, window top-k, banded dedup join."""
+    from ..plans import (
+        broadcast_join_count,
+        has_partial_aggregation,
+        physical_plan,
+        pushed_filters,
+        uses_python_eval,
+    )
+    from ..registry import QUERIES
+
+    panel = [
+        "q_scan_project_filter",
+        "q_join_5way_star",
+        "q_agg_pricing_summary",
+        "q_topk_per_group",
+        "q_dedup_chunk_prune",
+    ]
+    rows = []
+    for key in panel:
+        df = QUERIES[key](spark, sf_dir)
+        plan = physical_plan(df)
+        rows.append(
+            (
+                key,
+                len(pushed_filters(df)) > 0,
+                broadcast_join_count(df),
+                has_partial_aggregation(df),
+                "WholeStageCodegen" in plan,
+                uses_python_eval(df),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "query STRING, has_pushdown BOOLEAN, n_broadcast_joins INT, "
+        "has_partial_agg BOOLEAN, has_wscg BOOLEAN, python_in_plan BOOLEAN",
+    )
