@@ -439,3 +439,304 @@ def q_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-F.col("best.neg_id")).alias("survivor_id"),
         F.col("best.n_chars").alias("survivor_chars"),
     ).orderBy("survivor_id")
+
+
+@spark_query(
+    "q_mi_feature_ranking",
+    oracle="""
+WITH base AS (
+  SELECT event_type AS t,
+         user_id % 10 AS f_user,
+         dayofweek(ts) + 1 AS f_dow,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+  FROM events
+),
+qs AS (
+  SELECT percentile_cont(0.25) WITHIN GROUP (ORDER BY c) AS q1,
+         percentile_cont(0.5)  WITHIN GROUP (ORDER BY c) AS q2,
+         percentile_cont(0.75) WITHIN GROUP (ORDER BY c) AS q3
+  FROM base
+),
+stacked AS (
+  SELECT 'user_bucket' AS feature, b.f_user AS fval, b.t FROM base b
+  UNION ALL
+  SELECT 'day_of_week' AS feature, b.f_dow AS fval, b.t FROM base b
+  UNION ALL
+  SELECT 'value_quartile' AS feature,
+         1 + CASE WHEN b.c > q.q1 THEN 1 ELSE 0 END
+           + CASE WHEN b.c > q.q2 THEN 1 ELSE 0 END
+           + CASE WHEN b.c > q.q3 THEN 1 ELSE 0 END AS fval,
+         b.t
+  FROM base b CROSS JOIN qs q
+),
+joint AS (
+  SELECT feature, fval, t, CAST(COUNT(*) AS BIGINT) AS n
+  FROM stacked GROUP BY feature, fval, t
+),
+marg_f AS (
+  SELECT feature, fval, CAST(SUM(n) AS BIGINT) AS n_f
+  FROM joint GROUP BY feature, fval
+),
+marg_t AS (
+  SELECT feature, t, CAST(SUM(n) AS BIGINT) AS n_t
+  FROM joint GROUP BY feature, t
+),
+tot AS (
+  SELECT feature, CAST(SUM(n) AS BIGINT) AS nn FROM joint GROUP BY feature
+),
+mi AS (
+  SELECT j.feature,
+         CAST(COUNT(*) AS BIGINT) AS n_cells,
+         SUM(CAST(ROUND(CAST(j.n AS DOUBLE)
+               * LN(CAST(j.n * tt.nn AS DOUBLE)
+                    / CAST(mf.n_f * mt.n_t AS DOUBLE)), 8)
+             AS DECIMAL(38,10))) AS mi_sum,
+         MAX(tt.nn) AS nn
+  FROM joint j
+  JOIN marg_f mf ON j.feature = mf.feature AND j.fval = mf.fval
+  JOIN marg_t mt ON j.feature = mt.feature AND j.t = mt.t
+  JOIN tot tt ON j.feature = tt.feature
+  GROUP BY j.feature
+),
+ent AS (
+  SELECT feature,
+         SUM(CAST(ROUND(CAST(n_t AS DOUBLE)
+               * LN(CAST(n_t AS DOUBLE) / CAST(nn_t.nn AS DOUBLE)), 8)
+             AS DECIMAL(38,10))) AS h_sum
+  FROM marg_t
+  JOIN tot nn_t USING (feature)
+  GROUP BY feature
+)
+SELECT m.feature, m.n_cells,
+       ROUND(CAST(m.mi_sum AS DOUBLE) / CAST(m.nn AS DOUBLE), 6) AS mi_nats,
+       ROUND((CAST(m.mi_sum AS DOUBLE) / CAST(m.nn AS DOUBLE))
+             / (-(CAST(e.h_sum AS DOUBLE) / CAST(m.nn AS DOUBLE))), 6) AS nmi
+FROM mi m JOIN ent e ON m.feature = e.feature
+ORDER BY mi_nats DESC, m.feature
+""",
+)
+def q_mi_feature_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-information feature ranking: score three candidate
+    features (user bucket, day-of-week, value quartile) against the
+    event-type target with I(F;T) = sum p(f,t) ln(p(f,t)/(p(f)p(t)))
+    plus the entropy-normalized NMI = I/H(T) — the filter-method
+    feature selector run before any model training.
+
+    Plan: one stacked explode (3 rows per event), ONE joint-count
+    groupBy; marginals and totals are re-aggregations of the
+    cell-bounded joint table (<=70 cells/feature), never second
+    scans.  Quartile thresholds come from the exact interpolated
+    percentile (1-row broadcast).
+
+    Determinism note (stronger than q_psi_drift's raw double sum):
+    each cell term n*ln(ratio) is rounded to 8 dp and accumulated as
+    DECIMAL(38,10) — decimal addition is exact and ORDER-INDEPENDENT,
+    so the shuffle arrival order of cells can never flip a 6-dp
+    result digit; the single division by N happens on the 3-row
+    output."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.col("event_type").alias("t"),
+        (F.col("user_id") % 10).alias("f_user"),
+        F.dayofweek("ts").cast("bigint").alias("f_dow"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("c"),
+    )
+    qs = base.agg(
+        F.percentile("c", F.lit(0.25)).alias("q1"),
+        F.percentile("c", F.lit(0.5)).alias("q2"),
+        F.percentile("c", F.lit(0.75)).alias("q3"),
+    )
+    withq = base.crossJoin(F.broadcast(qs))
+    stacked = withq.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("user_bucket").alias("feature"),
+                    F.col("f_user").cast("bigint").alias("fval"),
+                ),
+                F.struct(
+                    F.lit("day_of_week").alias("feature"),
+                    F.col("f_dow").cast("bigint").alias("fval"),
+                ),
+                F.struct(
+                    F.lit("value_quartile").alias("feature"),
+                    (
+                        F.lit(1)
+                        + (F.col("c") > F.col("q1")).cast("int")
+                        + (F.col("c") > F.col("q2")).cast("int")
+                        + (F.col("c") > F.col("q3")).cast("int")
+                    )
+                    .cast("bigint")
+                    .alias("fval"),
+                ),
+            )
+        ).alias("fv"),
+        "t",
+    ).select(F.col("fv.feature").alias("feature"), F.col("fv.fval").alias("fval"), "t")
+    joint = stacked.groupBy("feature", "fval", "t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    marg_f = joint.groupBy("feature", "fval").agg(
+        F.sum("n").cast("bigint").alias("n_f")
+    )
+    marg_t = joint.groupBy("feature", "t").agg(
+        F.sum("n").cast("bigint").alias("n_t")
+    )
+    tot = joint.groupBy("feature").agg(F.sum("n").cast("bigint").alias("nn"))
+    term = F.round(
+        F.col("n").cast("double")
+        * F.log(
+            (F.col("n") * F.col("nn")).cast("double")
+            / (F.col("n_f") * F.col("n_t")).cast("double")
+        ),
+        8,
+    ).cast("decimal(38,10)")
+    mi = (
+        joint.join(marg_f, ["feature", "fval"])
+        .join(marg_t, ["feature", "t"])
+        .join(tot, "feature")
+        .groupBy("feature")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.sum(term).alias("mi_sum"),
+            F.max("nn").alias("nn"),
+        )
+    )
+    h_term = F.round(
+        F.col("n_t").cast("double")
+        * F.log(F.col("n_t").cast("double") / F.col("nn").cast("double")),
+        8,
+    ).cast("decimal(38,10)")
+    ent = (
+        marg_t.join(tot, "feature")
+        .groupBy("feature")
+        .agg(F.sum(h_term).alias("h_sum"))
+    )
+    mi_nats = F.col("mi_sum").cast("double") / F.col("nn").cast("double")
+    h_nats = -(F.col("h_sum").cast("double") / F.col("nn").cast("double"))
+    return (
+        mi.join(ent, "feature")
+        .select(
+            "feature",
+            "n_cells",
+            F.round(mi_nats, 6).alias("mi_nats"),
+            F.round(mi_nats / h_nats, 6).alias("nmi"),
+        )
+        .orderBy(F.desc("mi_nats"), "feature")
+    )
+
+
+@spark_query(
+    "q_prob_calibration",
+    oracle="""
+WITH base AS (
+  SELECT user_id,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+),
+g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS gn, CAST(SUM(y) AS BIGINT) AS gs
+  FROM base
+),
+peruser AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS nu, CAST(SUM(y) AS BIGINT) AS su
+  FROM base GROUP BY user_id
+),
+scored AS (
+  SELECT b.y,
+         (CAST(p.su - b.y AS DOUBLE)
+          + 50.0 * (CAST(g.gs AS DOUBLE) / CAST(g.gn AS DOUBLE)))
+         / (CAST(p.nu AS DOUBLE) - 1.0 + 50.0) AS phat
+  FROM base b
+  JOIN peruser p ON b.user_id = p.user_id
+  CROSS JOIN g
+),
+binned AS (
+  SELECT LEAST(9, CAST(FLOOR(phat * 10.0) AS BIGINT)) AS decile, y, phat
+  FROM scored
+)
+SELECT decile,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(CAST(SUM(CAST(ROUND(phat, 8) AS DECIMAL(38,10))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS mean_pred,
+       ROUND(CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS obs_rate,
+       ROUND(CAST(SUM(CAST(ROUND((phat - y) * (phat - y), 8)
+                           AS DECIMAL(38,10))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS brier
+FROM binned GROUP BY decile
+ORDER BY decile
+""",
+)
+def q_prob_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + per-bin Brier score for a leakage-safe
+    probability model: each event's purchase probability is predicted
+    from ITS OWN USER's historical purchase rate, leave-one-out
+    smoothed toward the global rate (m=50) — the evaluation
+    counterpart of q_target_encoding, answering "are the encoded
+    probabilities calibrated?" before anyone trains on them.
+
+    The model is rational end-to-end ((su - y + m*p0)/(nu - 1 + m)),
+    so predictions are bit-identical across engines; per-event Brier
+    and mean-prediction terms are rounded to 8 dp and summed as exact
+    order-independent DECIMAL(38,10) (same discipline as
+    q_mi_feature_ranking), making the distributed float-sum ordering
+    hazard structurally impossible.  Plan: one per-user aggregate
+    (broadcast-joined back), one decile groupBy — two scans, no
+    windows, no per-row state."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    g = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("gn"),
+        F.sum("y").cast("bigint").alias("gs"),
+    )
+    peruser = base.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nu"),
+        F.sum("y").cast("bigint").alias("su"),
+    )
+    p0 = F.col("gs").cast("double") / F.col("gn").cast("double")
+    phat = (
+        (F.col("su") - F.col("y")).cast("double") + 50.0 * p0
+    ) / (F.col("nu").cast("double") - 1.0 + 50.0)
+    scored = (
+        base.join(peruser, "user_id")
+        .crossJoin(F.broadcast(g))
+        .select(F.col("y"), phat.alias("phat"))
+    )
+    binned = scored.select(
+        F.least(F.lit(9), F.floor(F.col("phat") * 10.0))
+        .cast("bigint")
+        .alias("decile"),
+        "y",
+        "phat",
+    )
+    return (
+        binned.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(
+                F.sum(F.round(F.col("phat"), 8).cast("decimal(38,10)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("mean_pred"),
+            F.round(
+                F.sum("y").cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("obs_rate"),
+            F.round(
+                F.sum(
+                    F.round(
+                        (F.col("phat") - F.col("y"))
+                        * (F.col("phat") - F.col("y")),
+                        8,
+                    ).cast("decimal(38,10)")
+                ).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("brier"),
+        )
+        .orderBy("decile")
+    )

@@ -341,3 +341,92 @@ def q_lakehouse_zonemap_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
             _money_sum("o_totalprice").alias("sum_totalprice"),
         )
     )
+
+
+@spark_query(
+    "q_lakehouse_vacuum",
+    oracle="""
+WITH upd AS (
+  SELECT o_custkey AS c_custkey, COUNT(*) AS n_urgent
+  FROM orders WHERE o_orderpriority = '1-URGENT'
+  GROUP BY o_custkey
+),
+v1 AS (
+  SELECT c.c_custkey,
+         CASE WHEN u.c_custkey IS NOT NULL THEN 'URGENT-VIP'
+              ELSE c.c_mktsegment END                        AS c_mktsegment,
+         CASE WHEN u.c_custkey IS NOT NULL THEN c.c_acctbal + u.n_urgent
+              ELSE c.c_acctbal END                           AS c_acctbal
+  FROM customer c LEFT JOIN upd u ON c.c_custkey = u.c_custkey
+)
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN c_mktsegment = 'URGENT-VIP' THEN 1 ELSE 0 END) AS BIGINT) AS n_vip,
+       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(14,2))), 2) AS DOUBLE) AS sum_acctbal,
+       CAST(1 AS BIGINT) AS versions_expired,
+       TRUE AS files_reclaimed,
+       TRUE AS expired_version_unreadable
+FROM v1
+""",
+)
+def q_lakehouse_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM / expire_snapshots: the table-maintenance step that
+    completes the triad with compaction (q_sink_compaction) and
+    clustering (q_zorder_layout) — copy-on-write MERGE strands a full
+    generation of data files per commit, and at 100 TB un-vacuumed
+    churn doubles storage per rewrite cycle.
+
+    This builds its OWN table (create v0, merge v1 — never the shared
+    demo table, whose older snapshots other queries time-travel to),
+    vacuums with retain_last=1, and verifies the three contracts:
+    (1) the surviving snapshot is byte-identical to the oracle's
+    recomputed v1 state (the hash-matched columns); (2) storage was
+    actually reclaimed (merge rewrites every file, so v0's generation
+    must go); (3) time travel to the expired v0 now fails at MANIFEST
+    resolution — manifests are deleted before data files, so a reader
+    can never resolve a manifest whose files are gone.
+
+    The boolean/count audit columns are literals in the oracle by
+    design: they assert runtime behavior the SQL engine cannot see
+    (file deletion, failed time travel); the Spark side computes them
+    from the real vacuum audit and a real failed read."""
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    vt = VersionedTable(spark, _fresh_table_dir())
+    vt.create(customer)
+    vt.merge(
+        _urgent_updates(spark, sf_dir),
+        "c_custkey",
+        {
+            "c_mktsegment": F.lit("URGENT-VIP"),
+            "c_acctbal": F.col("c_acctbal") + F.col("n_urgent"),
+        },
+    )
+    audit = vt.vacuum(retain_last=1)
+    try:
+        vt.read(0)
+        expired_unreadable = False
+    except FileNotFoundError:
+        expired_unreadable = True
+    return (
+        vt.read()
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.when(F.col("c_mktsegment") == "URGENT-VIP", 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_vip"),
+            _money_sum("c_acctbal").alias("sum_acctbal"),
+        )
+        .select(
+            "n_rows",
+            "n_vip",
+            "sum_acctbal",
+            F.lit(audit["versions_expired"]).cast("bigint").alias("versions_expired"),
+            F.lit(
+                audit["files_removed"] > 0 and audit["bytes_reclaimed"] > 0
+            ).alias("files_reclaimed"),
+            F.lit(expired_unreadable).alias("expired_version_unreadable"),
+        )
+    )

@@ -589,3 +589,117 @@ def q_autocorr_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag")
     )
+
+
+@spark_query(
+    "q_wilcoxon_signed_rank",
+    oracle="""
+WITH cells AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                       THEN CAST(ROUND(value * 100, 0) AS BIGINT) END) AS BIGINT) AS sp,
+         CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS np,
+         CAST(SUM(CASE WHEN event_type = 'click'
+                       THEN CAST(ROUND(value * 100, 0) AS BIGINT) END) AS BIGINT) AS sc,
+         CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS nc
+  FROM events WHERE event_type IN ('purchase', 'click')
+  GROUP BY user_id
+  HAVING COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) > 0
+     AND COUNT(CASE WHEN event_type = 'click' THEN 1 END) > 0
+),
+diffs AS (
+  SELECT user_id,
+         CAST(sp AS DOUBLE) / CAST(np AS DOUBLE)
+         - CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE) AS d
+  FROM cells
+),
+ranked AS (
+  SELECT d,
+         CAST(ROW_NUMBER() OVER (ORDER BY ABS(d), user_id) AS BIGINT) AS rnk
+  FROM diffs WHERE d <> 0.0
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN d > 0.0 THEN rnk ELSE 0 END) AS BIGINT) AS w_plus
+  FROM ranked
+)
+SELECT n, w_plus,
+       ROUND((CAST(w_plus AS DOUBLE)
+              - CAST(n * (n + 1) AS DOUBLE) / 4.0)
+             / SQRT(CAST(n * (n + 1) * (2 * n + 1) AS DOUBLE) / 24.0),
+             4) AS z_score
+FROM agg
+""",
+)
+def q_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test on PAIRED per-user differences (mean
+    purchase value vs mean click value, users observing both) — the
+    paired companion to q_mann_whitney_u's independent-samples test,
+    completing the nonparametric family.
+
+    The pairing aggregate is one conditional groupBy over the fact
+    table (scan speed, entity-bounded output); differences are exact
+    rationals (integer sums divided once), zero differences dropped
+    per the textbook procedure.  |d| ranking uses row_number with a
+    user_id tie-break: the differences are continuous rationals with
+    user-specific denominators, so exact |d| ties are measure-zero —
+    and if one ever occurred, the tie-break keeps both engines
+    IDENTICALLY ordered (determinism over textbook average-ranks is
+    the right trade here; the z correction for ties is zero when no
+    ties exist).  The ranking window is over USERS (entities), not
+    events — bounded independent of fact-table scale."""
+    ev = load_table(spark, sf_dir, "events")
+    c = _cents()
+    cells = (
+        ev.filter(F.col("event_type").isin("purchase", "click"))
+        .select("user_id", "event_type", c.alias("c"))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "purchase", F.col("c")))
+            .cast("bigint")
+            .alias("sp"),
+            F.count(F.when(F.col("event_type") == "purchase", F.lit(1)))
+            .cast("bigint")
+            .alias("np"),
+            F.sum(F.when(F.col("event_type") == "click", F.col("c")))
+            .cast("bigint")
+            .alias("sc"),
+            F.count(F.when(F.col("event_type") == "click", F.lit(1)))
+            .cast("bigint")
+            .alias("nc"),
+        )
+        .filter((F.col("np") > 0) & (F.col("nc") > 0))
+    )
+    diffs = cells.select(
+        "user_id",
+        (
+            F.col("sp").cast("double") / F.col("np").cast("double")
+            - F.col("sc").cast("double") / F.col("nc").cast("double")
+        ).alias("d"),
+    ).filter(F.col("d") != 0.0)
+    ranked = diffs.select(
+        "d",
+        F.row_number()
+        .over(Window.orderBy(F.abs(F.col("d")), F.col("user_id")))
+        .cast("bigint")
+        .alias("rnk"),
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("d") > 0.0, F.col("rnk")).otherwise(0))
+        .cast("bigint")
+        .alias("w_plus"),
+    )
+    nn = F.col("n")
+    return agg.select(
+        "n",
+        "w_plus",
+        F.round(
+            (
+                F.col("w_plus").cast("double")
+                - (nn * (nn + 1)).cast("double") / 4.0
+            )
+            / F.sqrt((nn * (nn + 1) * (2 * nn + 1)).cast("double") / 24.0),
+            4,
+        ).alias("z_score"),
+    )

@@ -190,6 +190,57 @@ class VersionedTable:
         current = self.read(base).coalesce(target_partitions)
         return self._commit(self._write_data_files(current), "compact", base + 1)
 
+    def vacuum(self, retain_last: int = 1) -> dict:
+        """Physically delete data files referenced ONLY by versions
+        older than the ``retain_last`` most recent snapshots, and drop
+        those versions' manifests — the Delta VACUUM / Iceberg
+        expire_snapshots maintenance step that bounds storage after
+        copy-on-write churn (every merge/compact strands a full
+        generation of files).
+
+        Safety order matters: old manifests are removed FIRST, so a
+        concurrent time-travel reader either resolves a manifest and
+        finds every file it names still present, or fails cleanly at
+        manifest resolution — never a manifest pointing at deleted
+        parquet.  Files named by ANY retained manifest are kept even
+        if an older manifest also names them (liveness is a set union
+        over retained versions, not per-version ownership).
+
+        Returns an audit dict: files/bytes before, removed, retained
+        versions.  Time travel to an expired version raises
+        FileNotFoundError afterwards — by design."""
+        latest = self.latest_version()
+        keep_from = max(0, latest - retain_last + 1)
+        live: set[str] = set()
+        for v in range(keep_from, latest + 1):
+            live |= set(self._read_manifest(v)["files"])
+        expired_manifests = list(range(0, keep_from))
+        for v in expired_manifests:
+            try:
+                os.unlink(self._manifest_path(v))
+            except FileNotFoundError:
+                pass  # already vacuumed
+        all_files = [
+            f for f in os.listdir(self.data_dir) if f.endswith(".parquet")
+        ]
+        removed, reclaimed = [], 0
+        for f in all_files:
+            if f not in live:
+                p = os.path.join(self.data_dir, f)
+                try:
+                    reclaimed += os.path.getsize(p)
+                    os.unlink(p)
+                    removed.append(f)
+                except FileNotFoundError:
+                    pass
+        return {
+            "files_before": len(all_files),
+            "files_removed": len(removed),
+            "bytes_reclaimed": reclaimed,
+            "versions_expired": len(expired_manifests),
+            "retained_from": keep_from,
+        }
+
     def merge(self, updates: DataFrame, on: str, set_exprs: dict) -> int:
         """Copy-on-write MERGE ... WHEN MATCHED THEN UPDATE: rows whose
         ``on`` key appears in ``updates`` get ``set_exprs`` applied
