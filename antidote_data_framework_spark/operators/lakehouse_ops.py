@@ -430,3 +430,79 @@ def q_lakehouse_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(expired_unreadable).alias("expired_version_unreadable"),
         )
     )
+
+
+@spark_query(
+    "q_lakehouse_delete_vectors",
+    oracle="""
+WITH remaining AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal
+  FROM customer
+  WHERE NOT (c_acctbal < 0) AND NOT (c_mktsegment = 'MACHINERY')
+)
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_machinery_left,
+       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(14,2))), 2) AS DOUBLE) AS sum_acctbal,
+       CAST(2 AS BIGINT) AS n_delete_files,
+       TRUE AS data_files_untouched,
+       TRUE AS compact_materializes
+FROM remaining
+""",
+)
+def q_lakehouse_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ deletes via position delete vectors — the
+    write-cheap half of the lakehouse deletion story (vtable.merge is
+    the copy-on-write half): two successive DELETEs (negative-balance
+    customers, then the MACHINERY segment) each commit a new version
+    that records only (file, row_position) pairs in a kilobyte-scale
+    side file; NOT ONE data file is rewritten.  Readers subtract the
+    accumulated DVs with a stats-gated broadcast anti-join on
+    (_metadata file, row_index).  compact() then MATERIALIZES the
+    deletes — its snapshot read already applies DVs, so the rewrite
+    it commits is DV-free (minor compaction), bounding read-side
+    anti-join debt.
+
+    Hash-matched columns: the surviving rows' count/aggregate vs the
+    oracle's recomputed double-DELETE state — so DV capture, DV
+    accumulation across versions, and read-time subtraction are all
+    on the verified path.  Audit literals assert what SQL cannot see:
+    the data-file sets of v0..v2 are IDENTICAL (untouched by both
+    deletes), exactly 2 delete files accumulated, and the compacted
+    snapshot equals the DV-applied one."""
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    vt = VersionedTable(spark, _fresh_table_dir())
+    vt.create(customer)
+    files_v0 = set(vt._read_manifest(0)["files"])
+    vt.delete_where(F.col("c_acctbal") < 0)
+    vt.delete_where(F.col("c_mktsegment") == "MACHINERY")
+    m2 = vt._read_manifest(2)
+    untouched = (
+        set(m2["files"]) == files_v0
+        and set(vt._read_manifest(1)["files"]) == files_v0
+    )
+    n_dv = len(m2.get("deletes", []))
+    snapshot = vt.read(2)
+    n_after_dv = snapshot.count()
+    vt.compact()
+    m3 = vt._read_manifest(3)
+    compact_ok = (
+        m3.get("deletes", []) == []
+        and vt.read(3).count() == n_after_dv
+    )
+    return snapshot.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("c_mktsegment") == "MACHINERY", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_machinery_left"),
+        _money_sum("c_acctbal").alias("sum_acctbal"),
+    ).select(
+        "n_rows",
+        "n_machinery_left",
+        "sum_acctbal",
+        F.lit(n_dv).cast("bigint").alias("n_delete_files"),
+        F.lit(untouched).alias("data_files_untouched"),
+        F.lit(compact_ok).alias("compact_materializes"),
+    )

@@ -836,3 +836,89 @@ def q_stream_ewma_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "n_events", F.round("ewma_cents", 4).alias("ewma_cents"))
     )
+
+
+@spark_query("q_stream_cusum_stateful")  # rows-only: custom streaming state
+def q_stream_cusum_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online CUSUM change detection per user with O(1) state — the
+    STREAMING form of q_cusum_changepoint (whose batch form rewrites
+    Page's recursion as cumsum-minus-running-extremum windows; the
+    recursion itself S+ = max(0, S+ + (c - K)) is the textbook ONLINE
+    detector, which is exactly what per-key state is for).
+
+    Reference level K = 10000 cents and alarm threshold H = 50000
+    cents are fixed monitoring parameters (an online detector cannot
+    know the stream's own mean upfront — in production K comes from
+    the seasonal profile table q_seasonal_baseline broadcasts).  On
+    an alarm the fired side resets to zero (Page's restart), so state
+    per user is four numbers: (s_pos, s_neg, n, n_alarms) — 32 bytes
+    x |active users| regardless of stream length.  Rows inside each
+    micro-batch fold in (ts, event_id) order, so the detector's
+    trajectory is the event-time one and the plain-Python replay in
+    tests/test_streaming.py matches exactly."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src = _stage_events(spark, sf_dir, n_files=2)
+    stream = (
+        spark.readStream.schema(_staged_schema(spark, src))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    K, H = 10000.0, 50000.0
+
+    def fold_cusum(key, pdfs, state: GroupState):
+        sp, sn, n, alarms = (
+            state.get if state.exists else (0.0, 0.0, 0, 0)
+        )
+        frames = [pdf for pdf in pdfs]
+        if frames:
+            allp = pd.concat(frames).sort_values(["ts", "event_id"])
+            for c in (allp["value"] * 100).round(0):
+                c = float(c)
+                sp = max(0.0, sp + (c - K))
+                sn = max(0.0, sn + (K - c))
+                n += 1
+                if sp > H:
+                    alarms += 1
+                    sp = 0.0
+                if sn > H:
+                    alarms += 1
+                    sn = 0.0
+        state.update((sp, sn, n, alarms))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "s_pos": [sp],
+                "s_neg": [sn],
+                "n_alarms": [alarms],
+            }
+        )
+
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        fold_cusum,
+        outputStructType=(
+            "user_id BIGINT, n_events BIGINT, s_pos DOUBLE, "
+            "s_neg DOUBLE, n_alarms BIGINT"
+        ),
+        stateStructType="sp DOUBLE, sn DOUBLE, n BIGINT, alarms BIGINT",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = _run_stream(out, "update")
+    latest = spark.table(sink)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        latest.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            F.round("s_pos", 2).alias("s_pos"),
+            F.round("s_neg", 2).alias("s_neg"),
+            "n_alarms",
+        )
+    )

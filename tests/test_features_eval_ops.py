@@ -128,3 +128,40 @@ def test_vacuum_reclaims_and_preserves_retained(spark, sf_dir, tmp_path):
     vt.vacuum(retain_last=1)
     only = set(vt._read_manifest(2)["files"])
     assert set(f for f in os.listdir(vt.data_dir) if f.endswith(".parquet")) == only
+
+
+def test_delete_vectors_subtract_without_rewrite(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, "/tmp/dv_test_" + __import__("uuid").uuid4().hex)
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    vt.create(cust)
+    n0 = vt.read().count()
+    files0 = sorted(vt._read_manifest(0)["files"])
+    vt.delete_where(F.col("c_custkey") % 10 == 3)
+    # data files untouched, one DV recorded
+    m1 = vt._read_manifest(1)
+    assert sorted(m1["files"]) == files0
+    assert len(m1["deletes"]) == 1
+    expect = cust.filter(~(F.col("c_custkey") % 10 == 3)).count()
+    assert vt.read().count() == expect
+    # time travel to v0 still sees everything
+    assert vt.read(0).count() == n0
+    # deleting already-deleted rows is a no-op on the visible set
+    vt.delete_where(F.col("c_custkey") % 10 == 3)
+    assert vt.read().count() == expect
+    # compact materializes: no deletes in the new manifest, same rows
+    vt.compact()
+    m = vt._read_manifest(vt.latest_version())
+    assert m.get("deletes", []) == []
+    assert vt.read().count() == expect
+    # vacuum keeps the retained snapshot intact and drops stale DVs
+    vt.vacuum(retain_last=1)
+    import os
+
+    assert vt.read().count() == expect
+    if os.path.isdir(vt.deletes_dir):
+        assert os.listdir(vt.deletes_dir) == []
+    import shutil
+
+    shutil.rmtree(vt.path, ignore_errors=True)

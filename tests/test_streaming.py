@@ -259,3 +259,41 @@ def test_stream_ewma_equals_python_replay(spark, sf_dir):
     for uid, (s, n) in state.items():
         assert got[uid]["n_events"] == n, uid
         assert abs(got[uid]["ewma_cents"] - round(s, 4)) < 1e-9, uid
+
+
+def test_stream_cusum_equals_python_replay(spark, sf_dir):
+    """The stateful streaming CUSUM must equal Page's sequential
+    recursion (with restart-on-alarm) replayed in plain Python."""
+    import __spark_entry__ as entrymod
+    from antidote_data_framework_spark.streaming.stream_queries import _stage_events
+
+    got = {
+        r["user_id"]: r
+        for r in entrymod.queries()["q_stream_cusum_stateful"](spark, sf_dir).collect()
+    }
+    src = _stage_events(spark, sf_dir, n_files=2)
+    rows = (
+        spark.read.parquet(src)
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    )
+    rows.sort(key=lambda r: (r["user_id"], r["ts"], r["event_id"]))
+    K, H = 10000.0, 50000.0
+    state: dict = {}
+    for r in rows:
+        c = float(round(r["value"] * 100))
+        sp, sn, n, alarms = state.get(r["user_id"], (0.0, 0.0, 0, 0))
+        sp = max(0.0, sp + (c - K))
+        sn = max(0.0, sn + (K - c))
+        n += 1
+        if sp > H:
+            alarms, sp = alarms + 1, 0.0
+        if sn > H:
+            alarms, sn = alarms + 1, 0.0
+        state[r["user_id"]] = (sp, sn, n, alarms)
+    assert set(got) == set(state)
+    for uid, (sp, sn, n, alarms) in state.items():
+        assert got[uid]["n_events"] == n, uid
+        assert abs(got[uid]["s_pos"] - round(sp, 2)) < 1e-9, uid
+        assert abs(got[uid]["s_neg"] - round(sn, 2)) < 1e-9, uid
+        assert got[uid]["n_alarms"] == alarms, uid
