@@ -73,7 +73,7 @@ def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_brand",
         F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
     )
-    g = pts.agg(
+    gstats = pts.agg(
         F.count(F.lit(1)).cast("bigint").alias("gn"),
         F.sum("y").cast("bigint").alias("gs"),
     )
@@ -85,7 +85,7 @@ def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prior = F.col("gs").cast("double") / F.col("gn").cast("double")
     return (
-        cells.crossJoin(F.broadcast(g))
+        cells.crossJoin(F.broadcast(gstats))
         .select(
             "p_brand",
             "n",
@@ -541,12 +541,12 @@ def q_mi_feature_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofweek("ts").cast("bigint").alias("f_dow"),
         F.round(F.col("value") * 100, 0).cast("long").alias("c"),
     )
-    qs = base.agg(
+    qdf = base.agg(
         F.percentile("c", F.lit(0.25)).alias("q1"),
         F.percentile("c", F.lit(0.5)).alias("q2"),
         F.percentile("c", F.lit(0.75)).alias("q3"),
     )
-    withq = base.crossJoin(F.broadcast(qs))
+    withq = base.crossJoin(F.broadcast(qdf))
     stacked = withq.select(
         F.explode(
             F.array(
@@ -688,7 +688,7 @@ def q_prob_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
     )
-    g = base.agg(
+    gstats = base.agg(
         F.count(F.lit(1)).cast("bigint").alias("gn"),
         F.sum("y").cast("bigint").alias("gs"),
     )
@@ -702,7 +702,7 @@ def q_prob_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) / (F.col("nu").cast("double") - 1.0 + 50.0)
     scored = (
         base.join(peruser, "user_id")
-        .crossJoin(F.broadcast(g))
+        .crossJoin(F.broadcast(gstats))
         .select(F.col("y"), phat.alias("phat"))
     )
     binned = scored.select(

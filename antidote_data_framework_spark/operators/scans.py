@@ -537,3 +537,71 @@ def q_source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_customers"),
         F.sum("bal_cents").cast("bigint").alias("sum_bal_cents"),
     )
+
+
+@spark_query(
+    "q_source_avro_roundtrip",
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+""",
+)
+def q_source_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro object-container roundtrip WITHOUT the spark-avro jar: the
+    nation dimension is written as two spec-compliant Avro container
+    files by the pure-stdlib codec (sources/avro_py.py — zigzag
+    varints, length-prefixed UTF-8, sync-marked blocks, codec null),
+    then read back DISTRIBUTED: binaryFile hands each executor its
+    files' bytes and an Arrow-batched mapInPandas decodes blocks to
+    rows.  The decoded table hash-matches the nation table itself, so
+    the entire binary encode→decode cycle is on the verified path.
+
+    Python-boundary note (tests/test_plans.py sanctions this op):
+    like q_source_custom_pyds, the Python stage is the INGEST
+    CONNECTOR for a foreign binary format, not a transform —
+    everything downstream of the decode is JVM.  Scale: parallelism
+    is per-file here (right for row-group-sized files); the format's
+    sync markers make intra-file splits possible with the same
+    iter_blocks boundary (avro_py.py docstring).
+
+    The writer side collects the 25-row nation dim on the driver —
+    structurally bounded; writing a fact table would stream through
+    mapInPandas with one container file per partition, same codec."""
+    import pandas as pd
+
+    from ..sources.avro_py import read_container, write_container
+
+    out = _scratch_dir("avro_src")
+    os.makedirs(out, exist_ok=True)
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    rows = [r.asDict() for r in nation.collect()]  # 25-row dim, bounded
+    rows.sort(key=lambda r: r["n_nationkey"])
+    schema = {
+        "type": "record",
+        "name": "nation",
+        "fields": [
+            {"name": "n_nationkey", "type": "long"},
+            {"name": "n_name", "type": "string"},
+            {"name": "n_regionkey", "type": "long"},
+        ],
+    }
+    half = len(rows) // 2
+    write_container(os.path.join(out, "part-0.avro"), schema, rows[:half],
+                    records_per_block=5)
+    write_container(os.path.join(out, "part-1.avro"), schema, rows[half:],
+                    records_per_block=5)
+
+    cols = ["n_nationkey", "n_name", "n_regionkey"]
+
+    def decode(iterator):
+        for pdf in iterator:
+            for content in pdf["content"]:
+                _, recs = read_container(bytes(content))
+                yield pd.DataFrame(recs, columns=cols)
+
+    files = spark.read.format("binaryFile").load(out).select("content")
+    return files.mapInPandas(
+        decode,
+        schema="n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT",
+    )

@@ -165,3 +165,35 @@ def test_delete_vectors_subtract_without_rewrite(spark, sf_dir):
     import shutil
 
     shutil.rmtree(vt.path, ignore_errors=True)
+
+
+def test_avro_codec_roundtrip_unit():
+    """Container-level law: arbitrary (long, string, double) rows
+    survive write->read byte-exactly, across block boundaries."""
+    import os
+    import uuid
+
+    from antidote_data_framework_spark.sources.avro_py import (
+        read_container,
+        write_container,
+    )
+
+    rows = [
+        {"a": (-1) ** i * (7**i % 10**12), "b": f"v{i}" * (i % 5), "c": i / 7.0}
+        for i in range(37)
+    ]
+    schema = {
+        "type": "record",
+        "name": "t",
+        "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "b", "type": "string"},
+            {"name": "c", "type": "double"},
+        ],
+    }
+    path = f"/tmp/avro_unit_{uuid.uuid4().hex}.avro"
+    write_container(path, schema, rows, records_per_block=4)
+    s2, back = read_container(open(path, "rb").read())
+    os.unlink(path)
+    assert back == rows
+    assert s2["fields"][0]["name"] == "a"

