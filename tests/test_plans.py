@@ -115,7 +115,8 @@ def test_no_forced_broadcast_of_sf_proportional_tables():
         r"rg\b|edges\b|ref_n\b|cur_n\b|dim\b|"
         r"mode_t\b|offsets\b|gband\b|mx\b|"  # 6-row group-bounded mode table; 9-row literal offsets; 4-row band fractions; 1-row max agg
         r"leak\b|tot\b|topk\b|"
-        r"gstats\b|cut\b|den\b|lags\b|"  # stats_nonparam.py: 1-row global-moment/BH-cutoff/ACF-denominator aggs; 4-row literal lag dim  # 1-row leakage-audit count; 1-row ANOVA totals agg; segments x 3 fallback recs  # QI-cardinality classes; 1-row quantile/count aggs; 5-row literal dim  # patterns.py/negatives.py/curation.py: |event_type|=5-row percentile aggs, 1-row MAX, LIMIT-1000 vocab
+        r"gstats\b|cut\b|den\b|lags\b|"  # stats_nonparam.py: 1-row global-moment/BH-cutoff/ACF-denominator aggs; 4-row literal lag dim
+        r"ncal\b|qhat\b|"  # ml/conformal.py: 1-row calibration-count and conformal-quantile aggs  # 1-row leakage-audit count; 1-row ANOVA totals agg; segments x 3 fallback recs  # QI-cardinality classes; 1-row quantile/count aggs; 5-row literal dim  # patterns.py/negatives.py/curation.py: |event_type|=5-row percentile aggs, 1-row MAX, LIMIT-1000 vocab
         r"df\) if n_rows"  # functions/hints.broadcast_bounded: stats-gated hint
         r")"
     )
