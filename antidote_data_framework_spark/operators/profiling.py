@@ -1526,3 +1526,110 @@ def q_plan_self_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query STRING, has_pushdown BOOLEAN, n_broadcast_joins INT, "
         "has_partial_agg BOOLEAN, has_wscg BOOLEAN, python_in_plan BOOLEAN",
     )
+
+
+# Deterministic-Laplace DP release parameters.  The "noise" is a
+# fixed pseudo-random draw derived from an explicit affine hash of the
+# cell's rank — the same no-RAND() discipline every sampler in this
+# repo follows (q_sample_weighted's inverse-CDF trick, applied to the
+# Laplace distribution), so both engines release identical values.
+DP_EPSILONS = (0.5, 2.0)
+DP_P = 1_000_003
+DP_A = 48271
+DP_B = 12345
+
+
+@spark_query(
+    "q_dp_noisy_counts",
+    oracle=f"""
+WITH cells AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS true_count,
+         ROW_NUMBER() OVER (ORDER BY event_type) AS gid
+  FROM events GROUP BY event_type
+),
+eps AS (SELECT UNNEST(ARRAY[{", ".join(str(e) for e in DP_EPSILONS)}]) AS epsilon),
+draws AS (
+  SELECT c.event_type, c.true_count, e.epsilon,
+         ((c.gid * 1000 + CAST(e.epsilon * 10 AS BIGINT)) * {DP_A} + {DP_B})
+           % {DP_P} AS r
+  FROM cells c CROSS JOIN eps e
+),
+noised AS (
+  SELECT event_type, true_count, epsilon,
+         (r + 0.5) / {DP_P} - 0.5 AS s,
+         CASE WHEN (r + 0.5) / {DP_P} - 0.5 < 0 THEN 1.0 ELSE -1.0 END
+           * (1.0 / epsilon)
+           * LN(1.0 - 2.0 * ABS((r + 0.5) / {DP_P} - 0.5)) AS noise
+  FROM draws
+)
+SELECT event_type, epsilon, true_count,
+       CAST(ROUND(true_count + noise, 4) AS DOUBLE) + 0.0 AS noisy_count,
+       CAST(ROUND(ABS(noise), 4) AS DOUBLE) + 0.0 AS abs_noise
+FROM noised
+ORDER BY event_type, epsilon
+""",
+)
+def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private histogram release: per-event-type counts
+    with Laplace(1/ε) noise at two privacy budgets — the mechanism a
+    pipeline uses to publish corpus statistics (per-domain doc
+    counts, token histograms) without leaking individual rows.
+    Count queries have sensitivity 1, so scale b = 1/ε; ε=0.5 is the
+    conservative release, ε=2.0 the loose one, and emitting both
+    makes the privacy/utility trade visible in one result.
+
+    The Laplace draw is the inverse-CDF transform
+    ``-b·sign(s)·ln(1-2|s|)`` of a uniform s ∈ (-0.5, 0.5) derived
+    from an explicit affine hash of the cell's rank — deterministic
+    by design here so the release hash-matches; a production release
+    swaps ONLY the hash for a CSPRNG, keeping the plan identical.
+
+    Plan: one groupBy for the cells (output-cardinality-bounded), a
+    literal-array explode for the ε sweep, pure codegen math after
+    that — the noise step adds zero shuffles at any scale.
+
+    Determinism: integer affine hash; one LN per cell of a double
+    that is an exact ratio plus exact halves; rounded outputs.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.orderBy("event_type")
+    cells = (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("true_count"))
+        .withColumn("gid", F.row_number().over(w))
+    )
+    eps = F.explode(
+        F.array(*[F.lit(float(e)) for e in DP_EPSILONS])
+    ).alias("epsilon")
+    draws = cells.select("event_type", "true_count", "gid", eps).withColumn(
+        "r",
+        (
+            (F.col("gid") * 1000 + (F.col("epsilon") * 10).cast("long"))
+            * DP_A
+            + DP_B
+        )
+        % DP_P,
+    )
+    s = (F.col("r") + 0.5) / DP_P - 0.5
+    noise = (
+        F.when(s < 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+        * (1.0 / F.col("epsilon"))
+        * F.log(1.0 - 2.0 * F.abs(s))
+    )
+    return (
+        draws.withColumn("noise", noise)
+        .select(
+            "event_type",
+            "epsilon",
+            "true_count",
+            (
+                F.round(F.col("true_count") + F.col("noise"), 4)
+                .cast("double")
+                + F.lit(0.0)
+            ).alias("noisy_count"),
+            (F.round(F.abs("noise"), 4).cast("double") + F.lit(0.0)).alias(
+                "abs_noise"
+            ),
+        )
+        .orderBy("event_type", "epsilon")
+    )

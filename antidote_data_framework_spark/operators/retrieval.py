@@ -211,3 +211,193 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("doc_id", "n_terms_hit", F.round("score", 4).alias("bm25"))
     )
+
+
+# Reciprocal-rank-fusion constant (Cormack et al., SIGIR 2009): 60 is
+# the published default; small denominators keep every 1/(K+r) term an
+# exact ratio of small ints, bit-identical across engines.
+RRF_K = 60
+RRF_DEPTH = 50  # per-retriever candidate depth
+
+
+@spark_query(
+    "q_rrf_hybrid_search",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+),
+dl AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         SUM(dl) * 1.0 / COUNT(*) AS avgdl
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks
+  WHERE term IN ({", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)})
+  GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+),
+bm25 AS (
+  SELECT tf.doc_id,
+         SUM(
+           LN(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * ({BM25_K1} + 1.0))
+           / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                                   + {BM25_B} * dl.dl / stats.avgdl))
+         ) AS score
+  FROM tf
+  JOIN df ON tf.term = df.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+bm25_rank AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r
+  FROM bm25
+  ORDER BY score DESC, doc_id LIMIT {RRF_DEPTH}
+),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+sims AS (
+  SELECT e.vec_id AS doc_id,
+         list_sum(list_transform(list_zip(e.embedding, q.qe),
+                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+         / (SQRT(list_sum(list_transform(e.embedding,
+                  x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+            * SQRT(list_sum(list_transform(q.qe,
+                  x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))
+         AS cos_raw
+  FROM embeddings e, q
+  WHERE e.vec_id <> 0
+),
+vec_rank AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY cos_raw DESC, doc_id) AS r
+  FROM sims
+  ORDER BY cos_raw DESC, doc_id LIMIT {RRF_DEPTH}
+),
+fused AS (
+  SELECT COALESCE(b.doc_id, v.doc_id) AS doc_id,
+         (CASE WHEN b.r IS NULL THEN 0.0
+               ELSE 1.0 / ({RRF_K} + b.r) END
+          + CASE WHEN v.r IS NULL THEN 0.0
+                 ELSE 1.0 / ({RRF_K} + v.r) END) AS rrf,
+         b.r AS bm25_rank, v.r AS vec_rank
+  FROM bm25_rank b FULL OUTER JOIN vec_rank v ON b.doc_id = v.doc_id
+)
+SELECT doc_id,
+       CAST(ROUND(rrf, 6) AS DOUBLE) + 0.0 AS rrf_score,
+       CAST(bm25_rank AS BIGINT) AS bm25_rank,
+       CAST(vec_rank AS BIGINT) AS vec_rank
+FROM fused
+ORDER BY rrf DESC, doc_id
+LIMIT 10
+""",
+)
+def q_rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (RRF, K=60) of a
+    lexical BM25 ranking and a dense cosine ranking over the same
+    corpus (``documents.doc_id`` = ``embeddings.vec_id``) — the
+    standard RAG-stack merge when one retriever misses what the
+    other finds.  ``score = Σ 1/(K + rank)`` over the lists that
+    contain the doc; a FULL OUTER join keeps single-list hits with
+    their one-term score.
+
+    Plan: each retriever independently produces a depth-50
+    TakeOrdered candidate list (global top-k, no full sort — both
+    lists are driver-bounded at RRF_DEPTH rows), then the fusion is
+    a full outer join of two 50-row sets — broadcastable trivially,
+    cost invisible at any scale.  At 100 TB the two candidate
+    generators are the expensive legs (posting-filter scan; ANN
+    probe) and both are already bounded: fusion cost never grows.
+
+    Determinism: ranks are exact ints from (score, doc_id)-tie-broken
+    row_numbers; 1/(K+r) terms are ratios of small ints summed in one
+    IEEE add — bit-identical; output rounds to 6.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") * 1.0 / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("term").isin(*BM25_QUERY_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_q = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    term_score = (
+        idf
+        * (F.col("tf") * (BM25_K1 + 1.0))
+        / (
+            F.col("tf")
+            + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    bm25 = (
+        tf.join(F.broadcast(df_q), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(term_score).alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(RRF_DEPTH)
+    )
+    w_b = Window.orderBy(F.col("score").desc(), "doc_id")
+    bm25_rank = bm25.select(
+        "doc_id", F.row_number().over(w_b).alias("bm25_r")
+    )
+
+    from .vectors import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    sims = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine(F.col("embedding"), F.col("qe")).alias("cos_raw"),
+        )
+        .orderBy(F.col("cos_raw").desc(), "doc_id")
+        .limit(RRF_DEPTH)
+    )
+    w_v = Window.orderBy(F.col("cos_raw").desc(), "doc_id")
+    vec_rank = sims.select(
+        "doc_id", F.row_number().over(w_v).alias("vec_r")
+    )
+
+    fused = bm25_rank.join(vec_rank, "doc_id", "full_outer").select(
+        "doc_id",
+        (
+            F.when(F.col("bm25_r").isNull(), F.lit(0.0)).otherwise(
+                1.0 / (RRF_K + F.col("bm25_r"))
+            )
+            + F.when(F.col("vec_r").isNull(), F.lit(0.0)).otherwise(
+                1.0 / (RRF_K + F.col("vec_r"))
+            )
+        ).alias("rrf"),
+        F.col("bm25_r").cast("long").alias("bm25_rank"),
+        F.col("vec_r").cast("long").alias("vec_rank"),
+    )
+    return (
+        fused.orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(10)
+        .select(
+            "doc_id",
+            (F.round("rrf", 6).cast("double") + F.lit(0.0)).alias("rrf_score"),
+            "bm25_rank",
+            "vec_rank",
+        )
+    )

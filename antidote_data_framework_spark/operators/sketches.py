@@ -212,3 +212,123 @@ def q_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_estimate",
         (F.col("cms_estimate") - F.col("true_count")).cast("long").alias("overcount"),
     )
+
+
+# KMV (k minimum values / bottom-k) distinct sketch geometry.  The
+# affine hash is the same explicit-arithmetic discipline as CMS_ROWS:
+# both engines compute the identical integer hash, so the sketch —
+# and the estimate — are bit-identical by construction.
+KMV_K = 128
+KMV_P = 1_000_003
+KMV_A = 2654435761  # Knuth multiplicative constant
+KMV_B = 97003
+
+
+@spark_query(
+    "q_kmv_distinct_sketch",
+    oracle=f"""
+WITH keyed AS (
+  SELECT o_orderstatus AS grp, o_orderkey AS key FROM orders
+  UNION ALL
+  SELECT '__all__' AS grp, o_orderkey AS key FROM orders
+),
+hashed AS (
+  SELECT DISTINCT grp, (key * {KMV_A} + {KMV_B}) % {KMV_P} AS h
+  FROM keyed
+),
+ranked AS (
+  SELECT grp, h, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rn
+  FROM hashed
+),
+sketch AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_kept, MAX(h) AS h_k
+  FROM ranked WHERE rn <= {KMV_K} GROUP BY grp
+),
+truth AS (
+  SELECT grp, CAST(COUNT(DISTINCT key) AS BIGINT) AS true_distinct
+  FROM keyed GROUP BY grp
+),
+est AS (
+  SELECT s.grp, s.n_kept, t.true_distinct,
+         CASE WHEN s.n_kept < {KMV_K} THEN CAST(s.n_kept AS DOUBLE)
+              ELSE ({KMV_K} - 1.0) * {KMV_P} / s.h_k END AS kmv_est
+  FROM sketch s JOIN truth t ON s.grp = t.grp
+)
+SELECT grp, n_kept, true_distinct,
+       CAST(ROUND(kmv_est, 4) AS DOUBLE) + 0.0 AS kmv_estimate,
+       CAST(ROUND(ABS(kmv_est - true_distinct) / true_distinct, 4)
+            AS DOUBLE) + 0.0 AS rel_error
+FROM est
+ORDER BY grp
+""",
+)
+def q_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-k) distinct-count sketch over order keys, per
+    order status plus a merged ``__all__`` row — the third mergeable
+    sketch in the family (Misra-Gries: heavy hitters; CMS: point
+    frequency; KMV: cardinality).  Estimate = ``(k-1)/h_(k)`` on the
+    k-th smallest normalized hash; groups holding fewer than k
+    distinct hashes take the exact path (the sketch IS the value
+    set), so both estimator branches are exercised: the small 'P'
+    status group is exact, the big groups estimate.
+
+    Why KMV next to HLL (q_reagg_hll_sketch): KMV's k-min set is a
+    UNION-mergeable sample of the key space — merging partials is
+    "union then re-take k smallest", which is exactly what the
+    per-group window below computes over per-partition partials
+    after the map-side DISTINCT; and unlike HLL the sketch supports
+    set INTERSECTION estimates downstream.  At 100 TB the bottom-k
+    per group flows through partial TakeOrdered aggregation
+    (k-bounded state per task), never a full sort: the window here
+    ranks an already hash-DISTINCT, group-bounded set.
+
+    Determinism: integer affine hashes identical in both engines;
+    the only doubles are two final ratios of exact ints, rounded.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    keyed = orders.select(
+        F.col("o_orderstatus").alias("grp"), F.col("o_orderkey").alias("key")
+    ).unionAll(
+        orders.select(
+            F.lit("__all__").alias("grp"), F.col("o_orderkey").alias("key")
+        )
+    )
+    hashed = keyed.select(
+        "grp", ((F.col("key") * KMV_A + KMV_B) % KMV_P).alias("h")
+    ).distinct()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("grp").orderBy("h")
+    sketch = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.max("h").alias("h_k"),
+        )
+    )
+    truth = keyed.groupBy("grp").agg(
+        F.countDistinct("key").cast("long").alias("true_distinct")
+    )
+    est = F.when(
+        F.col("n_kept") < KMV_K, F.col("n_kept").cast("double")
+    ).otherwise((KMV_K - 1.0) * KMV_P / F.col("h_k"))
+    return (
+        sketch.join(truth, "grp")
+        .select(
+            "grp",
+            "n_kept",
+            "true_distinct",
+            (F.round(est, 4).cast("double") + F.lit(0.0)).alias("kmv_estimate"),
+            (
+                F.round(
+                    F.abs(est - F.col("true_distinct"))
+                    / F.col("true_distinct"),
+                    4,
+                ).cast("double")
+                + F.lit(0.0)
+            ).alias("rel_error"),
+        )
+        .orderBy("grp")
+    )

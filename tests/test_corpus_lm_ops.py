@@ -1,0 +1,110 @@
+"""Property tests for the information-theory / fusion / sketch /
+privacy batch (corpus KL, held-out bigram LM, doc entropy, RRF hybrid
+search, KMV sketch, DP noisy counts): mathematical laws the
+differential oracle can't express — non-negativity, entropy bounds,
+estimator behavior on both branches, and privacy-budget monotonicity.
+"""
+
+from __future__ import annotations
+
+import math
+
+import __spark_entry__ as entrymod
+
+QUERIES = entrymod.queries()
+
+
+def test_kl_divergence_nonnegative_gibbs(spark, sf_dir):
+    """Gibbs' inequality: KL(p||q) >= 0, zero only when p == q, which
+    no 25-doc source achieves against the pooled corpus."""
+    rows = QUERIES["q_corpus_kl_divergence"](spark, sf_dir).collect()
+    assert len(rows) == 20  # src0..src19
+    for r in rows:
+        assert r["kl_bits"] >= -1e-4  # rounding slack on the 4-dp output
+        assert r["vocab_src"] <= r["n_tokens"]
+    assert any(r["kl_bits"] > 0 for r in rows)
+
+
+def test_bigram_lm_separates_train_domain(spark, sf_dir):
+    """The LM is trained on the English sub-corpus, so English docs
+    must average strictly fewer bits/bigram than every other
+    language (held-out domain separation), and all scores sit below
+    the uniform-model ceiling log2(V * (V_bigram ceiling)) — use the
+    loose smoothing floor bound -log2(1/(max_cu + V)) instead."""
+    rows = QUERIES["q_bigram_lm_heldout"](spark, sf_dir).collect()
+    by_lang: dict = {}
+    for r in rows:
+        assert r["n_bigrams"] > 0
+        assert r["bits_per_bigram"] > 0
+        by_lang.setdefault(r["lang"], []).append(r["bits_per_bigram"])
+    means = {lang: sum(v) / len(v) for lang, v in by_lang.items()}
+    assert "en" in means
+    for lang, m in means.items():
+        if lang != "en":
+            assert means["en"] < m, (lang, means)
+
+
+def test_doc_entropy_bounded_by_log_vocab(spark, sf_dir):
+    """0 <= H <= log2(n_distinct) — the structural entropy bounds —
+    and the gate agrees with its own definition."""
+    rows = QUERIES["q_doc_entropy"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        ceiling = math.log2(r["n_distinct"]) if r["n_distinct"] > 1 else 0.0
+        assert -1e-4 <= r["entropy_bits"] <= ceiling + 1e-3
+        expected_gate = r["n_distinct"] == 1 or (
+            r["entropy_bits"] >= 0.35 * ceiling - 1e-3
+        )
+        # one-sided check: a passing gate must be near-consistent with
+        # the rounded entropy (exact gate uses unrounded H)
+        if not expected_gate:
+            assert not r["passes_entropy_gate"]
+
+
+def test_rrf_scores_are_valid_fusions(spark, sf_dir):
+    """Every fused doc carries at least one source rank; the score
+    equals the sum of its reciprocal rank terms; ordering is by
+    score descending."""
+    rows = QUERIES["q_rrf_hybrid_search"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 10
+    prev = None
+    for r in rows:
+        assert r["bm25_rank"] is not None or r["vec_rank"] is not None
+        expect = 0.0
+        if r["bm25_rank"] is not None:
+            expect += 1.0 / (60 + r["bm25_rank"])
+        if r["vec_rank"] is not None:
+            expect += 1.0 / (60 + r["vec_rank"])
+        assert abs(r["rrf_score"] - expect) < 1e-5
+        if prev is not None:
+            assert r["rrf_score"] <= prev + 1e-9
+        prev = r["rrf_score"]
+
+
+def test_kmv_exact_branch_and_estimate_error(spark, sf_dir):
+    """Groups with fewer than k distinct keys take the exact branch
+    (estimate == truth); estimating groups stay within the KMV
+    standard-error envelope (~1/sqrt(k-2), generously 5x)."""
+    rows = QUERIES["q_kmv_distinct_sketch"](spark, sf_dir).collect()
+    assert any(r["grp"] == "__all__" for r in rows)
+    for r in rows:
+        if r["n_kept"] < 128:
+            assert r["kmv_estimate"] == float(r["true_distinct"])
+            assert r["rel_error"] == 0.0
+        else:
+            assert r["rel_error"] < 5.0 / math.sqrt(126)
+
+
+def test_dp_noise_scales_with_privacy_budget(spark, sf_dir):
+    """Laplace(1/eps): the strict budget (eps=0.5) must inject more
+    average noise than the loose one (eps=2.0); every abs_noise is
+    consistent with its released count."""
+    rows = QUERIES["q_dp_noisy_counts"](spark, sf_dir).collect()
+    assert len(rows) == 10  # 5 event types x 2 epsilons
+    by_eps: dict = {}
+    for r in rows:
+        assert abs(abs(r["noisy_count"] - r["true_count"]) - r["abs_noise"]) < 2e-4
+        by_eps.setdefault(r["epsilon"], []).append(r["abs_noise"])
+    mean_tight = sum(by_eps[0.5]) / len(by_eps[0.5])
+    mean_loose = sum(by_eps[2.0]) / len(by_eps[2.0])
+    assert mean_tight > mean_loose
