@@ -696,3 +696,60 @@ def q_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("balance_ratio"),
     )
+
+
+def _zlib_sizes(batches):
+    """Arrow-batched zlib(level=6) size per document.  Python is the
+    RIGHT boundary here: DEFLATE is a byte-level C codec with no
+    relational equivalent, the work is CPU-bound inside zlib's C
+    loop, and each batch crosses once with two small columns back.
+    Deterministic: zlib's output for (input, level) is fixed for a
+    given zlib build — pinned by the container, asserted by the
+    rows-only golden and the invariance tests."""
+    import zlib
+
+    import pandas as pd
+
+    for pdf in batches:
+        raw = pdf["text"].str.encode("utf-8")
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": raw.str.len().astype("int64"),
+                "n_zlib": [len(zlib.compress(b, 6)) for b in raw],
+            }
+        )
+
+
+@spark_query("q_compression_ratio")  # rows-only: zlib has no SQL oracle
+def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DEFLATE compression ratio — the parameter-free
+    redundancy detector every large corpus filter runs (Gopher /
+    RefinedWeb use it as a quality rule): templated or repeated text
+    compresses far better than natural prose, random noise compresses
+    worse.  Flags both tails: ``flag_repetitive`` (ratio above the
+    natural-text band) and ``flag_incompressible`` (below it).
+
+    Plan: ONE mapInPandas pass over documents (Arrow batches in, two
+    int columns out) — embarrassingly parallel, no shuffle at all;
+    ratio math and flags are JVM codegen on the emitted ints.  At
+    100 TB this is a scan-speed map stage and the canonical shape for
+    any per-doc Python scorer (the justified-Python category of
+    SURVEY §2's O-62, doing real curation work).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sized = docs.mapInPandas(
+        _zlib_sizes, "doc_id bigint, n_bytes bigint, n_zlib bigint"
+    )
+    ratio = F.col("n_bytes").cast("double") / F.col("n_zlib")
+    return (
+        sized.select(
+            "doc_id",
+            "n_bytes",
+            "n_zlib",
+            F.round(ratio, 4).alias("zlib_ratio"),
+            (ratio > 3.0).alias("flag_repetitive"),
+            (ratio < 1.1).alias("flag_incompressible"),
+        )
+        .orderBy("doc_id")
+    )

@@ -740,3 +740,91 @@ def q_prob_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+def _pav_blocks(pdf):
+    """Sequential pool-adjacent-violators on ONE group's (x, y) rows.
+
+    Classic stack algorithm: walk rows in x-order keeping a stack of
+    blocks (sum_y, n, x_lo, x_hi); while the top two blocks violate
+    monotonicity (mean_left > mean_right), pool them.  O(n) per
+    group; state is the block stack, never the raw rows."""
+    import pandas as pd
+
+    pdf = pdf.sort_values(["x", "event_id"]).reset_index(drop=True)
+    grp = pdf["grp"].iloc[0]
+    blocks: list[list[float]] = []  # [sum_y, n, x_lo, x_hi]
+    for x, y in zip(pdf["x"], pdf["y"]):
+        blocks.append([float(y), 1.0, float(x), float(x)])
+        while (
+            len(blocks) >= 2
+            and blocks[-2][0] * blocks[-1][1] > blocks[-1][0] * blocks[-2][1]
+        ):
+            s, n, lo, hi = blocks.pop()
+            blocks[-1][0] += s
+            blocks[-1][1] += n
+            blocks[-1][3] = hi
+    return pd.DataFrame(
+        {
+            "grp": grp,
+            "block_id": range(len(blocks)),
+            "x_lo": [b[2] for b in blocks],
+            "x_hi": [b[3] for b in blocks],
+            "n_rows": [int(b[1]) for b in blocks],
+            "fitted_p": [round(b[0] / b[1], 6) for b in blocks],
+        }
+    )
+
+
+@spark_query("q_isotonic_pav")  # rows-only: sequential PAV has no SQL oracle
+def q_isotonic_pav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic calibration via pool-adjacent-violators, fit per
+    event type: the monotone step function mapping event ``value`` to
+    P(the event's user ever purchases) — the non-parametric
+    calibrator used when Platt/beta fits are too rigid (sibling of
+    q_prob_calibration's binned reliability diagram: PAV returns the
+    OPTIMAL monotone fit, not a fixed binning; its block boundaries
+    are data-chosen).
+
+    Scale shape: PAV is inherently sequential IN X-ORDER, so the
+    parallel unit is the GROUP (one pandas batch per event type via
+    applyInPandas) — exactly how MLlib's IsotonicRegression
+    parallelizes (per-partition PAV + merge; here groups are the
+    partitions).  Output is block-compressed: one row per pooled
+    block, not per event — the fitted model, bounded by the number of
+    distinct x values, transmitted instead of the data.
+
+    Determinism: rows enter PAV sorted by (value, event_id) — a total
+    order — and pooling compares exact rational block means via
+    cross-multiplication (``s_l·n_r > s_r·n_l`` on integer-valued
+    sums), so block boundaries are platform-exact; only the emitted
+    fitted_p is rounded."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    # Label: does this user purchase again AFTER this event?  A
+    # max-over-following-frame window per user — the label varies
+    # within each user's timeline (late events flip to 0), so PAV has
+    # genuine violations to pool at every SF.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    base = ev.select(
+        F.col("event_type").alias("grp"),
+        "event_id",
+        F.round(F.col("value"), 6).alias("x"),
+        F.coalesce(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).over(w),
+            F.lit(0),
+        ).alias("y"),
+    )
+    out = base.groupBy("grp").applyInPandas(
+        _pav_blocks,
+        "grp string, block_id long, x_lo double, x_hi double, "
+        "n_rows long, fitted_p double",
+    )
+    return out.orderBy("grp", "block_id")

@@ -432,3 +432,67 @@ def q_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("n_obs") >= 4)
         ).alias("has_spike"),
     )
+
+
+HOLT_ALPHA = 0.3
+HOLT_BETA = 0.1
+
+
+def _holt_fold(pdf):
+    """One user's Holt recurrence, rows pre-sorted by (ts, event_id).
+
+    l_t = α·x_t + (1-α)(l_{t-1} + b_{t-1});
+    b_t = β(l_t − l_{t-1}) + (1-β)·b_{t-1}.
+    Init: l_1 = x_1, b_1 = 0 — the conventional zero-trend start.
+    Pure-Python float arithmetic in a fixed order: bit-reproducible,
+    replayed exactly by tests/test_ts_flavors' twin."""
+    import pandas as pd
+
+    pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+    xs = [float(v) for v in pdf["value"]]
+    level, trend = xs[0], 0.0
+    for x in xs[1:]:
+        prev = level
+        level = HOLT_ALPHA * x + (1.0 - HOLT_ALPHA) * (level + trend)
+        trend = HOLT_BETA * (level - prev) + (1.0 - HOLT_BETA) * trend
+    return pd.DataFrame(
+        {
+            "user_id": [int(pdf["user_id"].iloc[0])],
+            "n_events": [len(xs)],
+            "level": [round(level, 6)],
+            "trend": [round(trend, 6)],
+            "forecast_1": [round(level + trend, 6)],
+        }
+    )
+
+
+@spark_query("q_holt_linear")  # rows-only: sequential coupled recurrence
+def q_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level + linear trend) per
+    user over the event-value series — the forecasting layer above
+    q_ewma_smooth: EWMA tracks a drifting MEAN, Holt additionally
+    carries a trend state so the one-step forecast ``l + b``
+    extrapolates instead of lagging.  α=0.3 / β=0.1, zero-trend init.
+
+    Scale shape: the recurrence is sequential per KEY, so the
+    parallel unit is the user (applyInPandas group = one timeline);
+    state is two floats regardless of history length, and the output
+    is one model row per user — the same O(1)-state contract as the
+    streaming twin family (q_stream_ewma_stateful).  A 100 TB run
+    partitions by user and streams each timeline once; timelines too
+    large for one batch would fold partial (level, trend, carry)
+    checkpoints exactly like the streaming EWMA does across
+    micro-batches.
+
+    Determinism: per-group rows are totally ordered by (ts,
+    event_id); the fold is fixed-order IEEE arithmetic — the pytest
+    twin replays it value-for-value from a plain Python loop."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = ev.groupBy("user_id").applyInPandas(
+        _holt_fold,
+        "user_id bigint, n_events bigint, level double, trend double, "
+        "forecast_1 double",
+    )
+    return out.orderBy("user_id")

@@ -922,3 +922,74 @@ def q_stream_cusum_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_alarms",
         )
     )
+
+
+@spark_query("q_stream_outer_join")  # rows-only: streaming emission
+def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked LEFT OUTER stream-stream join — the attribution
+    twin of q_stream_stream_join that also emits the non-converting
+    clicks: a click with no same-user purchase in the following day
+    surfaces as a null-extended row, but only AFTER the watermark
+    passes its join horizon (that is the outer join's correctness
+    contract: emit-null is a negative claim, provable only once late
+    matches are impossible).  The result partitions every click into
+    three disjoint buckets — matched, expired-unmatched (null rows
+    emitted), and retained-in-state (clicks whose horizon the final
+    watermark never crossed; a live pipeline would emit them as the
+    stream advances) — and conservation over the three is asserted
+    against the staged source in tests.
+
+    Scale: state per side is bounded by the watermark horizon exactly
+    as in the inner join; the null-extension adds no state — it is
+    produced by the eviction scan itself.  Bucket accounting runs on
+    the SINK table (driver-bounded memory sink here; a real pipeline
+    lands the same append stream in the lakehouse table).
+    """
+    src = _stage_events(spark, sf_dir)
+    schema = _staged_schema(spark, src)
+
+    def side(event_type: str, alias: str):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+            .filter(F.col("event_type") == event_type)
+            .select(
+                F.col("user_id").alias(f"{alias}_user"),
+                F.col("event_id").alias(f"{alias}_id"),
+                F.col("ts").alias(f"{alias}_ts"),
+            )
+            .withWatermark(f"{alias}_ts", "1 hour")
+        )
+
+    clicks, purchases = side("click", "c"), side("purchase", "p")
+    pairs = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 DAY")),
+        "left_outer",
+    )
+    sink = _run_stream(
+        pairs.select("c_user", "c_id", "c_ts", "p_id", "p_ts"), "append"
+    )
+    emitted = spark.table(sink)
+    matched = (
+        emitted.filter(F.col("p_id").isNotNull())
+        .select("c_id")
+        .distinct()
+        .count()
+    )
+    expired = (
+        emitted.filter(F.col("p_id").isNull()).select("c_id").distinct().count()
+    )
+    total = (
+        spark.read.parquet(src)
+        .filter(F.col("event_type") == "click")
+        .count()
+    )
+    return spark.createDataFrame(
+        [(int(total), int(matched), int(expired), int(total - matched - expired))],
+        "n_clicks bigint, n_matched bigint, n_expired_unmatched bigint, "
+        "n_retained_in_state bigint",
+    )
