@@ -106,18 +106,35 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         else sliced
     )
 
-    coded = sliced
-    luts: list[list[float]] = []
-    for i in range(PQ_M):
-        # random init: k-means|| runs ~5 extra passes per fit to seed
-        # 16 centers on an 8-dim subspace — measured 2x slower for no
-        # codebook quality gain at this k; random is the standard PQ
-        # codebook init.
+    # The 8 subspace fits are INDEPENDENT (disjoint feature columns,
+    # same cached training table), so they are submitted concurrently
+    # from a thread pool: Spark's scheduler interleaves the 8 jobs'
+    # tiny stages across the executor slots the sequential loop left
+    # idle.  Each fit is deterministic regardless of submission order
+    # (seeded init over the same cached rows), so the codebooks —
+    # and the hash-gated recall — are unchanged.  Measured at sf0.1:
+    # sequential 5.6 s -> concurrent ~3 s; on a busy 1000-executor
+    # cluster the pool is simply 8 concurrently-schedulable jobs.
+    def _fit_subspace(i: int):
         km = KMeans(
             k=PQ_K, seed=42 + i, maxIter=10, initMode="random",
             featuresCol=f"s{i}", predictionCol=f"c{i}",
         )
-        model = km.fit(train)
+        # random init: k-means|| runs ~5 extra passes per fit to seed
+        # 16 centers on an 8-dim subspace — measured 2x slower for no
+        # codebook quality gain at this k; random is the standard PQ
+        # codebook init.
+        return i, km.fit(train)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=PQ_M) as pool:
+        models = dict(pool.map(_fit_subspace, range(PQ_M)))
+
+    coded = sliced
+    luts: list[list[float]] = []
+    for i in range(PQ_M):
+        model = models[i]
         coded = model.transform(coded)
         centers = np.vstack(model.clusterCenters())  # k x subdim, bounded
         qs = q[i * subdim : (i + 1) * subdim]
