@@ -1,0 +1,365 @@
+"""Neighborhood collaborative filtering — the classic memory-based
+recommender family the reference's MF model is usually compared
+against (item-item cosine kNN, Sarwar et al. WWW 2001; weighted Slope
+One, Lemire & Maclachlan SDM 2005 — public methods).
+
+The reference (WSDM'19 antidote-data paper, SURVEY §0.5) evaluates a
+latent-factor ALS recommender; every production recsys also keeps a
+neighborhood model as the interpretable / cold-start baseline, and the
+engine treats it as first-class because the whole model is expressible
+as JOINED AGGREGATIONS — no driver state, no iteration, fully
+SQL-oracled (unlike ALS, which is rows-only by necessity).
+
+Scale design (the part that matters at 100 TB):
+
+- The item-pair statistics (`dot`, `co`, `dev`) come from a self-join
+  of user rating lists ON user_id — the standard co-rating expansion.
+  Its cost is Σ_u d_u² (d_u = items rated by user u), which a single
+  power-law "whale" user can blow up quadratically.  EVERY query below
+  therefore first caps each user's list at CAP=64 items with a
+  deterministic row_number over item_id — the textbook per-user cap
+  from production item-CF (it bounds the expansion at |U|·CAP² and
+  biases the model only for pathological raters).  The cap is applied
+  IDENTICALLY in the DuckDB oracle, so capping is part of the declared
+  semantics, not a Spark-side approximation.
+- The pair aggregation shuffles on (item_i, item_j) — co-occurrence
+  pairs, NOT the |I|² cross product; items never co-rated never
+  materialize.
+- The similarity/deviation table is the MODEL.  Downstream scoring
+  joins it to a user's rated items — shuffle sized by |model| +
+  |target users' ratings|, the asymmetric-join shape of
+  q_dedup_incremental.
+
+Determinism: ratings are integers but per-(user,item) cells are AVG()
+doubles; all pair sums are plain double sums rounded to 4 decimals at
+the output edge only, and every top-k ranks by the ROUNDED score with
+id tie-breaks so both engines cut LIMIT boundaries identically
+(README §Determinism).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import spark_query
+from .recsys_data import RATINGS_CTE, ratings_df
+
+CAP = 64  # max rated items per user entering any pairwise expansion
+MIN_CO = 3  # min co-raters for a pair to enter the similarity model
+
+# Shared oracle CTE chain: deduped rating cells -> per-user cap.
+_CAPPED_CTES = f"""
+cells AS (
+  SELECT user_id, item_id, AVG(rating) AS r
+  FROM ratings GROUP BY user_id, item_id
+),
+capped AS (
+  SELECT user_id, item_id, r FROM (
+    SELECT user_id, item_id, r,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY item_id) AS rn
+    FROM cells
+  ) t WHERE rn <= {CAP}
+)"""
+
+
+def _capped_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deduped (user, item, r) cells, ≤ CAP items per user (see module
+    docstring — the cap is the quadratic-blowup guard and is part of
+    the declared, oracle-matched semantics)."""
+    cells = (
+        ratings_df(spark, sf_dir)
+        .groupBy("user_id", "item_id")
+        .agg(F.avg("rating").alias("r"))
+    )
+    w = Window.partitionBy("user_id").orderBy("item_id")
+    return (
+        cells.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= CAP)
+        .drop("rn")
+    )
+
+
+def _item_sims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle item-item cosine pairs with ≥ MIN_CO co-raters.
+
+    Self-join on user_id (co-rating expansion, bounded by the CAP) →
+    groupBy the ITEM PAIR (only co-occurring pairs exist) → normalize
+    by the per-item L2 norms (tiny aggregate, broadcast-joined twice).
+    """
+    capped = _capped_cells(spark, sf_dir)
+    norms = capped.groupBy("item_id").agg(F.sum(F.col("r") * F.col("r")).alias("sq"))
+    a = capped.alias("a")
+    b = capped.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.user_id") == F.col("b.user_id"))
+               & (F.col("a.item_id") < F.col("b.item_id")))
+        .groupBy(
+            F.col("a.item_id").alias("item_i"),
+            F.col("b.item_id").alias("item_j"),
+        )
+        .agg(
+            F.sum(F.col("a.r") * F.col("b.r")).alias("dot"),
+            F.count(F.lit(1)).cast("bigint").alias("co"),
+        )
+        .filter(F.col("co") >= MIN_CO)
+    )
+    ni = F.broadcast(norms.select(F.col("item_id").alias("item_i"), F.col("sq").alias("sq_i")))
+    nj = F.broadcast(norms.select(F.col("item_id").alias("item_j"), F.col("sq").alias("sq_j")))
+    return (
+        pairs.join(ni, "item_i")
+        .join(nj, "item_j")
+        .select(
+            "item_i",
+            "item_j",
+            "co",
+            (F.col("dot") / F.sqrt(F.col("sq_i") * F.col("sq_j"))).alias("cos_raw"),
+        )
+    )
+
+
+@spark_query(
+    "q_item_item_cosine",
+    oracle=f"""
+WITH {RATINGS_CTE.strip()},
+{_CAPPED_CTES.strip()},
+norms AS (SELECT item_id, SUM(r*r) AS sq FROM capped GROUP BY item_id),
+pairs AS (
+  SELECT a.item_id AS item_i, b.item_id AS item_j,
+         SUM(a.r * b.r) AS dot, COUNT(*) AS co
+  FROM capped a JOIN capped b
+    ON a.user_id = b.user_id AND a.item_id < b.item_id
+  GROUP BY a.item_id, b.item_id
+  HAVING COUNT(*) >= {MIN_CO}
+)
+SELECT item_i, item_j, co,
+       ROUND(p.dot / SQRT(ni.sq * nj.sq), 4) AS cosine
+FROM pairs p
+JOIN norms ni ON ni.item_id = p.item_i
+JOIN norms nj ON nj.item_id = p.item_j
+ORDER BY ROUND(p.dot / SQRT(ni.sq * nj.sq), 4) DESC, item_i, item_j
+LIMIT 20
+""",
+)
+def q_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most-similar item pairs by co-rating cosine (≥ MIN_CO
+    co-raters) — the model-build step of item-item kNN.  Ranked by the
+    ROUNDED cosine with (item_i, item_j) tie-breaks so the LIMIT
+    boundary is engine-independent."""
+    sims = _item_sims(spark, sf_dir)
+    return (
+        sims.select(
+            "item_i", "item_j", "co", F.round("cos_raw", 4).alias("cosine")
+        )
+        .orderBy(F.desc("cosine"), "item_i", "item_j")
+        .limit(20)
+    )
+
+
+@spark_query(
+    "q_item_item_recommend",
+    oracle=f"""
+WITH {RATINGS_CTE.strip()},
+{_CAPPED_CTES.strip()},
+norms AS (SELECT item_id, SUM(r*r) AS sq FROM capped GROUP BY item_id),
+pairs AS (
+  SELECT a.item_id AS item_i, b.item_id AS item_j,
+         SUM(a.r * b.r) AS dot, COUNT(*) AS co
+  FROM capped a JOIN capped b
+    ON a.user_id = b.user_id AND a.item_id < b.item_id
+  GROUP BY a.item_id, b.item_id
+  HAVING COUNT(*) >= {MIN_CO}
+),
+sims AS (
+  SELECT item_i, item_j, p.dot / SQRT(ni.sq * nj.sq) AS s
+  FROM pairs p
+  JOIN norms ni ON ni.item_id = p.item_i
+  JOIN norms nj ON nj.item_id = p.item_j
+),
+sym AS (
+  SELECT item_i AS i, item_j AS j, s FROM sims
+  UNION ALL
+  SELECT item_j AS i, item_i AS j, s FROM sims
+),
+scored AS (
+  SELECT c.user_id, sym.j AS item_id,
+         SUM(sym.s * c.r) / SUM(sym.s) AS score,
+         COUNT(*) AS n_contrib
+  FROM capped c JOIN sym ON sym.i = c.item_id
+  WHERE c.user_id <= 10
+    AND NOT EXISTS (
+      SELECT 1 FROM cells x
+      WHERE x.user_id = c.user_id AND x.item_id = sym.j
+    )
+  GROUP BY c.user_id, sym.j
+)
+SELECT user_id, item_id, n_contrib, score FROM (
+  SELECT user_id, item_id, n_contrib,
+         ROUND(score, 4) AS score,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id
+           ORDER BY ROUND(score, 4) DESC, item_id
+         ) AS rk
+  FROM scored
+) t WHERE rk <= 3
+""",
+)
+def q_item_item_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 unseen-item recommendations for users with id ≤ 10, scored as the
+    similarity-weighted average of each user's own ratings over the
+    item-item cosine model (the serve step of item-item kNN).
+
+    Shape: the sims model joins the target users' rated items — an
+    asymmetric join sized by |model| + |targets|, never |users|×|items|.
+    The anti-join removes already-rated candidates.  Ranks by ROUNDED
+    score + item_id so the per-user top-3 cut is engine-independent.
+    """
+    sims = _item_sims(spark, sf_dir)
+    sym = sims.select(
+        F.col("item_i").alias("i"), F.col("item_j").alias("j"), F.col("cos_raw").alias("s")
+    ).unionAll(
+        sims.select(
+            F.col("item_j").alias("i"), F.col("item_i").alias("j"), F.col("cos_raw").alias("s")
+        )
+    )
+    capped = _capped_cells(spark, sf_dir)
+    cells = (
+        ratings_df(spark, sf_dir)
+        .groupBy("user_id", "item_id")
+        .agg(F.avg("rating").alias("r"))
+    )
+    targets = capped.filter(F.col("user_id") <= 10)
+    scored = (
+        targets.join(sym, targets.item_id == sym.i)
+        .join(
+            cells.select("user_id", F.col("item_id").alias("j")),
+            ["user_id", "j"],
+            "left_anti",
+        )
+        .groupBy("user_id", F.col("j").alias("item_id"))
+        .agg(
+            (F.sum(F.col("s") * F.col("r")) / F.sum("s")).alias("score_raw"),
+            F.count(F.lit(1)).cast("bigint").alias("n_contrib"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc(F.round("score_raw", 4)), "item_id"
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("user_id", "item_id", "n_contrib", F.round("score_raw", 4).alias("score"))
+    )
+
+
+@spark_query(
+    "q_slopeone_rmse",
+    oracle=f"""
+WITH {RATINGS_CTE.strip()},
+tr0 AS (
+  SELECT user_id, item_id, AVG(rating) AS r
+  FROM ratings WHERE (user_id * 31 + item_id) % 10 < 8
+  GROUP BY user_id, item_id
+),
+tr AS (
+  SELECT user_id, item_id, r FROM (
+    SELECT user_id, item_id, r,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY item_id) AS rn
+    FROM tr0
+  ) t WHERE rn <= {CAP}
+),
+te AS (
+  SELECT user_id, item_id, AVG(rating) AS r
+  FROM ratings WHERE (user_id * 31 + item_id) % 10 >= 8
+  GROUP BY user_id, item_id
+),
+dev AS (
+  SELECT a.item_id AS j, b.item_id AS i,
+         AVG(a.r - b.r) AS d, COUNT(*) AS c
+  FROM tr a JOIN tr b
+    ON a.user_id = b.user_id AND a.item_id <> b.item_id
+  GROUP BY a.item_id, b.item_id
+),
+pred AS (
+  SELECT te.user_id, te.item_id, te.r,
+         LEAST(5.0, GREATEST(1.0,
+             SUM((dev.d + tr.r) * dev.c) / SUM(dev.c))) AS p
+  FROM te
+  JOIN tr  ON tr.user_id = te.user_id
+  JOIN dev ON dev.j = te.item_id AND dev.i = tr.item_id
+  GROUP BY te.user_id, te.item_id, te.r
+)
+SELECT CAST(COUNT(*) AS BIGINT)                     AS n_pred,
+       ROUND(SQRT(AVG((p - r) * (p - r))), 4)       AS rmse,
+       ROUND(AVG(ABS(p - r)), 4)                    AS mae
+FROM pred
+""",
+)
+def q_slopeone_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted Slope One (Lemire & Maclachlan 2005) evaluated on the
+    deterministic 80/20 split: per-item-pair average rating deviations
+    from TRAIN co-raters, test prediction = count-weighted average of
+    (dev(j,i) + r_ui), clipped to [1,5]; one row (n_pred, rmse, mae).
+
+    The dev table is the model — item-pair co-occurrence aggregates
+    from the capped co-rating self-join (module docstring).  Scoring
+    joins test cells to the user's train items to the dev pairs: every
+    join keyed, no cross products.  A useful property vs the bias
+    baseline (q_bias_baseline_rmse): Slope One uses pairwise item
+    structure, so its RMSE is the sanity band for the ALS gate.
+    """
+    ratings = ratings_df(spark, sf_dir)
+    split = (F.col("user_id") * 31 + F.col("item_id")) % 10
+    tr0 = (
+        ratings.filter(split < 8)
+        .groupBy("user_id", "item_id")
+        .agg(F.avg("rating").alias("r"))
+    )
+    wcap = Window.partitionBy("user_id").orderBy("item_id")
+    tr = (
+        tr0.withColumn("rn", F.row_number().over(wcap))
+        .filter(F.col("rn") <= CAP)
+        .drop("rn")
+    )
+    te = (
+        ratings.filter(split >= 8)
+        .groupBy("user_id", "item_id")
+        .agg(F.avg("rating").alias("r"))
+    )
+    a = tr.alias("a")
+    b = tr.alias("b")
+    dev = (
+        a.join(b, (F.col("a.user_id") == F.col("b.user_id"))
+               & (F.col("a.item_id") != F.col("b.item_id")))
+        .groupBy(F.col("a.item_id").alias("j"), F.col("b.item_id").alias("i"))
+        .agg(
+            F.avg(F.col("a.r") - F.col("b.r")).alias("d"),
+            F.count(F.lit(1)).cast("bigint").alias("c"),
+        )
+    )
+    dev_r = dev.select(
+        F.col("j").alias("dev_j"), F.col("i").alias("dev_i"), "d", "c"
+    )
+    pred = (
+        te.alias("te")
+        .join(tr.select(F.col("user_id"), F.col("item_id").alias("tr_i"),
+                        F.col("r").alias("r_ui")), "user_id")
+        .join(dev_r, (F.col("dev_j") == F.col("te.item_id"))
+              & (F.col("dev_i") == F.col("tr_i")))
+        .groupBy("te.user_id", "te.item_id", "te.r")
+        .agg(
+            F.least(
+                F.lit(5.0),
+                F.greatest(
+                    F.lit(1.0),
+                    F.sum((F.col("d") + F.col("r_ui")) * F.col("c")) / F.sum("c"),
+                ),
+            ).alias("p")
+        )
+    )
+    err = F.col("p") - F.col("r")
+    return pred.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pred"),
+        F.round(F.sqrt(F.avg(err * err)), 4).alias("rmse"),
+        F.round(F.avg(F.abs(err)), 4).alias("mae"),
+    )
