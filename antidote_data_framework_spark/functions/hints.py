@@ -24,3 +24,19 @@ def broadcast_bounded(df: DataFrame, n_rows: int, limit: int = BROADCAST_ROW_LIM
     """Hint ``F.broadcast`` on ``df`` iff the MEASURED ``n_rows`` is
     within ``limit``; otherwise ``df`` unchanged (planner picks)."""
     return F.broadcast(df) if n_rows <= limit else df
+
+
+def broadcast_small(df: DataFrame, reason: str) -> DataFrame:
+    """Hint ``F.broadcast`` on a frame that is STRUCTURALLY bounded —
+    a 1-row scalar aggregate, a literal dim, a LIMIT-k head — i.e.
+    whose size does not grow with SF.  ``reason`` is mandatory and
+    must state the bound; tests/test_plans.py's broadcast lint bans
+    raw ``F.broadcast`` everywhere except this module and
+    operators/joins.py's structural dims, so every hint site in the
+    engine either measures its row count (``broadcast_bounded``) or
+    declares its bound here.  Hinting an SF-proportional table is a
+    build-side OOM at 100 TB; routing through this chokepoint makes
+    that mistake grep-able instead of regex-allowlisted."""
+    if not reason:
+        raise ValueError("broadcast_small requires a non-empty boundedness reason")
+    return F.broadcast(df)

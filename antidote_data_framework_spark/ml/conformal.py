@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.hints import broadcast_small as bcast
+
 from ..registry import spark_query
 from .recsys_data import (
     BIAS_MODEL_CTES,
@@ -94,7 +96,7 @@ def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = r.groupBy("user_id", "item_id").agg(F.avg("rating").alias("rating"))
     mu, bu, bi = bias_components(spark, sf_dir)
     pred = (
-        cells.crossJoin(F.broadcast(mu))
+        cells.crossJoin(bcast(mu, "1-row global-mean aggregate"))
         .join(bu, "user_id", "left")
         .join(bi, "item_id", "left")
         .select(
@@ -130,13 +132,13 @@ def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     k = F.floor((9 * (F.col("n") + 1) + 9).cast("double") / 10.0)
     qhat = (
-        cum.crossJoin(F.broadcast(ncal))
+        cum.crossJoin(bcast(ncal, "1-row calibration-count aggregate"))
         .filter(F.col("cc") >= k)
         .agg(F.min("score").alias("q"))
     )
     ev = (
         holdout.filter(~F.col("is_cal"))
-        .crossJoin(F.broadcast(qhat))
+        .crossJoin(bcast(qhat, "1-row conformal-quantile agg"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_eval"),
             F.sum(F.when(F.col("score") <= F.col("q"), 1).otherwise(0))
@@ -145,7 +147,7 @@ def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("q").alias("q"),
         )
     )
-    return ev.crossJoin(F.broadcast(ncal)).select(
+    return ev.crossJoin(bcast(ncal, "1-row calibration-count aggregate")).select(
         F.col("n").alias("n_cal"),
         "n_eval",
         F.round("q", 4).alias("q_hat"),

@@ -16,6 +16,8 @@ from pyspark.ml.functions import array_to_vector
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.hints import broadcast_small as bcast
+
 from ..registry import spark_query
 from ..sources import load_table
 
@@ -260,7 +262,7 @@ def q_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qdf = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
     scored = (
         assigned.filter(F.col("cluster").isin(probe) & (F.col("vec_id") != 0))
-        .crossJoin(F.broadcast(qdf))
+        .crossJoin(bcast(qdf, "1-row quantile aggregate"))
         .withColumn("cos_raw", cosine(F.col("embedding"), F.col("qe")))
     )
     return (

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.hints import broadcast_small as bcast
+
 from ..registry import spark_query
 from ..sources import load_table
 from .recsys_data import RATINGS_CTE, ratings_df
@@ -65,7 +67,7 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("p_partkey").alias("max_item"))
     )
     cand = (
-        pos.crossJoin(F.broadcast(n_items))
+        pos.crossJoin(bcast(n_items, "1-row item-count agg"))
         .withColumn("k", F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))))
         .select(
             "user_id",

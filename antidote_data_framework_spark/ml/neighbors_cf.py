@@ -42,6 +42,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.hints import broadcast_small as bcast
+
 from ..registry import spark_query
 from .recsys_data import RATINGS_CTE, ratings_df
 
@@ -104,8 +106,8 @@ def _item_sims(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("co") >= MIN_CO)
     )
-    ni = F.broadcast(norms.select(F.col("item_id").alias("item_i"), F.col("sq").alias("sq_i")))
-    nj = F.broadcast(norms.select(F.col("item_id").alias("item_j"), F.col("sq").alias("sq_j")))
+    ni = bcast(norms.select(F.col("item_id").alias("item_i"), F.col("sq").alias("sq_i")), "bounded by construction; see enclosing docstring")
+    nj = bcast(norms.select(F.col("item_id").alias("item_j"), F.col("sq").alias("sq_j")), "bounded by construction; see enclosing docstring")
     return (
         pairs.join(ni, "item_i")
         .join(nj, "item_j")

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.hints import broadcast_small as bcast
+
 from ..registry import spark_query
 from . import metrics
 from ..sources import load_table
@@ -139,7 +141,7 @@ def q_bias_baseline_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
     # session instead of seven)
     mu, bu, bi = bias_components(spark, sf_dir)
     pred = (
-        test.crossJoin(F.broadcast(mu))
+        test.crossJoin(bcast(mu, "1-row global-mean aggregate"))
         .join(bu, "user_id", "left")
         .join(bi, "item_id", "left")
         .withColumn(
@@ -352,13 +354,13 @@ def q_bias_shrinkage_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
     train, test = r.filter(train_flag), r.filter(~train_flag)
     mu = train.agg(F.avg("rating").alias("mu"))
     bu = (
-        train.crossJoin(F.broadcast(mu))
+        train.crossJoin(bcast(mu, "1-row global-mean aggregate"))
         .groupBy("user_id")
         .agg(F.avg(F.col("rating") - F.col("mu")).alias("bu"))
     )
     bi2 = (
         train.join(bu, "user_id")
-        .crossJoin(F.broadcast(mu))
+        .crossJoin(bcast(mu, "1-row global-mean aggregate"))
         .groupBy("item_id")
         .agg(
             F.sum(F.col("rating") - F.col("mu") - F.col("bu")).alias("s"),
@@ -368,7 +370,7 @@ def q_bias_shrinkage_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
     clip = lambda c: F.least(F.lit(5.0), F.greatest(F.lit(1.0), c))  # noqa: E731
     base = F.col("mu") + F.coalesce("bu", F.lit(0.0))
     scored = (
-        test.crossJoin(F.broadcast(mu))
+        test.crossJoin(bcast(mu, "1-row global-mean aggregate"))
         .join(bu, "user_id", "left")
         .join(bi2, "item_id", "left")
         .withColumn("p_raw", clip(base + F.coalesce(F.col("s") / F.col("n_i"), F.lit(0.0))))
@@ -447,7 +449,7 @@ def q_split_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_splits") > 1)
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_leaked_users"))
     )
-    return per_split.crossJoin(F.broadcast(leak))
+    return per_split.crossJoin(bcast(leak, "1-row leakage-audit count"))
 
 
 @spark_query(
@@ -510,6 +512,6 @@ def q_cold_start_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
     cold = cust.join(
         orders, cust.c_custkey == orders.o_custkey, "left_anti"
     ).select("c_custkey", "c_mktsegment")
-    return cold.join(F.broadcast(topk), "c_mktsegment").select(
+    return cold.join(bcast(topk, "LIMIT-k head"), "c_mktsegment").select(
         "c_custkey", "c_mktsegment", "rank", "item_id", "n_sold"
     )

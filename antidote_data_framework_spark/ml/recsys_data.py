@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.hints import broadcast_small as bcast
+
 from ..sources import load_table
 
 # Shared oracle CTE: the ratings view in ANSI SQL (DuckDB-runnable).
@@ -105,13 +107,13 @@ def bias_components(
     train = r.filter(is_train(F.col("user_id"), F.col("item_id")))
     mu = train.agg(F.avg("rating").alias("mu"))
     bu = (
-        train.crossJoin(F.broadcast(mu))
+        train.crossJoin(bcast(mu, "1-row global-mean aggregate"))
         .groupBy("user_id")
         .agg(F.avg(F.col("rating") - F.col("mu")).alias("bu"))
     )
     bi = (
         train.join(bu, "user_id")
-        .crossJoin(F.broadcast(mu))
+        .crossJoin(bcast(mu, "1-row global-mean aggregate"))
         .groupBy("item_id")
         .agg(F.avg(F.col("rating") - F.col("mu") - F.col("bu")).alias("bi"))
     )
@@ -141,7 +143,7 @@ def bias_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = ratings_df(spark, sf_dir)
     cells = r.groupBy("user_id", "item_id").agg(F.avg("rating").alias("rating"))
     pred = (
-        cells.crossJoin(F.broadcast(mu))
+        cells.crossJoin(bcast(mu, "1-row global-mean aggregate"))
         .join(bu, "user_id", "left")
         .join(bi, "item_id", "left")
         .withColumn(

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.hints import broadcast_small as bcast
+
 from ..registry import spark_query
 from ..functions.money import sum_charged_price, sum_discounted_price
 from ..sources import load_table
@@ -125,8 +127,8 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(customer, orders.o_custkey == customer.c_custkey)
-        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .join(bcast(nation, "structural dim (25 rows)"), customer.c_nationkey == nation.n_nationkey)
+        .join(bcast(region, "structural dim (5 rows)"), nation.n_regionkey == region.r_regionkey)
     )
     return joined.rollup("r_name", "n_name").agg(
         F.grouping_id().alias("grp_id"),
@@ -423,7 +425,7 @@ def q_agg_exact_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return med.join(
-        F.broadcast(mode_t), ["l_returnflag", "l_linestatus"]
+        bcast(mode_t, "per-group mode table (<=6 rows)"), ["l_returnflag", "l_linestatus"]
     ).select(
         "l_returnflag", "l_linestatus", "n_rows", "median_qty", "p90_qty",
         "mode_qty", "mode_cnt",

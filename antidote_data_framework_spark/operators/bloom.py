@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.hints import broadcast_small as bcast
+
 from ..registry import spark_query
 from ..sources import load_table
 
@@ -135,7 +137,7 @@ def q_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     seg = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     bloom = bloom_build(seg, "c_custkey")
     cand = (
-        orders.crossJoin(F.broadcast(bloom))
+        orders.crossJoin(bcast(bloom, "1-row bit-array map (m/64 entries)"))
         .filter(bloom_might_contain("bloom", "o_custkey"))
         .drop("bloom")
     )
@@ -180,7 +182,7 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     bloom = bloom_build(eval_grams, "gram")
     train_grams = grams.filter(F.col("doc_id") % 20 != 0)
     cand = (
-        train_grams.crossJoin(F.broadcast(bloom))
+        train_grams.crossJoin(bcast(bloom, "1-row bit-array map (m/64 entries)"))
         .filter(bloom_might_contain("bloom", "gram"))
         .drop("bloom")
     )

@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.hints import broadcast_small as bcast
+
 from ..registry import spark_query
 from ..sources import load_table
 
@@ -106,8 +108,8 @@ def q_corpus_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         src.join(corpus, "tok")
-        .join(F.broadcast(ns), "source")
-        .crossJoin(F.broadcast(n_total))
+        .join(bcast(ns, "1-row count aggregate"), "source")
+        .crossJoin(bcast(n_total, "1-row total-count agg"))
         .groupBy("source", "n_src")
         .agg(
             F.count(F.lit(1)).cast("long").alias("vocab_src"),
@@ -225,7 +227,7 @@ def q_bigram_lm_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         bi.join(train_bi, ["w1", "w2"], "left")
         .join(train_uni, ["w1"], "left")
-        .crossJoin(F.broadcast(vocab))
+        .crossJoin(bcast(vocab, "LIMIT-bounded vocabulary"))
         .groupBy("doc_id", "lang")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_bigrams"),

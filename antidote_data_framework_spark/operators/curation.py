@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.hints import broadcast_small as bcast
+
 from ..registry import spark_query
 from ..sources import load_table
 
@@ -238,8 +240,8 @@ def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         bic.filter(F.col("n_ab") >= 5)
         .join(u1, F.col("w1") == F.col("u1_tok"))
         .join(u2, F.col("w2") == F.col("u2_tok"))
-        .join(F.broadcast(n_uni))
-        .join(F.broadcast(n_bi))
+        .join(bcast(n_uni, "1-row unigram-count agg"))
+        .join(bcast(n_bi, "1-row bigram-count agg"))
         .withColumn("lift_exact", lift)
         .withColumn("bigram", F.concat_ws(" ", "w1", "w2"))
         .orderBy(F.desc("lift_exact"), F.asc("bigram"))
@@ -534,7 +536,7 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("tok", F.lit(True).alias("in_vocab"))
     )
     return (
-        toks.join(F.broadcast(vocab), "tok", "left")
+        toks.join(bcast(vocab, "LIMIT-bounded vocabulary"), "tok", "left")
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
@@ -595,7 +597,7 @@ def q_curriculum_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(n_chars, 0.50D)").alias("q2"),
         F.expr("percentile(n_chars, 0.75D)").alias("q3"),
     )
-    banded = docs.crossJoin(F.broadcast(th)).select(
+    banded = docs.crossJoin(bcast(th, "1-row threshold aggregate")).select(
         "n_chars",
         F.when(F.col("n_chars") <= F.col("q1"), 1)
         .when(F.col("n_chars") <= F.col("q2"), 2)
@@ -670,7 +672,7 @@ def q_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("offset"),
     )
     w_in = Window.partitionBy("tokens").orderBy("doc_id")
-    ranked = sized.join(F.broadcast(offsets), "tokens").select(
+    ranked = sized.join(bcast(offsets, "literal offset dim (9 rows)"), "tokens").select(
         "doc_id",
         "tokens",
         (F.col("offset") + F.row_number().over(w_in) - 1).alias("rank0"),

@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.hints import broadcast_small as bcast
+
 from ..registry import spark_query
 from ..sources import load_table
 from .vectors import cosine
@@ -412,7 +414,7 @@ def q_minhash_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("vid", F.row_number().over(Window.orderBy("s")).cast("long"))
     )
-    ids = sh.join(F.broadcast(vocab), "s").select("doc_id", "vid")
+    ids = sh.join(bcast(vocab, "LIMIT-bounded vocabulary"), "s").select("doc_id", "vid")
     grouped = ids.groupBy("doc_id").agg(F.collect_list("vid").alias("vids"))
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(EVAL_K - 1)),

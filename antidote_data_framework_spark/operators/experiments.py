@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.hints import broadcast_small as bcast
+
 from ..registry import spark_query
 from ..sources import load_table
 
@@ -138,7 +140,7 @@ def q_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = dur.groupBy("grp").agg(F.count(F.lit(1)).alias("n0"))
     times = tbl.filter(F.col("d") > 0).select("t").distinct()
     groups = dur.select("grp").distinct()
-    grid = groups.crossJoin(F.broadcast(times))
+    grid = groups.crossJoin(bcast(times, "distinct event-day grid, span-bounded"))
     wprev = (
         Window.partitionBy("grp")
         .orderBy("t")
@@ -146,7 +148,7 @@ def q_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     atrisk = (
         grid.join(tbl, ["grp", "t"], "left")
-        .join(F.broadcast(tot), "grp")
+        .join(bcast(tot, "1-row total aggregate"), "grp")
         .select(
             "grp",
             "t",
@@ -358,7 +360,7 @@ def q_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     first_us = ev.agg(F.min(F.unix_micros("ts")).alias("first_us"))
     split = F.unix_micros("ts") - F.col("first_us")
     pp = (
-        ev.crossJoin(F.broadcast(first_us))
+        ev.crossJoin(bcast(first_us, "1-row first-user agg"))
         .groupBy("user_id")
         .agg(
             F.sum(
@@ -375,7 +377,7 @@ def q_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     adj = F.col("post") - F.col("th") * (F.col("pre") - F.col("pre_mean"))
     return (
-        pp.crossJoin(F.broadcast(theta))
+        pp.crossJoin(bcast(theta, "1-row regression-coefficient agg"))
         .groupBy("th", "pre_mean")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_users"),

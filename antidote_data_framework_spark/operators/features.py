@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.hints import broadcast_small as bcast
+
 from ..registry import spark_query
 from ..sources import load_table
 
@@ -85,7 +87,7 @@ def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prior = F.col("gs").cast("double") / F.col("gn").cast("double")
     return (
-        cells.crossJoin(F.broadcast(gstats))
+        cells.crossJoin(bcast(gstats, "1-row global-moment aggregate"))
         .select(
             "p_brand",
             "n",
@@ -324,7 +326,7 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         toks.join(tgt, "w", "left")
         .join(prop, "w")
-        .crossJoin(F.broadcast(tot))
+        .crossJoin(bcast(tot, "1-row total aggregate"))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
@@ -546,7 +548,7 @@ def q_mi_feature_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("c", F.lit(0.5)).alias("q2"),
         F.percentile("c", F.lit(0.75)).alias("q3"),
     )
-    withq = base.crossJoin(F.broadcast(qdf))
+    withq = base.crossJoin(bcast(qdf, "1-row quantile aggregate"))
     stacked = withq.select(
         F.explode(
             F.array(
@@ -702,7 +704,7 @@ def q_prob_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) / (F.col("nu").cast("double") - 1.0 + 50.0)
     scored = (
         base.join(peruser, "user_id")
-        .crossJoin(F.broadcast(gstats))
+        .crossJoin(bcast(gstats, "1-row global-moment aggregate"))
         .select(F.col("y"), phat.alias("phat"))
     )
     binned = scored.select(

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.hints import broadcast_small as bcast
+
 from ..registry import spark_query
 from ..sources import load_table
 
@@ -374,7 +376,7 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(frequency, 0.5D)").alias("f_med"),
         F.expr("percentile(monetary_cents, 0.5D)").alias("m_med"),
     )
-    seg = per_user.crossJoin(F.broadcast(th)).select(
+    seg = per_user.crossJoin(bcast(th, "1-row threshold aggregate")).select(
         F.concat(
             F.when(F.col("recency_days") <= F.col("r_med"), "R-hi").otherwise("R-lo"),
             F.lit("/"),

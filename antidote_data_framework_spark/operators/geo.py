@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.hints import broadcast_small as bcast
+
 from ..registry import spark_query
 from ..sources import load_table
 
@@ -118,7 +120,7 @@ def q_geo_grid_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     offsets = spark.range(-1, 2).select(F.col("id").alias("dx")).crossJoin(
         spark.range(-1, 2).select(F.col("id").alias("dy"))
     )
-    supp_rep = supp.crossJoin(F.broadcast(offsets)).select(
+    supp_rep = supp.crossJoin(bcast(offsets, "literal offset dim (9 rows)")).select(
         "s_suppkey",
         "lat",
         "lon",

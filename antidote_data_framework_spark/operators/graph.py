@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.hints import broadcast_bounded
+from ..functions.hints import broadcast_bounded, broadcast_small as bcast
 from ..registry import spark_query
 from ..sources import load_table
 
@@ -468,7 +468,7 @@ def q_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.join(fu, "u")
         .join(fv, "v")
-        .crossJoin(F.broadcast(total))
+        .crossJoin(bcast(total, "1-row total aggregate"))
         .select(
             "u",
             "v",

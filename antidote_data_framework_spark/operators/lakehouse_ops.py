@@ -402,7 +402,9 @@ def q_lakehouse_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_acctbal": F.col("c_acctbal") + F.col("n_urgent"),
         },
     )
-    audit = vt.vacuum(retain_last=1)
+    # grace_seconds=0: this demo table is single-writer by construction,
+    # so immediate reclamation is safe and keeps the audit deterministic.
+    audit = vt.vacuum(retain_last=1, grace_seconds=0.0)
     try:
         vt.read(0)
         expired_unreadable = False

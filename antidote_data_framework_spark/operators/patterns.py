@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.hints import broadcast_small as bcast
+
 from ..registry import spark_query
 from ..sources import load_table
 
@@ -202,12 +204,12 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.round(F.col("value") * 100, 0).cast("long").alias("c")
     )
     med = cents.groupBy("event_type").agg(F.expr("percentile(c, 0.5D)").alias("med_c"))
-    dev = cents.join(F.broadcast(med), "event_type").select(
+    dev = cents.join(bcast(med, "1-row median aggregate"), "event_type").select(
         "event_type", "c", F.abs(F.col("c") - F.col("med_c")).alias("d"), "med_c"
     )
     mad = dev.groupBy("event_type").agg(F.expr("percentile(d, 0.5D)").alias("mad_c"))
     return (
-        dev.join(F.broadcast(mad), "event_type")
+        dev.join(bcast(mad, "1-row MAD aggregate"), "event_type")
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),

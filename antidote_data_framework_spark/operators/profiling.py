@@ -8,6 +8,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.hints import broadcast_small as bcast
+
 from ..registry import spark_query
 from ..sources import load_table
 
@@ -506,9 +508,9 @@ def q_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_p = row_tot.count()
     n_s = col_tot.count()
     cells = (
-        obs.join(F.broadcast(row_tot), "p")
-        .join(F.broadcast(col_tot), "s")
-        .crossJoin(F.broadcast(n))
+        obs.join(bcast(row_tot, "contingency-row-cardinality agg"), "p")
+        .join(bcast(col_tot, "contingency-col-cardinality agg"), "s")
+        .crossJoin(bcast(n, "1-row count aggregate"))
         .withColumn("expected", (F.col("rt") * 1.0 / F.col("n")) * F.col("ct"))
     )
     return cells.agg(
@@ -646,7 +648,7 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
-    cn = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    cn = c.join(bcast(n, "1-row count aggregate"), c.c_nationkey == n.n_nationkey)
     ng = (
         cn.groupBy("c_nationkey", "c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n_sz"))
@@ -656,8 +658,8 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("r_sz"))
     )
     assigned = (
-        cn.join(F.broadcast(ng), ["c_nationkey", "c_mktsegment"])
-        .join(F.broadcast(rg), ["n_regionkey", "c_mktsegment"])
+        cn.join(bcast(ng, "1-row count aggregate"), ["c_nationkey", "c_mktsegment"])
+        .join(bcast(rg, "1-row range aggregate"), ["n_regionkey", "c_mktsegment"])
         .select(
             "c_custkey",
             F.when(F.col("n_sz") >= 5, "nation")
@@ -752,7 +754,7 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def census(d: DataFrame, cname: str) -> DataFrame:
         return (
-            d.crossJoin(F.broadcast(edges))
+            d.crossJoin(bcast(edges, "node-bounded edge list, measured small"))
             .select(
                 F.when(F.col("value") <= F.col("e1"), 1)
                 .when(F.col("value") <= F.col("e2"), 2)
@@ -770,8 +772,8 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     cur_n = cur_b.agg(F.sum("cc").alias("cn"))
     terms = (
         ref_b.join(cur_b, "bucket")
-        .crossJoin(F.broadcast(ref_n))
-        .crossJoin(F.broadcast(cur_n))
+        .crossJoin(bcast(ref_n, "1-row reference-count agg"))
+        .crossJoin(bcast(cur_n, "1-row current-count agg"))
         .withColumn("p_ref", F.col("rc") * 1.0 / F.col("rn"))
         .withColumn("p_cur", F.col("cc") * 1.0 / F.col("cn"))
         .withColumn(
@@ -848,7 +850,7 @@ def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     p_obs = F.col("c") * 1.0 / F.col("n")
     p_ben = F.log10(1.0 + 1.0 / F.col("d"))
     return (
-        obs.crossJoin(F.broadcast(n))
+        obs.crossJoin(bcast(n, "1-row count aggregate"))
         .select(
             "d",
             F.col("c").alias("observed"),
@@ -1055,7 +1057,7 @@ def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("c_acctbal", F.lit(0.50)).alias("q2"),
         F.percentile("c_acctbal", F.lit(0.75)).alias("q3"),
     )
-    banded = cust.crossJoin(F.broadcast(q)).select(
+    banded = cust.crossJoin(bcast(q, "1-row quantile aggregate")).select(
         "c_nationkey",
         "c_mktsegment",
         F.when(F.col("c_acctbal") <= F.col("q1"), 1)
@@ -1078,7 +1080,7 @@ def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n")
     )
     cells = (
-        cls.crossJoin(F.broadcast(gband))
+        cls.crossJoin(bcast(gband, "literal band-fraction dim (4 rows)"))
         .join(cell_counts, ["c_nationkey", "c_mktsegment", "band"], "left")
         .select(
             "c_nationkey",
@@ -1273,7 +1275,7 @@ def q_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ss").alias("sst"),
         F.count(F.lit(1)).cast("bigint").alias("k"),
     )
-    j = cells.crossJoin(F.broadcast(tot))
+    j = cells.crossJoin(bcast(tot, "1-row total aggregate"))
     parts = j.groupBy("k", "nt", "st", "sst").agg(
         (
             F.sum(
@@ -1393,7 +1395,7 @@ def q_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("c").cast("double") / F.count(F.lit(1))).alias("mean_cents"),
     )
     return (
-        reps.crossJoin(F.broadcast(stats))
+        reps.crossJoin(bcast(stats, "1-row global-moment aggregate"))
         .groupBy("n_events", "mean_cents")
         .agg(
             F.round(F.percentile("mean_b", F.lit(0.025)), 4).alias("ci_lo"),
@@ -1470,7 +1472,7 @@ def q_join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key").alias("hot_key"),
         F.col("n").alias("hot_key_rows"),
     )
-    return stats.crossJoin(F.broadcast(topk)).select(
+    return stats.crossJoin(bcast(topk, "LIMIT-k head")).select(
         "n_keys", "n_rows", "max_key_rows", "avg_key_rows", "skew_factor",
         "rank", "hot_key", "hot_key_rows",
     )

@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.hints import broadcast_small as bcast
+
 from ..registry import spark_query
 from ..sources import load_table
 
@@ -89,7 +91,7 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.join(df, "term")
-        .crossJoin(F.broadcast(n_docs))
+        .crossJoin(bcast(n_docs, "1-row doc-count agg"))
         .withColumn(
             "score",
             F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
@@ -197,9 +199,9 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     scored = (
-        tf.join(F.broadcast(df_q), "term")
+        tf.join(bcast(df_q, "query-term-bounded doc-frequency table"), "term")
         .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
+        .crossJoin(bcast(stats, "1-row global-moment aggregate"))
         .groupBy("doc_id")
         .agg(
             F.sum(term_score).alias("score"),
@@ -346,9 +348,9 @@ def q_rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     bm25 = (
-        tf.join(F.broadcast(df_q), "term")
+        tf.join(bcast(df_q, "query-term-bounded doc-frequency table"), "term")
         .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
+        .crossJoin(bcast(stats, "1-row global-moment aggregate"))
         .groupBy("doc_id")
         .agg(F.sum(term_score).alias("score"))
         .orderBy(F.col("score").desc(), "doc_id")
@@ -365,7 +367,7 @@ def q_rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
     sims = (
         emb.filter(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(q))
+        .crossJoin(bcast(q, "1-row quantile aggregate"))
         .select(
             F.col("vec_id").alias("doc_id"),
             cosine(F.col("embedding"), F.col("qe")).alias("cos_raw"),

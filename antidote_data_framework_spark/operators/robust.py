@@ -38,6 +38,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.hints import broadcast_small as bcast
+
 from ..registry import spark_query
 from ..sources import load_table
 
@@ -115,7 +117,7 @@ def q_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("s", F.lit(0.5)).alias("slope_raw")
     )
     return (
-        daily.join(F.broadcast(med), "event_type")
+        daily.join(bcast(med, "1-row median aggregate"), "event_type")
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_days"),
@@ -178,7 +180,7 @@ def q_ar1_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("yl").isNotNull()
     )
     phi = (
-        lagged.join(F.broadcast(mu), "event_type")
+        lagged.join(bcast(mu, "1-row global-mean aggregate"), "event_type")
         .groupBy("event_type")
         .agg(
             (
@@ -188,8 +190,8 @@ def q_ar1_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        daily.join(F.broadcast(mu), "event_type")
-        .join(F.broadcast(phi), "event_type")
+        daily.join(bcast(mu, "1-row global-mean aggregate"), "event_type")
+        .join(bcast(phi, "per-event_type AR coefficient (<=5 rows)"), "event_type")
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_days"),
@@ -264,7 +266,7 @@ def q_huber_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("value", F.lit(0.5)).alias("m0")
     )
     scale = (
-        ev.join(F.broadcast(start), "event_type")
+        ev.join(bcast(start, "per-event_type start agg (<=5 rows)"), "event_type")
         .groupBy("event_type")
         .agg(
             F.max("m0").alias("m0"),
@@ -285,15 +287,15 @@ def q_huber_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     it1 = (
-        ev.join(F.broadcast(scale), "event_type")
+        ev.join(bcast(scale, "per-event_type scale agg (<=5 rows)"), "event_type")
         .groupBy("event_type")
         .agg(
             (F.sum(_w(F.col("m0")) * F.col("value")) / F.sum(_w(F.col("m0")))).alias("m1")
         )
     )
     return (
-        ev.join(F.broadcast(scale), "event_type")
-        .join(F.broadcast(it1), "event_type")
+        ev.join(bcast(scale, "per-event_type scale agg (<=5 rows)"), "event_type")
+        .join(bcast(it1, "per-event_type Huber iterate (<=5 rows)"), "event_type")
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),

@@ -15,6 +15,8 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.hints import broadcast_small as bcast
+
 from ..registry import spark_query
 from ..sources import load_table
 
@@ -364,7 +366,7 @@ def q_dpp_partition_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         fact.join(
-            F.broadcast(dim).filter(F.col("urgency") == "urgent"),
+            bcast(dim, "literal 5-row dim").filter(F.col("urgency") == "urgent"),
             fact.o_orderpriority == F.col("priority"),
         )
         .groupBy("o_orderpriority")

@@ -24,6 +24,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.hints import broadcast_small as bcast
+
 from ..registry import spark_query
 from ..sources import load_table
 
@@ -89,7 +91,7 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_tokens = toks.count()
     counted = (
-        toks.join(F.broadcast(candidates), "tok", "left_semi")
+        toks.join(bcast(candidates, "LIMIT-bounded candidate head"), "tok", "left_semi")
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("freq"))
     )

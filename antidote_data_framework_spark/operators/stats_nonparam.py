@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.hints import broadcast_small as bcast
+
 from ..registry import spark_query
 from ..sources import load_table
 
@@ -211,7 +213,7 @@ def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("nb").cast("bigint").alias("nb_t"),
     )
     dmax = (
-        cum.crossJoin(F.broadcast(tot))
+        cum.crossJoin(bcast(tot, "1-row total aggregate"))
         .groupBy("na_t", "nb_t")
         .agg(
             F.max(
@@ -326,7 +328,7 @@ def q_bh_fdr_discoveries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dev = F.col("s").cast("double") / F.col("n").cast("double") - mu
     z2 = F.col("n").cast("double") * dev * dev / sig2
-    scored = cells.crossJoin(F.broadcast(gstats)).select(
+    scored = cells.crossJoin(bcast(gstats, "1-row global-moment aggregate")).select(
         "user_id",
         "event_type",
         "n",
@@ -358,7 +360,7 @@ def q_bh_fdr_discoveries(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("k_star")
     )
     return (
-        ranked.crossJoin(F.broadcast(cut))
+        ranked.crossJoin(bcast(cut, "1-row BH-cutoff agg"))
         .select(
             F.col("rnk").alias("rank"),
             "user_id",
@@ -454,7 +456,7 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
     )
     win = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
-    r = daily.crossJoin(F.broadcast(tot)).select(
+    r = daily.crossJoin(bcast(tot, "1-row total aggregate")).select(
         "day",
         "x",
         "nd",
@@ -555,7 +557,7 @@ def q_autocorr_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("nd"),
         F.sum("x").cast("bigint").alias("sx"),
     )
-    centered = daily.crossJoin(F.broadcast(tot)).select(
+    centered = daily.crossJoin(bcast(tot, "1-row total aggregate")).select(
         F.row_number().over(Window.orderBy("day")).cast("bigint").alias("idx"),
         (F.col("nd") * F.col("x") - F.col("sx"))
         .cast("decimal(19,0)")
@@ -567,7 +569,7 @@ def q_autocorr_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     lags = spark.createDataFrame([(1,), (2,), (3,), (7,)], ["lag"])
     a, b = centered.alias("a"), centered.alias("b")
     num = (
-        F.broadcast(lags)
+        bcast(lags, "literal lag dim (4 rows)")
         .join(a, F.lit(True))
         .join(b, F.col("b.idx") == F.col("a.idx") - F.col("lag"))
         .groupBy("lag")
@@ -579,7 +581,7 @@ def q_autocorr_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        num.crossJoin(F.broadcast(den))
+        num.crossJoin(bcast(den, "1-row ACF-denominator agg"))
         .select(
             F.col("lag").cast("bigint").alias("lag"),
             "n_pairs",

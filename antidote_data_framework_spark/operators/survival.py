@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.hints import broadcast_small as bcast
+
 from ..registry import spark_query
 from ..sources import load_table
 from .robust import _DAILY_CTE, _daily
@@ -129,7 +131,7 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("t")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    km = tbl.join(F.broadcast(tot), "grp").withColumn(
+    km = tbl.join(bcast(tot, "1-row total aggregate"), "grp").withColumn(
         "n_risk",
         (
             F.col("n0")

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.hints import broadcast_small as bcast
+
 from ..registry import spark_query
 from ..sources import load_table
 
@@ -876,7 +878,7 @@ def q_corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("tokens").alias("corpus_tokens"),
         F.sum(F.col("weight") * F.col("tokens")).alias("wsum"),
     )
-    j = per_source.crossJoin(F.broadcast(total))
+    j = per_source.crossJoin(bcast(total, "1-row total aggregate"))
     alloc = F.floor(
         0.5
         * F.col("corpus_tokens")

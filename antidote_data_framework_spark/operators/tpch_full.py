@@ -37,6 +37,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.hints import broadcast_small as bcast
+
 from ..functions.money import sum_discounted_price
 from ..registry import spark_query
 from ..sources import load_table
@@ -149,7 +151,7 @@ def q_tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(s, (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey))
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(bcast(n, "1-row count aggregate"), s.s_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
             F.sum(
@@ -211,7 +213,7 @@ def q_tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
     )
     group_li = li.join(s, li.l_suppkey == s.s_suppkey).join(
-        F.broadcast(n), s.s_nationkey == n.n_nationkey
+        bcast(n, "1-row count aggregate"), s.s_nationkey == n.n_nationkey
     )
     per_part = group_li.groupBy(F.col("l_partkey").alias("partkey")).agg(
         F.sum(
@@ -225,7 +227,7 @@ def q_tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        per_part.join(F.broadcast(total))
+        per_part.join(bcast(total, "1-row total aggregate"))
         .filter(F.col("val_exact").cast("double") > F.col("threshold"))
         .orderBy(F.desc("val_exact"), F.asc("partkey"))
         .select("partkey", F.round("val_exact", 2).cast("double").alias("value"))

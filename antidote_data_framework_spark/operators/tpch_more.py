@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.hints import broadcast_small as bcast
+
 from ..functions.money import sum_discounted_price
 from ..registry import spark_query
 from ..sources import load_table
@@ -102,7 +104,7 @@ def q_tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(bcast(n, "1-row count aggregate"), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
         .agg(rev_exact.alias("rev_exact"))
         .orderBy(F.desc("rev_exact"), F.asc("c_custkey"))
@@ -195,7 +197,7 @@ def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     max_rev = rev.agg(F.max("total_rev").alias("max_rev"))
     return (
-        rev.join(F.broadcast(max_rev), rev.total_rev == max_rev.max_rev)
+        rev.join(bcast(max_rev, "1-row max-revenue agg"), rev.total_rev == max_rev.max_rev)
         .join(s, F.col("suppkey") == s.s_suppkey)
         .select(
             "s_suppkey",
@@ -313,7 +315,7 @@ def q_tpch_q22_idle_custs(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.filter(F.col("c_acctbal") > 0)
         .agg(F.avg("c_acctbal").alias("avg_bal"))
     )
-    rich = c.crossJoin(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("avg_bal"))
+    rich = c.crossJoin(bcast(avg_bal, "1-row avg-balance agg")).filter(F.col("c_acctbal") > F.col("avg_bal"))
     idle = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
     return idle.groupBy(F.col("c_mktsegment").alias("segment")).agg(
         F.count(F.lit(1)).alias("n_custs"),
@@ -366,8 +368,8 @@ def q_tpch_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(s, li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
-        .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
+        .join(bcast(cn, "structural dim alias (25 rows)"), c.c_nationkey == F.col("cn_key"))
+        .join(bcast(sn, "structural dim alias (25 rows)"), s.s_nationkey == F.col("sn_key"))
         .filter(pair)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
         .agg(sum_discounted_price(F.col("l_extendedprice"), F.col("l_discount")).alias("revenue"))
@@ -419,10 +421,10 @@ def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
-        .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")), F.col("cn_region") == r.r_regionkey)
+        .join(bcast(cn, "structural dim alias (25 rows)"), c.c_nationkey == F.col("cn_key"))
+        .join(bcast(r.filter(F.col("r_name") == "ASIA"), "bounded by construction; see enclosing docstring"), F.col("cn_region") == r.r_regionkey)
         .join(s, li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
+        .join(bcast(sn, "structural dim alias (25 rows)"), s.s_nationkey == F.col("sn_key"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             F.sum(rev).alias("total_exact"),
@@ -479,7 +481,7 @@ def q_tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(p, li.l_partkey == p.p_partkey)
         .join(s, li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
+        .join(bcast(sn, "structural dim alias (25 rows)"), s.s_nationkey == F.col("sn_key"))
         .join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("supp_nation", F.year("o_orderdate").alias("o_year"))
         .agg(F.round(F.sum(amount), 2).cast("double").alias("profit"))

@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.hints import broadcast_small as bcast
+
 from ..registry import spark_query
 from ..sources import load_table
 
@@ -68,7 +70,7 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
     scored = (
         emb.filter(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(q))
+        .crossJoin(bcast(q, "1-row quantile aggregate"))
         .withColumn("cos_raw", cosine(F.col("embedding"), F.col("qe")))
     )
     return (
@@ -270,7 +272,7 @@ def q_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket").alias("qb"),
     )
     scored = (
-        b.crossJoin(F.broadcast(q))
+        b.crossJoin(bcast(q, "1-row quantile aggregate"))
         .filter(F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id",

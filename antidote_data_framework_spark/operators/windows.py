@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.hints import broadcast_small as bcast
+
 from ..registry import spark_query
 from ..sources import load_table
 
@@ -396,7 +398,7 @@ def q_stable_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     B = 32
     o = load_table(spark, sf_dir, "orders").select("o_orderkey")
     mx = o.agg(F.max("o_orderkey").alias("mx"))
-    bucketed = o.crossJoin(F.broadcast(mx)).select(
+    bucketed = o.crossJoin(bcast(mx, "1-row max aggregate")).select(
         "o_orderkey",
         F.least(
             F.lit(B - 1), F.floor(F.col("o_orderkey") * B / (F.col("mx") + 1))
@@ -412,7 +414,7 @@ def q_stable_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_in = Window.partitionBy("bucket").orderBy("o_orderkey")
     return (
-        bucketed.join(F.broadcast(offsets), "bucket")
+        bucketed.join(bcast(offsets, "literal offset dim (9 rows)"), "bucket")
         .select(
             "o_orderkey",
             (F.row_number().over(w_in) - 1 + F.col("offset")).alias("stable_id"),

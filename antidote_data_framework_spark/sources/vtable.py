@@ -68,7 +68,12 @@ class VersionedTable:
             return json.load(fh)
 
     def _commit(
-        self, files: list[str], op: str, version: int, stats: dict | None = None
+        self,
+        files: list[str],
+        op: str,
+        version: int,
+        stats: dict | None = None,
+        deletes: list[str] | None = None,
     ) -> int:
         """Atomically publish ``version`` naming ``files``.  The caller
         passes the version it computed AGAINST ITS SNAPSHOT (base + 1):
@@ -85,6 +90,8 @@ class VersionedTable:
         manifest = {"version": version, "op": op, "files": sorted(files)}
         if stats:
             manifest["stats"] = {f: stats[f] for f in sorted(stats)}
+        if deletes:
+            manifest["deletes"] = sorted(deletes)
         tmp = os.path.join(self.manifest_dir, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
@@ -159,13 +166,26 @@ class VersionedTable:
         new latest version.  (MERGE deliberately has no retry: its
         rewrite is computed against a specific snapshot, so a conflict
         must surface to the caller, who re-runs against the winner —
-        the same contract Delta/Iceberg give serializable writers.)"""
+        the same contract Delta/Iceberg give serializable writers.)
+
+        The FULL base manifest is carried forward — data files AND the
+        position-delete-vector list AND per-file stats.  Rebuilding
+        from ``files`` alone would silently resurrect every row
+        removed by ``delete_where`` (the r5 ADVICE-high bug): an
+        append never touches existing files, so existing DVs stay
+        exactly as valid as before the append."""
         new_files = self._write_data_files(df)
         for attempt in range(retries + 1):
             base = self.latest_version()
-            prev = self._read_manifest(base)["files"]
+            prev = self._read_manifest(base)
             try:
-                return self._commit(prev + new_files, "append", base + 1)
+                return self._commit(
+                    prev["files"] + new_files,
+                    "append",
+                    base + 1,
+                    stats=prev.get("stats"),
+                    deletes=prev.get("deletes"),
+                )
             except FileExistsError:
                 if attempt == retries:
                     raise
@@ -180,8 +200,14 @@ class VersionedTable:
             return None
         new_files = self._write_data_files(df)
         base = self.latest_version()
-        prev = self._read_manifest(base)["files"] if base >= 0 else []
-        return self._commit(prev + new_files, tag, base + 1)
+        prev = self._read_manifest(base) if base >= 0 else {"files": []}
+        return self._commit(
+            prev["files"] + new_files,
+            tag,
+            base + 1,
+            stats=prev.get("stats"),
+            deletes=prev.get("deletes"),
+        )
 
     def compact(self, target_partitions: int = 1) -> int:
         """Rewrite the current snapshot into ``target_partitions``
@@ -255,7 +281,7 @@ class VersionedTable:
             os.unlink(tmp)
         return version
 
-    def vacuum(self, retain_last: int = 1) -> dict:
+    def vacuum(self, retain_last: int = 1, grace_seconds: float = 3600.0) -> dict:
         """Physically delete data files referenced ONLY by versions
         older than the ``retain_last`` most recent snapshots, and drop
         those versions' manifests — the Delta VACUUM / Iceberg
@@ -273,7 +299,21 @@ class VersionedTable:
 
         Returns an audit dict: files/bytes before, removed, retained
         versions.  Time travel to an expired version raises
-        FileNotFoundError afterwards — by design."""
+        FileNotFoundError afterwards — by design.
+
+        ``grace_seconds`` is the Delta-VACUUM-style retention window
+        (r5 ADVICE-medium): ``_write_data_files`` publishes parquet
+        into data/ BEFORE the manifest commit, so an unreferenced file
+        may belong to an in-flight writer, and deleting it would let
+        that writer commit a manifest naming missing parquet
+        (permanent data loss).  A candidate is only deleted once its
+        mtime is older than the window — any sane in-flight commit
+        finishes well within it.  Pass ``grace_seconds=0.0`` only when
+        the caller guarantees no concurrent writer (tests, single-user
+        maintenance)."""
+        import time
+
+        cutoff = time.time() - grace_seconds
         latest = self.latest_version()
         keep_from = max(0, latest - retain_last + 1)
         live: set[str] = set()
@@ -296,6 +336,8 @@ class VersionedTable:
             if f not in live:
                 p = os.path.join(self.data_dir, f)
                 try:
+                    if os.path.getmtime(p) > cutoff:
+                        continue  # possibly an in-flight writer's staged file
                     reclaimed += os.path.getsize(p)
                     os.unlink(p)
                     removed.append(f)
@@ -306,6 +348,8 @@ class VersionedTable:
                 if f.endswith(".parquet") and f not in live_dv:
                     p = os.path.join(self.deletes_dir, f)
                     try:
+                        if os.path.getmtime(p) > cutoff:
+                            continue
                         reclaimed += os.path.getsize(p)
                         os.unlink(p)
                         removed.append(f)

@@ -22,6 +22,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.hints import broadcast_small as bcast
+
 from ..registry import spark_query
 from ..sources import load_table
 
@@ -574,7 +576,7 @@ def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     n_total = events.count()
     exact = (
-        events.join(F.broadcast(candidates), "user_id", "left_semi")
+        events.join(bcast(candidates, "LIMIT-bounded candidate head"), "user_id", "left_semi")
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("freq"))
     )

@@ -97,37 +97,39 @@ def test_q4_semi_join_no_fanout(spark, sf_dir):
 def test_no_forced_broadcast_of_sf_proportional_tables():
     """r01 VERDICT anti-pattern: an explicit F.broadcast hint is honored
     unconditionally (it bypasses autoBroadcastJoinThreshold), so hinting
-    an SF-proportional table = build-side OOM at 100 TB.  Source-scan
-    every operator/ml module: each F.broadcast argument must be a
-    structurally small frame — region (5 rows), nation (25 rows, incl.
-    cn/sn role aliases), or a named 1-row/k-row scalar aggregate."""
-    import pathlib
-    import re
+    an SF-proportional table = build-side OOM at 100 TB.
 
-    allowed = re.compile(
-        r"F\.broadcast\(\s*("
-        r"region|nation|n|cn|sn|r\.filter|"        # structural dims
-        r"max_rev|avg_bal|mu|stats|qdf|q\b|query|centroids|"  # bounded scalars
-        r"total\b|candidates\b|m2\b|fence\b|"  # 1-row threshold/max/fence aggs; MG sketch output (<= k x partitions)
-        r"bloom\b|"  # 1-row bit-array map, bounded at m/64 entries by construction
-        r"med\b|mad\b|n_items\b|vocab\b|th\b|"
-        r"row_tot\b|col_tot\b|df_q\b|"  # contingency-cardinality aggs; query-term-bounded df
-        r"rg\b|edges\b|ref_n\b|cur_n\b|dim\b|"
-        r"mode_t\b|offsets\b|gband\b|mx\b|"  # 6-row group-bounded mode table; 9-row literal offsets; 4-row band fractions; 1-row max agg
-        r"leak\b|tot\b|topk\b|"
-        r"gstats\b|cut\b|den\b|lags\b|"  # stats_nonparam.py: 1-row global-moment/BH-cutoff/ACF-denominator aggs; 4-row literal lag dim
-        r"ncal\b|qhat\b|"  # ml/conformal.py: 1-row calibration-count and conformal-quantile aggs  # 1-row leakage-audit count; 1-row ANOVA totals agg; segments x 3 fallback recs  # QI-cardinality classes; 1-row quantile/count aggs; 5-row literal dim  # patterns.py/negatives.py/curation.py: |event_type|=5-row percentile aggs, 1-row MAX, LIMIT-1000 vocab
-        r"df\) if n_rows"  # functions/hints.broadcast_bounded: stats-gated hint
-        r")"
-    )
+    MECHANICAL contract (r5 verdict replaced the regex allowlist): raw
+    ``F.broadcast(`` may appear ONLY in functions/hints.py (the two
+    chokepoint helpers) and operators/joins.py (structural dims:
+    region 5 rows / nation 25 rows).  Every other hint site must call
+    ``broadcast_small(df, reason)`` (structural bound, reason
+    mandatory) or ``broadcast_bounded(df, n_rows)`` (measured bound,
+    shuffle fallback beyond the limit).  A new raw site anywhere else
+    fails this test — no allowlist to forget to update."""
+    import pathlib
+
     pkg = pathlib.Path(__file__).resolve().parent.parent / "antidote_data_framework_spark"
+    raw_allowed = {"hints.py", "joins.py"}
     bad: list[str] = []
     for py in sorted(pkg.rglob("*.py")):
+        if py.name in raw_allowed:
+            continue
         for i, line in enumerate(py.read_text().splitlines(), 1):
             if "F.broadcast(" in line and "``F.broadcast``" not in line:
-                if not allowed.search(line):
-                    bad.append(f"{py.name}:{i}: {line.strip()}")
-    assert not bad, "forced broadcast of non-structural table:\n" + "\n".join(bad)
+                bad.append(f"{py.name}:{i}: {line.strip()}")
+    assert not bad, (
+        "raw F.broadcast outside hints.py/joins.py — route through "
+        "broadcast_small(df, reason) or broadcast_bounded(df, n_rows):\n" + "\n".join(bad)
+    )
+
+    # joins.py raw sites must still be the structural dims only.
+    import re
+    joins = (pkg / "operators" / "joins.py").read_text()
+    for m in re.finditer(r"F\.broadcast\(\s*([A-Za-z_][A-Za-z0-9_]*)", joins):
+        assert m.group(1) in {"region", "nation", "n", "cn", "sn", "r"}, (
+            f"joins.py broadcasts non-structural frame {m.group(1)!r}"
+        )
 
 
 def test_q22_anti_join_and_scalar_broadcast(spark, sf_dir):
