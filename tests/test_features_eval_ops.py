@@ -110,7 +110,7 @@ def test_vacuum_reclaims_and_preserves_retained(spark, sf_dir, tmp_path):
     vt.compact()
     assert vt.latest_version() == 2
     before = set(f for f in __import__("os").listdir(vt.data_dir))
-    audit = vt.vacuum(retain_last=2)
+    audit = vt.vacuum(retain_last=2, grace_seconds=0.0)
     assert audit["versions_expired"] == 1
     assert audit["files_removed"] >= 0
     # retained versions still read fine and byte-agree
@@ -125,7 +125,7 @@ def test_vacuum_reclaims_and_preserves_retained(spark, sf_dir, tmp_path):
     assert live <= now
     assert now <= before
     # vacuum retain_last=1 then only v2's files remain
-    vt.vacuum(retain_last=1)
+    vt.vacuum(retain_last=1, grace_seconds=0.0)
     only = set(vt._read_manifest(2)["files"])
     assert set(f for f in os.listdir(vt.data_dir) if f.endswith(".parquet")) == only
 
@@ -156,7 +156,7 @@ def test_delete_vectors_subtract_without_rewrite(spark, sf_dir):
     assert m.get("deletes", []) == []
     assert vt.read().count() == expect
     # vacuum keeps the retained snapshot intact and drops stale DVs
-    vt.vacuum(retain_last=1)
+    vt.vacuum(retain_last=1, grace_seconds=0.0)
     import os
 
     assert vt.read().count() == expect

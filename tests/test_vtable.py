@@ -92,11 +92,11 @@ def test_append_retries_through_commit_conflict(spark, vt):
     real_commit = vt._commit
     state = {"raced": False}
 
-    def racing_commit(files, op, version):
+    def racing_commit(files, op, version, **kw):
         if op == "append" and not state["raced"]:
             state["raced"] = True
             _inject_racer_commit(vt, version)  # racer beats us to `version`
-        return real_commit(files, op, version)
+        return real_commit(files, op, version, **kw)
 
     vt._commit = racing_commit
     try:
@@ -207,3 +207,48 @@ def test_multi_predicate_pruning_is_conjunctive(spark, vt):
         F.col("k").between(100, 299) & F.col("g").between(2, 5)
     ).count()
     assert got == want > 0
+
+
+def test_delete_then_append_does_not_resurrect(spark, vt):
+    """r5 ADVICE-high regression: append/append_idempotent must carry
+    the base manifest's delete-vector list forward — an append never
+    touches existing files, so their DVs stay valid.  Before the fix,
+    rebuilding the manifest from files alone resurrected every
+    delete_where'd row on the next append."""
+    vt.create(_df(spark, [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)]))
+    vt.delete_where(F.col("k") == 2)
+    assert sorted(r.k for r in vt.read().collect()) == [1, 3]
+
+    vt.append(_df(spark, [(4, "d", 4.0)]))
+    assert sorted(r.k for r in vt.read().collect()) == [1, 3, 4]
+
+    vt.append_idempotent(_df(spark, [(5, "e", 5.0)]), tag="append-b0")
+    assert sorted(r.k for r in vt.read().collect()) == [1, 3, 4, 5]
+    # replaying the same tag is a no-op and still doesn't resurrect
+    assert vt.append_idempotent(_df(spark, [(5, "e", 5.0)]), tag="append-b0") is None
+    assert sorted(r.k for r in vt.read().collect()) == [1, 3, 4, 5]
+
+
+def test_vacuum_grace_window_spares_fresh_unreferenced_files(spark, vt):
+    """r5 ADVICE-medium regression: _write_data_files publishes parquet
+    BEFORE the manifest commit, so vacuum must not delete fresh
+    unreferenced files (they may belong to an in-flight writer).  With
+    the default grace window a just-staged file survives; with
+    grace_seconds=0 (explicit single-writer assertion) it is
+    reclaimed."""
+    vt.create(_df(spark, [(1, "a", 1.0)]))
+    # simulate an in-flight writer: data files staged, manifest not yet committed
+    staged = vt._write_data_files(_df(spark, [(9, "z", 9.0)]))
+    audit = vt.vacuum(retain_last=1)  # default grace
+    assert audit["files_removed"] == 0
+    for f in staged:
+        assert os.path.exists(os.path.join(vt.data_dir, f))
+    # the in-flight writer can still commit and read its data
+    base = vt.latest_version()
+    vt._commit(vt._read_manifest(base)["files"] + staged, "append", base + 1)
+    assert sorted(r.k for r in vt.read().collect()) == [1, 9]
+
+    # now orphan a generation and show grace_seconds=0 reclaims it
+    vt.compact()
+    audit = vt.vacuum(retain_last=1, grace_seconds=0.0)
+    assert audit["files_removed"] > 0
