@@ -47,7 +47,12 @@ def _irls_moments(df: DataFrame, beta: np.ndarray):
     the current beta inlined as literals.  Returns (A: 3x3, b: 3)."""
     b0, b1, b2 = (float(v) for v in beta)
     eta = F.lit(b0) + F.lit(b1) * F.col("x1") + F.lit(b2) * F.col("x2")
-    mu = 1.0 / (1.0 + F.exp(-eta))
+    # Clip mu away from {0, 1} (r5 ADVICE): a saturated eta makes
+    # w = mu(1-mu) underflow to 0 and z = eta + (y-mu)/w -> inf/NaN,
+    # which poisons the whole X^T W X reduction.  1e-10 keeps the
+    # weight strictly positive at any eta.
+    mu_raw = 1.0 / (1.0 + F.exp(-eta))
+    mu = F.least(F.greatest(mu_raw, F.lit(1e-10)), F.lit(1.0 - 1e-10))
     w = mu * (1.0 - mu)
     z = eta + (F.col("y") - mu) / w
     terms = df.select(

@@ -69,20 +69,29 @@ tbl AS (
   FROM dur GROUP BY grp, t
 ),
 tot AS (SELECT grp, COUNT(*) AS n0 FROM dur GROUP BY grp),
-grid AS (
-  SELECT g.grp, ts.t
-  FROM (SELECT DISTINCT t FROM tbl WHERE d > 0) ts
-  CROSS JOIN (SELECT DISTINCT grp FROM dur) g
+days AS (SELECT DISTINCT t FROM tbl WHERE d > 0),
+fullt AS (
+  -- every exit day AND every pooled death day, per group: the
+  -- cumulative-exit window must see censor-only days too
+  SELECT grp, t, SUM(d) AS d, SUM(r) AS r FROM (
+    SELECT grp, t, d, r FROM tbl
+    UNION ALL
+    SELECT g.grp, days.t, 0, 0
+    FROM days CROSS JOIN (SELECT DISTINCT grp FROM dur) g
+  ) u GROUP BY grp, t
+),
+atrisk0 AS (
+  -- window over ALL days (WHERE would run before the window, so the
+  -- death-day restriction lives in a separate outer CTE)
+  SELECT f.grp, f.t, f.d,
+         tot.n0 - COALESCE(SUM(f.r) OVER (
+             PARTITION BY f.grp ORDER BY f.t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n
+  FROM fullt f
+  JOIN tot ON tot.grp = f.grp
 ),
 atrisk AS (
-  SELECT grid.grp, grid.t,
-         COALESCE(tbl.d, 0) AS d,
-         tot.n0 - COALESCE(SUM(tbl.r) OVER (
-             PARTITION BY grid.grp ORDER BY grid.t
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n
-  FROM grid
-  LEFT JOIN tbl ON tbl.grp = grid.grp AND tbl.t = grid.t
-  JOIN tot ON tot.grp = grid.grp
+  SELECT * FROM atrisk0 WHERE t IN (SELECT t FROM days)
 ),
 byt AS (
   SELECT t,
@@ -141,23 +150,38 @@ def q_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     times = tbl.filter(F.col("d") > 0).select("t").distinct()
     groups = dur.select("grp").distinct()
     grid = groups.crossJoin(bcast(times, "distinct event-day grid, span-bounded"))
+    # r5 ADVICE fix: the risk set must shrink at EVERY exit day, not
+    # only at pooled death days — subjects censored on a death-free
+    # day leave the cohort too.  Union the pooled death-day grid into
+    # the full per-(grp, day) exit table so the cumulative-exit window
+    # sees all exits, then restrict to pooled death days afterwards.
+    full = (
+        tbl.select("grp", "t", "d", "r")
+        .unionByName(
+            grid.select(
+                "grp", "t", F.lit(0).cast("bigint").alias("d"), F.lit(0).cast("bigint").alias("r")
+            )
+        )
+        .groupBy("grp", "t")
+        .agg(F.sum("d").alias("d"), F.sum("r").alias("r"))
+    )
     wprev = (
         Window.partitionBy("grp")
         .orderBy("t")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     atrisk = (
-        grid.join(tbl, ["grp", "t"], "left")
-        .join(bcast(tot, "1-row total aggregate"), "grp")
+        full.join(bcast(tot, "1-row total aggregate"), "grp")
         .select(
             "grp",
             "t",
-            F.coalesce("d", F.lit(0)).alias("d"),
+            "d",
             (
                 F.col("n0")
                 - F.coalesce(F.sum("r").over(wprev), F.lit(0))
             ).alias("n"),
         )
+        .join(bcast(times, "distinct event-day grid, span-bounded"), "t", "semi")
     )
     byt = atrisk.groupBy("t").agg(
         F.sum("d").alias("d_all"),

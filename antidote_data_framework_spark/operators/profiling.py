@@ -1566,7 +1566,8 @@ noised AS (
 )
 SELECT event_type, epsilon, true_count,
        CAST(ROUND(true_count + noise, 4) AS DOUBLE) + 0.0 AS noisy_count,
-       CAST(ROUND(ABS(noise), 4) AS DOUBLE) + 0.0 AS abs_noise
+       CAST(ROUND(ABS(noise), 4) AS DOUBLE) + 0.0 AS abs_noise,
+       'laplace-deterministic-demo' AS mechanism
 FROM noised
 ORDER BY event_type, epsilon
 """,
@@ -1581,10 +1582,15 @@ def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes the privacy/utility trade visible in one result.
 
     The Laplace draw is the inverse-CDF transform
-    ``-b·sign(s)·ln(1-2|s|)`` of a uniform s ∈ (-0.5, 0.5) derived
-    from an explicit affine hash of the cell's rank — deterministic
-    by design here so the release hash-matches; a production release
-    swaps ONLY the hash for a CSPRNG, keeping the plan identical.
+    ``-b·sign(s)·ln(1-2|s|)`` of a uniform s ∈ (-0.5, 0.5).  THIS
+    REGISTERED QUERY IS NOT A PRIVATE RELEASE (r5 ADVICE): s comes
+    from a deterministic affine hash of the cell's rank so the output
+    hash-matches the oracle, which makes the "noise" publicly
+    recomputable and invertible.  The emitted ``mechanism`` column
+    says so ('laplace-deterministic-demo'), and ``dp_noisy_counts``
+    accepts an injectable ``uniform`` column so a production caller
+    supplies a CSPRNG-backed draw (mechanism then reads
+    'laplace-injected-rng') with an identical plan.
 
     Plan: one groupBy for the cells (output-cardinality-bounded), a
     literal-array explode for the ε sweep, pure codegen math after
@@ -1593,6 +1599,16 @@ def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: integer affine hash; one LN per cell of a double
     that is an exact ratio plus exact halves; rounded outputs.
     """
+    return dp_noisy_counts(spark, sf_dir)
+
+
+def dp_noisy_counts(spark: SparkSession, sf_dir: str, uniform=None) -> DataFrame:
+    """Laplace-histogram release with an injectable uniform source.
+
+    ``uniform``: optional Column evaluating to s ∈ (-0.5, 0.5) per
+    (cell, epsilon) row — pass e.g. ``F.rand() - 0.5`` seeded from a
+    CSPRNG for an actual DP release.  ``None`` (the registered demo)
+    uses the deterministic affine hash, which provides NO privacy."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.orderBy("event_type")
     cells = (
@@ -1603,16 +1619,19 @@ def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     eps = F.explode(
         F.array(*[F.lit(float(e)) for e in DP_EPSILONS])
     ).alias("epsilon")
-    draws = cells.select("event_type", "true_count", "gid", eps).withColumn(
-        "r",
-        (
-            (F.col("gid") * 1000 + (F.col("epsilon") * 10).cast("long"))
-            * DP_A
+    draws = cells.select("event_type", "true_count", "gid", eps)
+    if uniform is None:
+        mechanism = "laplace-deterministic-demo"
+        r = (
+            (F.col("gid") * 1000 + (F.col("epsilon") * 10).cast("long")) * DP_A
             + DP_B
-        )
-        % DP_P,
-    )
-    s = (F.col("r") + 0.5) / DP_P - 0.5
+        ) % DP_P
+        s = (r + 0.5) / DP_P - 0.5
+    else:
+        mechanism = "laplace-injected-rng"
+        s = uniform
+    draws = draws.withColumn("s", s)
+    s = F.col("s")
     noise = (
         F.when(s < 0, F.lit(1.0)).otherwise(F.lit(-1.0))
         * (1.0 / F.col("epsilon"))
@@ -1632,6 +1651,7 @@ def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(F.abs("noise"), 4).cast("double") + F.lit(0.0)).alias(
                 "abs_noise"
             ),
+            F.lit(mechanism).alias("mechanism"),
         )
         .orderBy("event_type", "epsilon")
     )

@@ -108,3 +108,23 @@ def test_dp_noise_scales_with_privacy_budget(spark, sf_dir):
     mean_tight = sum(by_eps[0.5]) / len(by_eps[0.5])
     mean_loose = sum(by_eps[2.0]) / len(by_eps[2.0])
     assert mean_tight > mean_loose
+
+
+def test_dp_release_labels_mechanism_and_accepts_injected_rng(spark, sf_dir):
+    """r5 ADVICE: the registered demo must self-describe as
+    non-private, and the injectable-uniform path must produce a
+    differently-labeled release whose noise still follows the
+    Laplace(1/eps) inverse-CDF of the injected s."""
+    from pyspark.sql import functions as F
+
+    from antidote_data_framework_spark.operators.profiling import dp_noisy_counts
+
+    demo = QUERIES["q_dp_noisy_counts"](spark, sf_dir).collect()
+    assert all(r["mechanism"] == "laplace-deterministic-demo" for r in demo)
+
+    # inject a constant s = 0.25: noise must be exactly -ln(0.5)/eps
+    inj = dp_noisy_counts(spark, sf_dir, uniform=F.lit(0.25)).collect()
+    assert all(r["mechanism"] == "laplace-injected-rng" for r in inj)
+    for r in inj:
+        want = abs(math.log(0.5)) / r["epsilon"]
+        assert abs(r["abs_noise"] - round(want, 4)) < 1e-9

@@ -16,7 +16,7 @@ def _numpy_irls(X, y, iters):
     beta = np.zeros(X.shape[1])
     for _ in range(iters):
         eta = X @ beta
-        mu = 1.0 / (1.0 + np.exp(-eta))
+        mu = np.clip(1.0 / (1.0 + np.exp(-eta)), 1e-10, 1.0 - 1e-10)
         w = mu * (1.0 - mu)
         z = eta + (y - mu) / w
         A = X.T @ (X * w[:, None])

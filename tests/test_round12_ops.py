@@ -130,3 +130,53 @@ def test_cuped_reduces_variance_and_theta_is_ols_slope(spark, sf_dir):
     assert row["var_cuped"] <= row["var_raw"] + 1e-9
     r2 = float(np.corrcoef(pre, post)[0, 1] ** 2)
     assert abs(row["var_reduction"] - r2) < 1e-3
+
+
+def test_logrank_risk_set_shrinks_on_censor_only_days(spark, tmp_path):
+    """r5 ADVICE regression: subjects censored on a day with NO deaths
+    must still leave the risk set before later death days.  Synthetic
+    cohort: user 0 (grp 0) dies day 0; user 2 (grp 0) is censored day
+    1 (death-free); users 1,3 (grp 1) and 4 (grp 0) die day 2.  At
+    day 2 the correct risk set is {1, 3, 4} (n_all=3, n1=2) — the
+    pre-fix code kept user 2 at risk (n_all=4) because day 1 never
+    entered the cumulative-exit grid."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(eid, uid, day_off, etype, value):
+        return (eid, t0 + dt.timedelta(days=day_off), uid, etype, value, "{}")
+
+    rows = [
+        # every user starts with a view at day 0 (sets t0)
+        ev(1, 0, 0, "view", 0.0),
+        ev(2, 1, 0, "view", 0.0),
+        ev(3, 2, 0, "view", 0.0),
+        ev(4, 3, 0, "view", 0.0),
+        ev(5, 4, 0, "view", 0.0),
+        # user 0 converts day 0 (death at t=0)
+        ev(6, 0, 0, "purchase", 100.0),
+        # user 2: last event day 1, never converts (censored t=1, death-free day)
+        ev(7, 2, 1, "view", 0.0),
+        # users 1, 3, 4 convert day 2
+        ev(8, 1, 2, "purchase", 100.0),
+        ev(9, 3, 2, "purchase", 100.0),
+        ev(10, 4, 2, "purchase", 100.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    [row] = QUERIES["q_logrank_test"](spark, str(tmp_path)).collect()
+
+    # hand-computed: death days {0, 2}
+    # t=0: n_all=5 (all), n1=2, d_all=1 (user 0, grp 0), d1=0
+    #   o_minus_e += 0 - 1*(2/5) = -0.4
+    #   var += 1*(2/5)*(3/5)*(5-1)/(5-1) = 0.24
+    # t=2: risk set {1,3,4} -> n_all=3, n1=2, d_all=3, d1=2
+    #   o_minus_e += 2 - 3*(2/3) = 0.0
+    #   var += 3*(2/3)*(1/3)*(3-3)/(3-1) = 0.0
+    assert row["n_times"] == 2
+    assert abs(row["observed_minus_expected"] - (-0.4)) < 1e-9
+    assert abs(row["variance"] - 0.24) < 1e-9
+    assert abs(row["chi2"] - round(0.16 / 0.24, 4)) < 1e-6

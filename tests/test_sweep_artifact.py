@@ -1,0 +1,53 @@
+"""ORACLE_SWEEP_sf0.01.json is standing correctness evidence for every
+registered query outside the driver's 50-slot CORRECTNESS window
+(VERDICT r4 #1).  r5 found it silently stale — 250 entries while the
+registry had grown to 291 — so this test makes the artifact
+self-enforcing: adding an operator without regenerating the sweep
+(``python oracle_check.py --sf /root/testdata/sf0.01 --json
+ORACLE_SWEEP_sf0.01.json``) is now a red test, not a round-end chore.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+
+import __spark_entry__ as entrymod
+
+ARTIFACT = pathlib.Path(__file__).resolve().parent.parent / "ORACLE_SWEEP_sf0.01.json"
+
+
+def test_sweep_artifact_tracks_registry():
+    sweep = json.loads(ARTIFACT.read_text())
+    artifact_keys = set(sweep["queries"])
+    registry_keys = set(entrymod.queries())
+    missing = sorted(registry_keys - artifact_keys)
+    stale = sorted(artifact_keys - registry_keys)
+    assert not missing, (
+        f"{len(missing)} registered queries missing from ORACLE_SWEEP_sf0.01.json "
+        f"(regenerate it at HEAD): {missing[:10]}"
+    )
+    assert not stale, (
+        f"ORACLE_SWEEP_sf0.01.json names {len(stale)} unregistered queries: {stale[:10]}"
+    )
+    assert sweep["n_queries"] == len(registry_keys)
+
+
+def test_sweep_artifact_all_green():
+    sweep = json.loads(ARTIFACT.read_text())
+    failed = sorted(k for k, v in sweep["queries"].items() if not v.get("pass"))
+    assert sweep["n_failed"] == 0 and not failed, f"sweep has failures: {failed}"
+
+
+def test_sweep_artifact_modes_match_oracle_declarations():
+    """A query with an oracle_sql() entry must have been verified in
+    'sql' (hash-match) mode — a silent fallback to rows-only would
+    weaken the evidence without failing anything."""
+    sweep = json.loads(ARTIFACT.read_text())
+    oracles = set(entrymod.oracle_sql())
+    wrong = sorted(
+        k
+        for k, v in sweep["queries"].items()
+        if (v["mode"] == "sql") != (k in oracles)
+    )
+    assert not wrong, f"sweep mode disagrees with oracle_sql() declaration: {wrong[:10]}"
