@@ -136,6 +136,65 @@ def _stage_events(
 _STREAM_SHUFFLE_PARTITIONS = "8"
 
 
+from pyspark.sql.streaming import StreamingQueryListener
+
+
+class _InputRowsListener(StreamingQueryListener):
+    """Exact per-run input-row accounting via the StreamingQueryListener
+    bus (r5 VERDICT #3): summing ``q.recentProgress`` is a ring buffer
+    capped at spark.sql.streaming.numRecentProgressUpdates (default
+    100) — with maxFilesPerTrigger=1 and >100 staged files it silently
+    undercounts.  The listener sees EVERY progress event, so the total
+    is exact at any batch count.  Events arrive asynchronously after
+    ``awaitTermination``; ``drain`` polls until the run's counter has
+    been stable for ``settle`` seconds before returning it."""
+
+    def __init__(self) -> None:
+        self.rows_by_run: dict[str, int] = {}
+
+    def onQueryStarted(self, event) -> None:  # noqa: N802 (Spark API)
+        pass
+
+    def onQueryProgress(self, event) -> None:  # noqa: N802
+        p = event.progress
+        key = str(p.runId)
+        self.rows_by_run[key] = self.rows_by_run.get(key, 0) + int(p.numInputRows)
+
+    def onQueryIdle(self, event) -> None:  # noqa: N802
+        pass
+
+    def onQueryTerminated(self, event) -> None:  # noqa: N802
+        pass
+
+    def drain(self, run_id: str, settle: float = 0.5, timeout: float = 30.0) -> int:
+        import time
+
+        deadline = time.monotonic() + timeout
+        stable_since = time.monotonic()
+        last = self.rows_by_run.get(run_id, -1)
+        while time.monotonic() < deadline:
+            cur = self.rows_by_run.get(run_id, -1)
+            if cur != last:
+                last = cur
+                stable_since = time.monotonic()
+            elif cur >= 0 and time.monotonic() - stable_since >= settle:
+                break
+            time.sleep(0.05)
+        return self.rows_by_run.pop(run_id, 0)
+
+
+# Installed lazily, once per SparkSession (the bus is session-global).
+_input_rows_listener: _InputRowsListener | None = None
+
+
+def _ensure_input_rows_listener(spark: SparkSession) -> _InputRowsListener:
+    global _input_rows_listener
+    if _input_rows_listener is None:
+        _input_rows_listener = _InputRowsListener()
+        spark.streams.addListener(_input_rows_listener)
+    return _input_rows_listener
+
+
 def _run_stream(agg: DataFrame, mode: str) -> str:
     sink = f"mem_{uuid.uuid4().hex[:8]}"
     conf = agg.sparkSession.conf
@@ -714,20 +773,6 @@ def q_stream_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     src = _stage_events(spark, sf_dir)
     all_files = sorted(f for f in os.listdir(src) if f.endswith(".parquet"))
-    # The per-phase row accounting below sums q.recentProgress, a ring
-    # buffer capped at spark.sql.streaming.numRecentProgressUpdates
-    # (default 100).  With maxFilesPerTrigger=1, more files than the
-    # buffer would silently undercount and break the exactly-once
-    # assertion (r4 ADVICE) — fail loudly long before that edge.
-    progress_cap = int(
-        spark.conf.get("spark.sql.streaming.numRecentProgressUpdates", "100")
-    )
-    assert len(all_files) <= progress_cap // 2, (
-        f"{len(all_files)} staged files would overflow the "
-        f"recentProgress ring buffer ({progress_cap}); raise "
-        "spark.sql.streaming.numRecentProgressUpdates or switch the "
-        "accounting to a StreamingQueryListener"
-    )
     half = len(all_files) // 2
     live = os.path.join(SCRATCH, f"ckpt_recovery_src_{uuid.uuid4().hex[:8]}")
     os.makedirs(live, exist_ok=True)
@@ -737,6 +782,7 @@ def q_stream_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     conf.set("spark.sql.shuffle.partitions", _STREAM_SHUFFLE_PARTITIONS)
     sink = f"mem_{uuid.uuid4().hex[:8]}"
     phase_rows: list[int] = []
+    listener = _ensure_input_rows_listener(spark)
     try:
         def run_phase(qname: str) -> int:
             stream = (
@@ -757,9 +803,7 @@ def q_stream_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .start()
             )
             q.awaitTermination()
-            return sum(
-                int(p["numInputRows"]) for p in q.recentProgress
-            )
+            return listener.drain(str(q.runId))
 
         for f in all_files[:half]:
             shutil.copyfile(os.path.join(src, f), os.path.join(live, f))

@@ -297,3 +297,47 @@ def test_stream_cusum_equals_python_replay(spark, sf_dir):
         assert abs(got[uid]["s_pos"] - round(sp, 2)) < 1e-9, uid
         assert abs(got[uid]["s_neg"] - round(sn, 2)) < 1e-9, uid
         assert got[uid]["n_alarms"] == alarms, uid
+
+
+def test_listener_accounting_exact_past_progress_ring_buffer(spark, tmp_path):
+    """r5 VERDICT #3 regression: per-run input-row accounting must
+    survive more micro-batches than the recentProgress ring buffer
+    (spark.sql.streaming.numRecentProgressUpdates, default 100).
+    110 single-row files with maxFilesPerTrigger=1 => 110 batches;
+    the listener total must be exactly 110 while the ring-buffer sum
+    demonstrably undercounts."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from antidote_data_framework_spark.streaming.stream_queries import (
+        _ensure_input_rows_listener,
+    )
+
+    n_files = 110
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(n_files):
+        pq.write_table(pa.table({"v": pa.array([i], type=pa.int64())}), src / f"f{i:04d}.parquet")
+
+    listener = _ensure_input_rows_listener(spark)
+    stream = (
+        spark.readStream.schema("v BIGINT")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        stream.groupBy().count()
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("ring_buffer_regression")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    ring_sum = sum(int(p["numInputRows"]) for p in q.recentProgress)
+    exact = listener.drain(str(q.runId))
+    assert exact == n_files
+    assert ring_sum < n_files  # the old accounting really does undercount
+    [row] = spark.table("ring_buffer_regression").collect()
+    assert row["count"] == n_files
