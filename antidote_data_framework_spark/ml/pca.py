@@ -60,31 +60,28 @@ def q_embed_gram_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     an oracle, which plain double sums cannot.
 
     Plan shape: each row expands to d^2 = 64 (i, j, product) tuples via
-    a nested index-transform (NO self-join — the oracle's relational
-    unnest-join formulation would shuffle the corpus twice); one
-    groupBy reduce brings d^2 rows to the driver scale.  At 100 TB
-    with d = 64 use the mapInPandas twin (q_embed_gram) — same
-    reduce, 64x fewer intermediate rows because each Arrow batch
-    pre-multiplies locally."""
+    two chained ``posexplode`` generators (NO self-join — the oracle's
+    relational unnest-join formulation would shuffle the corpus
+    twice); one groupBy reduce brings d^2 rows to the driver scale.
+    Two flat generators beat the earlier nested-lambda
+    transform-of-transform-of-struct formulation: identical row
+    counts, but the generated code is a fraction of the size, so
+    whole-stage compilation is fast AND survives codegen-cache
+    pressure in long sessions (the r5 bench saw the big-lambda
+    version recompile every sweep, 0.67 s -> 3.28 s).  At 100 TB with
+    d = 64 use the mapInPandas twin (q_embed_gram) — same reduce, 64x
+    fewer intermediate rows because each Arrow batch pre-multiplies
+    locally."""
     emb = load_table(spark, sf_dir, "embeddings")
     e8 = emb.select(F.slice("embedding", 1, _GRAM_DIMS).alias("e8"))
-    pairs = e8.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    "e8",
-                    lambda x, i: F.transform(
-                        "e8",
-                        lambda y, j: F.struct(
-                            i.alias("i"),
-                            j.alias("j"),
-                            (x.cast("double") * y.cast("double")).alias("prod"),
-                        ),
-                    ),
-                )
-            )
-        ).alias("p")
-    ).select("p.i", "p.j", "p.prod")
+    left = e8.select(
+        F.posexplode("e8").alias("i", "x"), F.col("e8").alias("e8r")
+    )
+    pairs = left.select("i", "x", F.posexplode("e8r").alias("j", "y")).select(
+        "i",
+        "j",
+        (F.col("x").cast("double") * F.col("y").cast("double")).alias("prod"),
+    )
     return (
         pairs.groupBy("i", "j")
         .agg(

@@ -348,16 +348,17 @@ def q_bias_shrinkage_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same plan as the bias baseline with ONE extra aggregate column
     (sum + count instead of avg) — shrinkage is free at any scale;
     both model variants score in a single pass over the holdout.
+
+    mu and bu come from the SHARED cached bias fit (bias_components —
+    identical formulas); only the item-level (s, n_i) aggregate is
+    query-specific.  Re-fitting mu/bu here cost two extra full
+    fact-table aggregations per run (r5 bench flagged the query at
+    2.8x its r4 median).
     """
     r = ratings_df(spark, sf_dir)
     train_flag = is_train(F.col("user_id"), F.col("item_id"))
     train, test = r.filter(train_flag), r.filter(~train_flag)
-    mu = train.agg(F.avg("rating").alias("mu"))
-    bu = (
-        train.crossJoin(bcast(mu, "1-row global-mean aggregate"))
-        .groupBy("user_id")
-        .agg(F.avg(F.col("rating") - F.col("mu")).alias("bu"))
-    )
+    mu, bu, _bi = bias_components(spark, sf_dir)
     bi2 = (
         train.join(bu, "user_id")
         .crossJoin(bcast(mu, "1-row global-mean aggregate"))

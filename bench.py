@@ -138,13 +138,43 @@ def main() -> None:
             stats[name] = {"median": -1.0, "min": -1.0, "n_runs": 0, "runs": []}
 
     total = round(sum(t for t in times.values() if t >= 0), 3)
+
+    # Per-query regression tracking (r5 VERDICT #4): compare this run's
+    # medians against the COMMITTED bench_queries.json (the previous
+    # round's per-query record — BENCH_r{N}.json only keeps the compact
+    # headline), so "suite-growth session pressure vs real regression"
+    # is decided by data at bench time, not archaeology after the
+    # round.  Only same-SF runs compare; a query is flagged when it is
+    # BOTH >=1.5x its previous median AND >=0.5s slower absolute (the
+    # ratio alone flags 0.05->0.1s noise).
+    here = os.path.dirname(os.path.abspath(__file__))
+    queries_file = os.path.join(here, "bench_queries.json")
+    regressions: dict[str, dict] = {}
+    prev_sf = None
+    try:
+        with open(queries_file) as f:
+            prev_doc = json.load(f)
+        prev_sf = prev_doc.get("sf")
+        prev_stats = prev_doc.get("queries", {})
+    except Exception:
+        prev_stats = {}
+    if prev_sf == sf:
+        for name, now in times.items():
+            was = prev_stats.get(name, {}).get("median")
+            if was is None or was <= 0 or now <= 0:
+                continue
+            if now >= 1.5 * was and now - was >= 0.5:
+                regressions[name] = {
+                    "prev_median": was,
+                    "median": now,
+                    "ratio": round(now / was, 2),
+                }
     # Budget-guard visibility (r4 VERDICT #7): record how close the
     # sweep loop came to the budget so a silent drop from 3 sweeps to
     # 2 (medians comparing unlike with like round-over-round) is
     # readable straight from the artifact.
     elapsed = round(time.time() - t_start, 1)
     min_runs = min((len(rs) for rs in runs.values()), default=0)
-    queries_file = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_queries.json")
     with open(queries_file, "w") as f:
         json.dump(
             {
@@ -155,6 +185,7 @@ def main() -> None:
                 "elapsed_sec": elapsed,
                 "budget_headroom_sec": round(budget - elapsed, 1),
                 "min_runs_any_query": min_runs,
+                "regressions_vs_prev": regressions,
                 "queries": stats,
             },
             f,
@@ -186,6 +217,7 @@ def main() -> None:
                 "n_failed": sum(1 for t in times.values() if t < 0),
                 "sweeps": sweeps_done,
                 "budget_headroom_sec": round(budget - elapsed, 1),
+                "n_regressions_vs_prev": len(regressions),
                 "queries_file": "bench_queries.json",
             }
         )
