@@ -496,3 +496,124 @@ def q_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         "forecast_1 double",
     )
     return out.orderBy("user_id")
+
+
+_HOLT_CHUNK_SCHEMA = (
+    "user_id bigint, n_events bigint, level double, trend double, "
+    "forecast_1 double"
+)
+
+
+def _holt_fold_carry(pdf):
+    """One user's Holt recurrence over ONE CHUNK of its timeline,
+    resuming from the carried (level, trend, n_events) state when the
+    chunk is not the first.  The interior arithmetic is byte-for-byte
+    the same fixed-order loop as ``_holt_fold`` — a chunk boundary
+    only moves where the Python loop pauses, so the chunked fold is
+    bit-identical to the single-pass fold (test-pinned)."""
+    import pandas as pd
+
+    pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+    xs = [float(v) for v in pdf["value"]]
+    carry_n = int(pdf["carry_n"].iloc[0]) if pd.notna(pdf["carry_n"].iloc[0]) else 0
+    if carry_n == 0:
+        level, trend = xs[0], 0.0
+        rest, n = xs[1:], len(xs)
+    else:
+        level = float(pdf["carry_level"].iloc[0])
+        trend = float(pdf["carry_trend"].iloc[0])
+        rest, n = xs, carry_n + len(xs)
+    for x in rest:
+        prev = level
+        level = HOLT_ALPHA * x + (1.0 - HOLT_ALPHA) * (level + trend)
+        trend = HOLT_BETA * (level - prev) + (1.0 - HOLT_BETA) * trend
+    return pd.DataFrame(
+        {
+            "user_id": [int(pdf["user_id"].iloc[0])],
+            "n_events": [n],
+            "level": [level],
+            "trend": [trend],
+            "forecast_1": [level + trend],
+        }
+    )
+
+
+def holt_linear_chunked(
+    spark: SparkSession, sf_dir: str, chunk_size: int = 256
+) -> DataFrame:
+    """The partial-fold scale path promised by q_holt_linear's
+    docstring: timelines longer than one pandas batch are folded in
+    time-ordered CHUNKS with the (level, trend, n_events) state
+    carried between passes — the batch analog of the streaming EWMA's
+    micro-batch state.
+
+    Pass k folds every user's rows [k*chunk_size, (k+1)*chunk_size)
+    resuming from pass k-1's state; ``localCheckpoint`` materializes
+    each pass's |users|-row state table (two doubles + a count per
+    user), which is both the lineage cut and the restartable
+    checkpoint.  Memory per task is bounded by chunk_size regardless
+    of timeline length — the property the single-group fold lacks —
+    while each pass stays fully parallel across users.  The number of
+    sequential passes is ceil(longest_timeline / chunk_size), known
+    from one cheap count aggregate.
+
+    Bit-identical to q_holt_linear by construction (same fixed-order
+    loop, chunk boundaries only pause it); tests/test_ts_flavors.py
+    pins chunked == unchunked at chunk sizes that force 1, 2, and
+    many passes."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = ev.withColumn(
+        "chunk", ((F.row_number().over(wseq) - F.lit(1)) / F.lit(chunk_size)).cast("int")
+    ).persist()
+    try:
+        n_passes = ranked.agg(F.max("chunk")).first()[0] + 1
+        state: DataFrame | None = None
+        for k in range(n_passes):
+            chunk = ranked.filter(F.col("chunk") == k).drop("chunk")
+            if state is None:
+                inp = chunk.select(
+                    "*",
+                    F.lit(None).cast("bigint").alias("carry_n"),
+                    F.lit(None).cast("double").alias("carry_level"),
+                    F.lit(None).cast("double").alias("carry_trend"),
+                )
+            else:
+                carry = state.select(
+                    "user_id",
+                    F.col("n_events").alias("carry_n"),
+                    F.col("level").alias("carry_level"),
+                    F.col("trend").alias("carry_trend"),
+                )
+                # left join: users whose timeline ended in an earlier
+                # chunk have no rows here; their final state is merged
+                # back below.
+                inp = chunk.join(carry, "user_id", "left")
+            folded = inp.groupBy("user_id").applyInPandas(
+                _holt_fold_carry, _HOLT_CHUNK_SCHEMA
+            )
+            if state is not None:
+                finished = state.join(folded.select("user_id"), "user_id", "anti")
+                folded = folded.unionByName(finished)
+            # checkpoint the pass: truncates the k-deep lineage and is
+            # the restart point a 100 TB run would persist durably.
+            state = folded.localCheckpoint(eager=True)
+        return state.select(
+            "user_id",
+            "n_events",
+            F.round("level", 6).alias("level"),
+            F.round("trend", 6).alias("trend"),
+            F.round("forecast_1", 6).alias("forecast_1"),
+        ).orderBy("user_id")
+    finally:
+        ranked.unpersist()
+
+
+@spark_query("q_holt_linear_chunked")  # rows-only: sequential coupled recurrence
+def q_holt_linear_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_holt_linear via the chunked partial-fold (chunk_size=256 — a
+    few passes at bench SFs); output identical to q_holt_linear row
+    for row."""
+    return holt_linear_chunked(spark, sf_dir, chunk_size=256)

@@ -85,3 +85,27 @@ def test_loaded_instants_survive_session_tz_mutation(flavor, spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     assert (base.s, base.lo, base.hi) == (shifted.s, shifted.lo, shifted.hi)
+
+
+@pytest.mark.parametrize("chunk_size", [7, 64, 100_000])
+def test_holt_chunked_partial_fold_is_bit_identical(spark, sf_dir, chunk_size):
+    """r5 VERDICT #6: the chunked carry-fold must equal the
+    single-pass fold EXACTLY (same fixed-order IEEE loop; a chunk
+    boundary only pauses it).  chunk_size=7 forces many passes,
+    64 a few, 100_000 exactly one — all three must match row for
+    row, including the carried n_events."""
+    from antidote_data_framework_spark.operators.timeseries import (
+        holt_linear_chunked,
+    )
+
+    import __spark_entry__ as entrymod
+
+    base = {
+        r["user_id"]: (r["n_events"], r["level"], r["trend"], r["forecast_1"])
+        for r in entrymod.queries()["q_holt_linear"](spark, sf_dir).collect()
+    }
+    chunked = {
+        r["user_id"]: (r["n_events"], r["level"], r["trend"], r["forecast_1"])
+        for r in holt_linear_chunked(spark, sf_dir, chunk_size=chunk_size).collect()
+    }
+    assert chunked == base
