@@ -109,3 +109,25 @@ def test_holt_chunked_partial_fold_is_bit_identical(spark, sf_dir, chunk_size):
         for r in holt_linear_chunked(spark, sf_dir, chunk_size=chunk_size).collect()
     }
     assert chunked == base
+
+
+def test_ewma_chunked_batch_equals_streaming_state_machine(spark, sf_dir):
+    """The generic chunked carry-fold must reproduce the streaming
+    stateful EWMA exactly: same float ops in the same per-user event
+    order, so batch-chunked finals == streaming finals bit for bit
+    (compared at the stream's emitted 4-dp rounding)."""
+    from antidote_data_framework_spark.operators.timeseries import (
+        ewma_recurrence_chunked,
+    )
+
+    import __spark_entry__ as entrymod
+
+    streamed = {
+        r["user_id"]: (r["n_events"], r["ewma_cents"])
+        for r in entrymod.queries()["q_stream_ewma_stateful"](spark, sf_dir).collect()
+    }
+    batch = {
+        r["user_id"]: (r["n_events"], round(r["ewma_cents"], 4))
+        for r in ewma_recurrence_chunked(spark, sf_dir, chunk_size=13).collect()
+    }
+    assert batch == streamed
