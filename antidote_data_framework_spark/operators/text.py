@@ -339,6 +339,101 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @spark_query(
+    "q_dedup_canonical",
+    oracle="""
+WITH RECURSIVE tok AS (
+  SELECT DISTINCT doc_id, lang, source, UNNEST(string_split(text, ' ')) AS w
+  FROM documents
+),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM tok a
+  JOIN tok b ON a.lang = b.lang AND a.source = b.source AND a.w = b.w
+            AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+good AS (
+  SELECT p.doc_a, p.doc_b
+  FROM pairs p
+  JOIN cnt ca ON ca.doc_id = p.doc_a
+  JOIN cnt cb ON cb.doc_id = p.doc_b
+  WHERE p.n_common * 1.0 / (ca.n + cb.n - p.n_common) >= 0.6
+),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM good
+          UNION ALL
+          SELECT doc_b, doc_a FROM good),
+reach(u, label) AS (
+  SELECT u, u AS label FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, r.label FROM edges e JOIN reach r ON r.u = e.v
+),
+comp AS (SELECT u AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY u),
+mem AS (
+  SELECT d.doc_id,
+         COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+         d.n_chars,
+         len(string_split(d.text, ' ')) AS n_tokens
+  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id ASC) AS rk
+  FROM mem
+)
+SELECT cluster_id,
+       CAST(MAX(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT) AS canonical_doc,
+       CAST(COUNT(*) AS BIGINT)                              AS n_members,
+       CAST(SUM(CASE WHEN rk = 1 THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept,
+       CAST(SUM(CASE WHEN rk > 1 THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_dropped
+FROM ranked
+GROUP BY cluster_id
+""",
+)
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-survivor selection — the step AFTER connected
+    components that every near-dup pipeline ships: each duplicate
+    cluster keeps its best document (longest n_chars, doc_id
+    tie-break) and drops the rest, with token accounting so the
+    curation ledger shows exactly what dedup bought.  Docs in no
+    cluster are their own singleton (cluster_id = doc_id) — the output
+    is a full partition of the corpus, one row per cluster.
+
+    Spark side: q_dedup_components' labels left-joined onto the corpus
+    (singletons coalesce to themselves), one window rank per cluster,
+    one aggregate.  At 100 TB the join is |docs| x 2-column and the
+    window partitions by cluster — no step exceeds the corpus's own
+    scan cost; the expensive part (pair detection) is shared with and
+    bounded by the blocked-Jaccard operator upstream."""
+    comps = q_dedup_components(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    mem = docs.join(comps, "doc_id", "left").withColumn(
+        "cluster_id", F.coalesce("cluster_id", "doc_id")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        mem.withColumn("rk", F.row_number().over(w))
+        .groupBy("cluster_id")
+        .agg(
+            F.max(F.when(F.col("rk") == 1, F.col("doc_id")))
+            .cast("bigint")
+            .alias("canonical_doc"),
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.sum(F.when(F.col("rk") == 1, F.col("n_tokens")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("tokens_kept"),
+            F.sum(F.when(F.col("rk") > 1, F.col("n_tokens")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("tokens_dropped"),
+        )
+    )
+
+
+@spark_query(
     "q_text_containment",
     oracle="""
 WITH toks AS (SELECT doc_id, lang, source, string_split(text, ' ') AS t FROM documents),
