@@ -144,9 +144,13 @@ def main() -> None:
     # round's per-query record — BENCH_r{N}.json only keeps the compact
     # headline), so "suite-growth session pressure vs real regression"
     # is decided by data at bench time, not archaeology after the
-    # round.  Only same-SF runs compare; a query is flagged when it is
-    # BOTH >=1.5x its previous median AND >=0.5s slower absolute (the
-    # ratio alone flags 0.05->0.1s noise).
+    # round.  Only same-SF runs compare; a query is flagged when BOTH
+    # its median AND its min-of-runs are >=1.5x the previous record and
+    # >=0.5s slower absolute.  The min gate is the noise filter (r5->r6
+    # lesson: median-only flagged 5 queries whose raw runs swung
+    # 0.7-5 s with zero code change — GC/codegen session pressure moves
+    # the tail and can move the median of 3, but a real regression
+    # shifts the BEST observation too).
     here = os.path.dirname(os.path.abspath(__file__))
     queries_file = os.path.join(here, "bench_queries.json")
     regressions: dict[str, dict] = {}
@@ -163,10 +167,16 @@ def main() -> None:
             was = prev_stats.get(name, {}).get("median")
             if was is None or was <= 0 or now <= 0:
                 continue
-            if now >= 1.5 * was and now - was >= 0.5:
+            was_min = prev_stats.get(name, {}).get("min", was)
+            now_min = stats[name]["min"]
+            median_reg = now >= 1.5 * was and now - was >= 0.5
+            min_reg = now_min >= 1.5 * was_min and now_min - was_min >= 0.5
+            if median_reg and min_reg:
                 regressions[name] = {
                     "prev_median": was,
                     "median": now,
+                    "prev_min": was_min,
+                    "min": now_min,
                     "ratio": round(now / was, 2),
                 }
     # Budget-guard visibility (r4 VERDICT #7): record how close the

@@ -4,6 +4,8 @@ broadcast strategy, top-k, and the no-Python-on-hot-paths rule."""
 
 from __future__ import annotations
 
+import os
+
 import __spark_entry__ as entrymod
 from antidote_data_framework_spark.plans import (
     broadcast_join_count,
@@ -231,3 +233,39 @@ def test_winnow_and_chunk_dedup_join_on_hash_keys(spark, sf_dir):
         plan = physical_plan(QUERIES[key](spark, sf_dir))
         assert "CartesianProduct" not in plan, key
         assert "BroadcastNestedLoopJoin" not in plan, key
+
+
+def test_python_fold_stage_keeps_parallelism(spark):
+    """AQE's byte-based coalescing must not starve CPU-bound Python
+    stages: with the session's 64k coalescing floor, the shuffle
+    feeding a per-key applyInPandas fold over the (small-byte, 2 MB)
+    sf0.1 events table must keep multiple partitions, so the fold
+    actually fans out across cores.  Guards the r6 fix for
+    q_holt_linear (6.5 s -> 2.6 s at sf0.1 when the exchange stopped
+    coalescing to 1-2 partitions).  Pinned at sf0.1 — the bench SF
+    where the collapse was measured; smaller SFs are under the floor
+    and legitimately coalesce to one partition."""
+    import pytest
+
+    floor = spark.conf.get(
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize", None
+    )
+    if floor is None or floor.lower() not in ("64k", "65536", "65536b"):
+        pytest.skip("session built without the engine's coalescing floor")
+    bench_dir = "/root/testdata/sf0.1"
+    if not os.path.isdir(bench_dir):
+        pytest.skip("bench fixtures absent")
+    from antidote_data_framework_spark.operators.timeseries import _holt_fold
+    from antidote_data_framework_spark.sources import load_table
+
+    ev = load_table(spark, bench_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    folded = ev.groupBy("user_id").applyInPandas(
+        _holt_fold,
+        "user_id bigint, n_events bigint, level double, trend double, "
+        "forecast_1 double",
+    )
+    folded.collect()  # materialize so AQE fixes the stage partitioning
+    n = folded.rdd.getNumPartitions()
+    assert n > 4, f"Python fold stage coalesced to {n} partition(s)"
