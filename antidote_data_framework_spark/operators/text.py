@@ -648,6 +648,115 @@ def q_dedup_chunk_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @spark_query(
+    "q_dedup_chunk_rewrite",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t, len(string_split(text, ' ')) AS n
+  FROM documents WHERE LENGTH(text) > 0
+),
+chunks AS (
+  SELECT doc_id,
+         CAST(cidx AS BIGINT) AS chunk_idx,
+         CAST(LEAST(32, n - cidx * 32) AS BIGINT) AS n_tok,
+         array_to_string(t[cidx * 32 + 1 : cidx * 32 + 32], ' ') AS chunk_text
+  FROM (SELECT doc_id, t, n,
+               unnest(range(0, CAST(CEIL(n / 32.0) AS BIGINT))) AS cidx
+        FROM toks)
+),
+owner AS (
+  SELECT md5(chunk_text) AS h, MIN(doc_id * 1000 + chunk_idx) AS keeper_key
+  FROM chunks GROUP BY 1
+),
+kept AS (
+  SELECT c.doc_id, c.chunk_idx, c.n_tok, c.chunk_text,
+         (o.keeper_key = c.doc_id * 1000 + c.chunk_idx) AS keep
+  FROM chunks c JOIN owner o ON md5(c.chunk_text) = o.h
+)
+SELECT doc_id,
+       md5(COALESCE(array_to_string(
+           list(chunk_text ORDER BY chunk_idx) FILTER (WHERE keep), ' '), ''))
+         AS clean_md5,
+       CAST(SUM(CASE WHEN keep THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_kept,
+       CAST(SUM(n_tok) AS BIGINT) AS tokens_total
+FROM kept
+GROUP BY doc_id
+""",
+)
+def q_dedup_chunk_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4-style REWRITE pass on top of q_dedup_chunk_prune's
+    accounting: globally elect one keeper per 32-token chunk
+    (first occurrence in (doc_id, chunk_idx) order wins), drop every
+    other copy, and reassemble each document's surviving chunks in
+    their original order — the operation that actually emits the
+    deduplicated training corpus, not just its token counts.  Output
+    is one row per input document with the md5 of its rewritten text
+    (documents whose every chunk lost election rewrite to the empty
+    string) plus kept/total token accounting.
+
+    Shape: chunking + md5 run inside the scan stage as in chunk_prune
+    and keeper election shuffles only (hash, packed position).  The
+    difference is inherent to a rewrite: chunk TEXT must ride two
+    exchanges — the election join back onto the chunks and the
+    per-doc reassembly groupBy — because the output IS the text.
+    Both partition by uniform keys (md5, doc_id), both are one
+    data-sized shuffle of roughly corpus size: the same I/O floor any
+    engine pays to emit a rewritten corpus.  Reassembly is
+    sort_array over an in-group (chunk_idx, text) struct array —
+    per-doc bounded (docs are ≤32k tokens → ≤1k chunks), no window,
+    no Python.  At 100 TB the production variant writes the cleaned
+    text column straight to a partitioned sink instead of hashing it;
+    the md5 here keeps the bench/oracle payload one row per doc."""
+    CHUNK = 32
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    t = F.split("text", " ")
+    base = docs.select("doc_id", t.alias("t"), F.size(t).alias("n"))
+    chunks = base.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.ceil(F.col("n") / F.lit(float(CHUNK))) - 1)
+        ).alias("cidx"),
+        "t",
+        "n",
+    ).select(
+        "doc_id",
+        F.col("cidx").cast("long").alias("chunk_idx"),
+        F.least(F.lit(CHUNK), F.col("n") - F.col("cidx") * CHUNK)
+        .cast("long")
+        .alias("n_tok"),
+        F.array_join(
+            F.slice("t", (F.col("cidx") * CHUNK + 1).cast("int"), CHUNK), " "
+        ).alias("chunk_text"),
+    )
+    packed = F.col("doc_id") * 1000 + F.col("chunk_idx")
+    owner = chunks.groupBy(F.md5("chunk_text").alias("h")).agg(
+        F.min(packed).alias("keeper_key")
+    )
+    joined = chunks.join(owner, F.md5(chunks.chunk_text) == owner.h)
+    keep = F.col("keeper_key") == packed
+    return joined.groupBy("doc_id").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(
+                                keep, F.struct("chunk_idx", "chunk_text")
+                            )
+                        )
+                    ),
+                    lambda s: s.chunk_text,
+                ),
+                " ",
+            )
+        ).alias("clean_md5"),
+        F.sum(F.when(keep, F.col("n_tok")).otherwise(0))
+        .cast("bigint")
+        .alias("tokens_kept"),
+        F.sum("n_tok").cast("bigint").alias("tokens_total"),
+    )
+
+
+@spark_query(
     "q_setsim_prefix_join",
     oracle="""
 WITH tok AS (

@@ -409,3 +409,80 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("proj_units"),
         F.round(norm2_p / F.col("norm2_in"), 4).alias("norm_ratio"),
     )
+
+
+MMR_LAMBDA = 0.7
+MMR_CANDIDATES = 32
+MMR_K = 10
+
+
+@spark_query("q_retrieval_mmr")  # rows-only: greedy argmax loop is not ANSI-SQL
+def q_retrieval_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance reranking (Carbonell & Goldstein
+    1998) over the exact cosine candidates of query vec_id=0: greedily
+    pick k=10 of the top-32 candidates maximizing
+    ``λ·rel(i) − (1−λ)·max_{j∈selected} sim(i, j)`` with λ=0.7 — the
+    diversification pass a RAG retriever runs so the context window
+    isn't ten near-copies of the same passage.
+
+    Scale split, mirroring a production reranker: candidate generation
+    is the DISTRIBUTED stage (brute-force cosine + TakeOrdered here;
+    the IVF/PQ/LSH twins at 100 TB), and diversification is O(C²) on
+    the C ≪ N candidate set.  The C×C similarity matrix is computed as
+    a broadcast self-join in the JVM (C=32 → 1,024 cells, structurally
+    bounded by the constants above), collected once, and the k-step
+    greedy argmax — inherently sequential, k·C comparisons — runs
+    driver-side in fixed order: the same deliberate bounded-driver
+    hybrid as the antidote block (SURVEY D5).  Ties break on lowest
+    vec_id; all arithmetic is left-to-right IEEE double, replayed
+    value-for-value by the numpy twin in tests/test_round13_ops.py.
+
+    Determinism: candidate cut and every argmax are totally ordered by
+    (score desc, vec_id asc); output carries the selection rank."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    cand = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(bcast(q, "1-row query vector"))
+        .select("vec_id", "embedding", cosine(F.col("embedding"), F.col("qe")).alias("rel"))
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(MMR_CANDIDATES)
+    )
+    # C×C candidate-pair cosines, computed in the JVM before the
+    # bounded collect; both sides are the same 32-row frame.
+    a = cand.select(F.col("vec_id").alias("i"), F.col("embedding").alias("ea"))
+    b = cand.select(F.col("vec_id").alias("j"), F.col("embedding").alias("eb"))
+    pair_rows = (
+        a.crossJoin(bcast(b, f"candidate set LIMIT {MMR_CANDIDATES}"))
+        .filter(F.col("i") < F.col("j"))
+        .select("i", "j", cosine(F.col("ea"), F.col("eb")).alias("sim"))
+        .collect()
+    )
+    rels = {r["vec_id"]: float(r["rel"]) for r in cand.select("vec_id", "rel").collect()}
+    sim = {}
+    for r in pair_rows:
+        sim[(r["i"], r["j"])] = float(r["sim"])
+        sim[(r["j"], r["i"])] = float(r["sim"])
+
+    selected: list[tuple[int, float]] = []  # (vec_id, mmr_score at pick time)
+    remaining = sorted(rels)
+    while remaining and len(selected) < MMR_K:
+        best_id, best_score = None, None
+        for i in remaining:  # ascending vec_id → lowest id wins ties
+            if selected:
+                max_sim = max(sim[(i, s)] for s, _ in selected)
+                score = MMR_LAMBDA * rels[i] - (1.0 - MMR_LAMBDA) * max_sim
+            else:
+                score = MMR_LAMBDA * rels[i]
+            if best_score is None or score > best_score:
+                best_id, best_score = i, score
+        selected.append((best_id, best_score))
+        remaining.remove(best_id)
+
+    out = [
+        (rank + 1, int(vid), round(rels[vid], 4), round(score, 4))
+        for rank, (vid, score) in enumerate(selected)
+    ]
+    return spark.createDataFrame(
+        out, "rank INT, vec_id BIGINT, relevance DOUBLE, mmr_score DOUBLE"
+    )

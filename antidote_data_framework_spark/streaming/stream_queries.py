@@ -146,11 +146,19 @@ class _InputRowsListener(StreamingQueryListener):
     100) — with maxFilesPerTrigger=1 and >100 staged files it silently
     undercounts.  The listener sees EVERY progress event, so the total
     is exact at any batch count.  Events arrive asynchronously after
-    ``awaitTermination``; ``drain`` polls until the run's counter has
-    been stable for ``settle`` seconds before returning it."""
+    ``awaitTermination``; the listener bus dispatches one event at a
+    time in post order, so once the run's QueryTerminatedEvent has been
+    observed every progress event for that run has already been
+    counted — ``drain`` waits for that event and only falls back to a
+    stability poll (counter unchanged for ``settle`` seconds) for runs
+    that never terminate inside the timeout.  A pure settle poll is a
+    race under CPU load: a listener thread lagging >settle behind the
+    driver made a 110-batch run read 109 (observed under a fully
+    loaded local[32])."""
 
     def __init__(self) -> None:
         self.rows_by_run: dict[str, int] = {}
+        self.terminated: set[str] = set()
 
     def onQueryStarted(self, event) -> None:  # noqa: N802 (Spark API)
         pass
@@ -164,15 +172,17 @@ class _InputRowsListener(StreamingQueryListener):
         pass
 
     def onQueryTerminated(self, event) -> None:  # noqa: N802
-        pass
+        self.terminated.add(str(event.runId))
 
-    def drain(self, run_id: str, settle: float = 0.5, timeout: float = 30.0) -> int:
+    def drain(self, run_id: str, settle: float = 0.5, timeout: float = 60.0) -> int:
         import time
 
         deadline = time.monotonic() + timeout
         stable_since = time.monotonic()
         last = self.rows_by_run.get(run_id, -1)
         while time.monotonic() < deadline:
+            if run_id in self.terminated:
+                break
             cur = self.rows_by_run.get(run_id, -1)
             if cur != last:
                 last = cur
@@ -180,6 +190,7 @@ class _InputRowsListener(StreamingQueryListener):
             elif cur >= 0 and time.monotonic() - stable_since >= settle:
                 break
             time.sleep(0.05)
+        self.terminated.discard(run_id)
         return self.rows_by_run.pop(run_id, 0)
 
 
