@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.hints import broadcast_small as bcast
 from ..registry import spark_query
 from ..sources import load_table
 
@@ -209,7 +210,16 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     and element_at calls, all inside codegen, no UDF.  Same blocked
     self-join shape as q_jaccard_block; at 100 TB the blocking key
     bounds pair candidates and q_minhash_lsh is the unblocked path."""
-    docs = load_table(spark, sf_dir, "documents")
+    jac = _trigram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+    return jac.filter(F.col("jaccard_raw") >= 0.35).select(
+        "doc_a", "doc_b", F.round(F.col("jaccard_raw"), 4).alias("jaccard3")
+    )
+
+
+def _trigram_jaccard_pairs(docs: DataFrame) -> DataFrame:
+    """(lang, source)-blocked doc pairs with their word-trigram Jaccard
+    (unfiltered ``jaccard_raw``) — shared by q_dedup_ngram_jaccard
+    (fixed 0.35 cut) and q_dedup_threshold_curve (threshold sweep)."""
     toks = docs.select("doc_id", "lang", "source", F.split("text", " ").alias("t")).filter(
         F.size("t") >= 3
     )
@@ -245,17 +255,122 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ca = cnt.alias("ca")
     cb = cnt.alias("cb")
-    jac = (
+    return (
         pairs.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
         .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
         .withColumn(
             "jaccard_raw",
             F.col("n_common") / (F.col("ca.n") + F.col("cb.n") - F.col("n_common")),
         )
-        .filter(F.col("jaccard_raw") >= 0.35)
+        .select("doc_a", "doc_b", "jaccard_raw")
     )
-    return jac.select(
-        "doc_a", "doc_b", F.round(F.col("jaccard_raw"), 4).alias("jaccard3")
+
+
+DEDUP_CURVE_THRESHOLDS = (0.2, 0.35, 0.5, 0.7, 0.9)
+
+
+@spark_query(
+    "q_dedup_threshold_curve",
+    oracle="""
+WITH toks AS (SELECT doc_id, lang, source, string_split(text, ' ') AS t FROM documents),
+lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks),
+tri AS (
+  SELECT DISTINCT doc_id, lang, source,
+         t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] || ' ' || t[CAST(i AS INT) + 2] AS g
+  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 3
+),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM tri GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM tri a
+  JOIN tri b ON a.lang = b.lang AND a.source = b.source AND a.g = b.g
+            AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT p.doc_b, p.n_common * 1.0 / (ca.n + cb.n - p.n_common) AS j
+  FROM pairs p
+  JOIN cnt ca ON ca.doc_id = p.doc_a
+  JOIN cnt cb ON cb.doc_id = p.doc_b
+),
+ts AS (SELECT UNNEST([0.2, 0.35, 0.5, 0.7, 0.9]) AS threshold),
+removed AS (
+  SELECT DISTINCT ts.threshold, jac.doc_b
+  FROM jac JOIN ts ON jac.j >= ts.threshold
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS corpus_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS corpus_tokens FROM lens)
+SELECT ts.threshold,
+       CAST(COALESCE(COUNT(r.doc_b), 0) AS BIGINT) AS docs_removed,
+       CAST(COALESCE(SUM(l.n_tokens), 0) AS BIGINT) AS tokens_removed,
+       ROUND(COALESCE(COUNT(r.doc_b), 0) * 1.0 / MAX(tot.corpus_docs), 4) AS pct_docs_removed,
+       ROUND(COALESCE(SUM(l.n_tokens), 0) * 1.0 / MAX(tot.corpus_tokens), 4) AS pct_tokens_removed
+FROM ts
+LEFT JOIN removed r ON r.threshold = ts.threshold
+LEFT JOIN lens l ON l.doc_id = r.doc_b
+CROSS JOIN tot
+GROUP BY ts.threshold
+""",
+)
+def q_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup threshold sensitivity: for each Jaccard cutoff in
+    {0.2, 0.35, 0.5, 0.7, 0.9}, how many documents (and tokens) would
+    first-occurrence-wins near-dup removal delete?  This is the curve a
+    curation team reads before committing to a cutoff — dedup
+    aggressiveness traded against token-budget loss — computed in ONE
+    pass over the pair set instead of five reruns.
+
+    Shape: the expensive part (blocked trigram self-join) is computed
+    once and the 5-row threshold table joins against it (range
+    predicate on a tiny broadcast side); removed-doc sets dedup on
+    (threshold, doc_b) so a doc with many earlier neighbors counts
+    once per threshold.  At 100 TB the pair set is the same one the
+    committed dedup run needs anyway; sweeping thresholds adds a
+    5x fan-out on PAIRS (not on the corpus), then |thresholds|-row
+    aggregates.  First-occurrence-wins = remove doc_b of every
+    over-threshold pair (doc_a < doc_b), matching q_dedup_canonical's
+    keeper rule."""
+    docs = load_table(spark, sf_dir, "documents")
+    jac = _trigram_jaccard_pairs(docs)
+    lens = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
+    )
+    thresholds = spark.createDataFrame(
+        [(t,) for t in DEDUP_CURVE_THRESHOLDS], "threshold double"
+    )
+    removed = (
+        jac.join(bcast(thresholds, "5-row literal threshold table"),
+                 F.col("jaccard_raw") >= F.col("threshold"))
+        .select("threshold", "doc_b")
+        .distinct()
+    )
+    per_t = (
+        removed.join(lens, removed.doc_b == lens.doc_id)
+        .groupBy("threshold")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("docs_removed"),
+            F.sum("n_tokens").cast("bigint").alias("tokens_removed"),
+        )
+    )
+    tot = lens.agg(
+        F.count(F.lit(1)).cast("bigint").alias("corpus_docs"),
+        F.sum("n_tokens").cast("bigint").alias("corpus_tokens"),
+    )
+    return (
+        thresholds.join(per_t, "threshold", "left")
+        .crossJoin(bcast(tot, "1-row corpus totals"))
+        .select(
+            "threshold",
+            F.coalesce("docs_removed", F.lit(0)).cast("bigint").alias("docs_removed"),
+            F.coalesce("tokens_removed", F.lit(0)).cast("bigint").alias("tokens_removed"),
+            F.round(
+                F.coalesce("docs_removed", F.lit(0)) / F.col("corpus_docs"), 4
+            ).alias("pct_docs_removed"),
+            F.round(
+                F.coalesce("tokens_removed", F.lit(0)) / F.col("corpus_tokens"), 4
+            ).alias("pct_tokens_removed"),
+        )
     )
 
 
