@@ -288,27 +288,24 @@ pairs AS (
             AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ),
-jac AS (
-  SELECT p.doc_b, p.n_common * 1.0 / (ca.n + cb.n - p.n_common) AS j
+maxj AS (
+  SELECT p.doc_b, MAX(p.n_common * 1.0 / (ca.n + cb.n - p.n_common)) AS mj
   FROM pairs p
   JOIN cnt ca ON ca.doc_id = p.doc_a
   JOIN cnt cb ON cb.doc_id = p.doc_b
+  GROUP BY p.doc_b
 ),
 ts AS (SELECT UNNEST([0.2, 0.35, 0.5, 0.7, 0.9]) AS threshold),
-removed AS (
-  SELECT DISTINCT ts.threshold, jac.doc_b
-  FROM jac JOIN ts ON jac.j >= ts.threshold
-),
 tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS corpus_docs,
                CAST(SUM(n_tokens) AS BIGINT) AS corpus_tokens FROM lens)
 SELECT ts.threshold,
-       CAST(COALESCE(COUNT(r.doc_b), 0) AS BIGINT) AS docs_removed,
+       CAST(COALESCE(COUNT(m.doc_b), 0) AS BIGINT) AS docs_removed,
        CAST(COALESCE(SUM(l.n_tokens), 0) AS BIGINT) AS tokens_removed,
-       ROUND(COALESCE(COUNT(r.doc_b), 0) * 1.0 / MAX(tot.corpus_docs), 4) AS pct_docs_removed,
+       ROUND(COALESCE(COUNT(m.doc_b), 0) * 1.0 / MAX(tot.corpus_docs), 4) AS pct_docs_removed,
        ROUND(COALESCE(SUM(l.n_tokens), 0) * 1.0 / MAX(tot.corpus_tokens), 4) AS pct_tokens_removed
 FROM ts
-LEFT JOIN removed r ON r.threshold = ts.threshold
-LEFT JOIN lens l ON l.doc_id = r.doc_b
+LEFT JOIN maxj m ON m.mj >= ts.threshold
+LEFT JOIN lens l ON l.doc_id = m.doc_b
 CROSS JOIN tot
 GROUP BY ts.threshold
 """,
@@ -322,29 +319,32 @@ def q_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass over the pair set instead of five reruns.
 
     Shape: the expensive part (blocked trigram self-join) is computed
-    once and the 5-row threshold table joins against it (range
-    predicate on a tiny broadcast side); removed-doc sets dedup on
-    (threshold, doc_b) so a doc with many earlier neighbors counts
-    once per threshold.  At 100 TB the pair set is the same one the
-    committed dedup run needs anyway; sweeping thresholds adds a
-    5x fan-out on PAIRS (not on the corpus), then |thresholds|-row
-    aggregates.  First-occurrence-wins = remove doc_b of every
+    once and collapses IMMEDIATELY to one row per removable doc — its
+    max Jaccard against any earlier neighbor — because
+    removed(t) = {doc : max_j(doc) >= t}: the monotone structure means
+    the threshold sweep never fans out the pair set.  The 5-row
+    threshold table then range-joins against the per-doc maxima and
+    aggregates.  At 100 TB the pair set is the same one the committed
+    dedup run needs anyway; everything after it is |docs|- then
+    |thresholds|-sized.  First-occurrence-wins = remove doc_b of every
     over-threshold pair (doc_a < doc_b), matching q_dedup_canonical's
     keeper rule."""
     docs = load_table(spark, sf_dir, "documents")
-    jac = _trigram_jaccard_pairs(docs)
+    maxj = (
+        _trigram_jaccard_pairs(docs)
+        .groupBy("doc_b")
+        .agg(F.max("jaccard_raw").alias("mj"))
+    )
     lens = docs.select(
         "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
     )
     thresholds = spark.createDataFrame(
         [(t,) for t in DEDUP_CURVE_THRESHOLDS], "threshold double"
     )
-    removed = (
-        jac.join(bcast(thresholds, "5-row literal threshold table"),
-                 F.col("jaccard_raw") >= F.col("threshold"))
-        .select("threshold", "doc_b")
-        .distinct()
-    )
+    removed = maxj.join(
+        bcast(thresholds, "5-row literal threshold table"),
+        F.col("mj") >= F.col("threshold"),
+    ).select("threshold", "doc_b")
     per_t = (
         removed.join(lens, removed.doc_b == lens.doc_id)
         .groupBy("threshold")
