@@ -269,3 +269,27 @@ def test_python_fold_stage_keeps_parallelism(spark):
     folded.collect()  # materialize so AQE fixes the stage partitioning
     n = folded.rdd.getNumPartitions()
     assert n > 4, f"Python fold stage coalesced to {n} partition(s)"
+
+
+def test_chunk_rewrite_plan_shape(spark, sf_dir):
+    """The rewrite's keeper election must be a hash equi-join on the
+    chunk md5 (never a nested loop), and the election groupBy must
+    partial-aggregate map-side so the shuffled election state is
+    |distinct hashes|, not |chunks|."""
+    df = QUERIES["q_dedup_chunk_rewrite"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert has_partial_aggregation(df)
+
+
+def test_threshold_curve_joins_thresholds_on_broadcast(spark, sf_dir):
+    """The 5-row threshold table must broadcast into the range join
+    against the per-doc maxima (a shuffle for 5 rows would be
+    absurd), and the trigram pair join must stay an equi-join."""
+    plan = physical_plan(QUERIES["q_dedup_threshold_curve"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, (
+        "threshold/totals range joins should be the only broadcast "
+        "nested loops, driven by 5-row/1-row build sides"
+    )
