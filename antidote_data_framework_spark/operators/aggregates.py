@@ -282,8 +282,9 @@ SELECT strftime(o_orderdate, '%Y-%m') AS month,
                                                            AS sum_price,
        CAST(ROUND(MIN(o_totalprice), 2) AS DOUBLE)         AS min_price,
        CAST(ROUND(MAX(o_totalprice), 2) AS DOUBLE)         AS max_price,
-       CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
-                  / COUNT(*), 4) AS DOUBLE)                AS avg_price
+       CAST((CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) * 100 AS BIGINT) * 200
+             + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE) / 10000.0
+                                                           AS avg_price
 FROM orders
 GROUP BY 1, 2
 ORDER BY 1, 2
@@ -323,9 +324,19 @@ def q_reagg_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("s"), 2).cast("double").alias("sum_price"),
         F.round(F.min("mn"), 2).cast("double").alias("min_price"),
         F.round(F.max("mx"), 2).cast("double").alias("max_price"),
-        F.round(F.sum("s").cast("double") / F.sum("n"), 4)
-        .cast("double")
-        .alias("avg_price"),
+        # avg at 4 dp via EXACT integer arithmetic: the decimal sum is
+        # exact cents, and half-up rounding of cents*100/n is the pure
+        # integer identity (a*2 + b) div (2*b) — the double division
+        # ROUND(sum/count, 4) sat an ulp either side of a .xxxx5
+        # boundary per engine (caught by the sf0.1 sweep: 253248.93275
+        # rounded .9327 in Spark, .9328 in DuckDB).  Same integer in
+        # both engines -> same double -> same hash.
+        (
+            F.expr(
+                "(cast(sum(s) * 100 as bigint) * 200 + sum(n)) div (2 * sum(n))"
+            ).cast("double")
+            / F.lit(10000.0)
+        ).alias("avg_price"),
     )
     return monthly.orderBy("month", "o_orderpriority")
 

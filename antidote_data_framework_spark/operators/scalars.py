@@ -174,7 +174,7 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT vec_id,
        len(embedding)                           AS n_dims,
-       ROUND(CAST(embedding[1] AS DOUBLE), 4)   AS first_val,
+       ROUND(CAST(embedding[1] AS DOUBLE), 4) + 0.0 AS first_val,
        array_to_string(list_transform(embedding[1:3],
              x -> CAST(CAST(ROUND(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT) AS VARCHAR)), ',') AS first3,
        ROUND(SQRT(list_sum(list_transform(embedding,
@@ -201,7 +201,9 @@ def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id",
         F.size("embedding").alias("n_dims"),
-        F.round(F.element_at("embedding", 1).cast("double"), 4).alias("first_val"),
+        (F.round(F.element_at("embedding", 1).cast("double"), 4) + F.lit(0.0)).alias(
+            "first_val"
+        ),
         F.array_join(
             F.transform(
                 F.slice("embedding", 1, 3),

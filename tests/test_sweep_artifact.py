@@ -51,3 +51,28 @@ def test_sweep_artifact_modes_match_oracle_declarations():
         if (v["mode"] == "sql") != (k in oracles)
     )
     assert not wrong, f"sweep mode disagrees with oracle_sql() declaration: {wrong[:10]}"
+
+
+SF01_ARTIFACT = pathlib.Path(__file__).resolve().parent.parent / "ORACLE_SWEEP_sf0.1.json"
+
+
+def test_sf01_sweep_artifact_green_when_present():
+    """Round-6 continuation added a third-SF differential sweep
+    (ORACLE_SWEEP_sf0.1.json — bench-scale hash-matching catches
+    rounding-boundary and scale-dependent determinism bugs the small
+    SFs can't).  The artifact is optional standing evidence: when it
+    exists it must be all-green and cover the registry; it is NOT
+    required to exist (regenerating it costs a ~30 min sweep, so it
+    tracks operator-changing rounds, not every commit)."""
+    if not SF01_ARTIFACT.exists():
+        import pytest
+
+        pytest.skip("sf0.1 sweep artifact not generated")
+    sweep = json.loads(SF01_ARTIFACT.read_text())
+    failed = sorted(k for k, v in sweep["queries"].items() if not v.get("pass"))
+    assert sweep["n_failed"] == 0 and not failed, f"sf0.1 sweep failures: {failed}"
+    missing = sorted(set(entrymod.queries()) - set(sweep["queries"]))
+    assert not missing, (
+        f"sf0.1 sweep artifact stale — {len(missing)} registered queries missing "
+        f"(regenerate or delete the artifact): {missing[:10]}"
+    )
