@@ -453,6 +453,142 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(F.col("u").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
+_COMPONENTS_ORACLE = """
+WITH RECURSIVE tok AS (
+  SELECT DISTINCT doc_id, lang, source, UNNEST(string_split(text, ' ')) AS w
+  FROM documents
+),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM tok a
+  JOIN tok b ON a.lang = b.lang AND a.source = b.source AND a.w = b.w
+            AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+good AS (
+  SELECT p.doc_a, p.doc_b
+  FROM pairs p
+  JOIN cnt ca ON ca.doc_id = p.doc_a
+  JOIN cnt cb ON cb.doc_id = p.doc_b
+  WHERE p.n_common * 1.0 / (ca.n + cb.n - p.n_common) >= 0.6
+),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM good
+          UNION ALL
+          SELECT doc_b, doc_a FROM good),
+reach(u, label) AS (
+  SELECT u, u AS label FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, r.label FROM edges e JOIN reach r ON r.u = e.v
+)
+SELECT u AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY u
+"""
+
+
+@spark_query("q_dedup_components_star", oracle=_COMPONENTS_ORACLE)
+def q_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components by alternating LARGE-STAR / SMALL-STAR
+    contraction (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", SoCC 2014) over the same near-dup pair graph as
+    q_dedup_components — the O(log n)-round algorithm SCALE.md
+    promised as the upgrade when cluster diameters grow.  Min-label
+    propagation needs DIAMETER rounds (a 10^6-long chain of near-dups
+    needs 10^6 shuffles); star contraction halves component height
+    every alternation, so even pathological chains converge in
+    ~log n rounds.  Identical output contract — (doc_id, min doc_id
+    of component) over nodes with at least one edge — verified by the
+    SAME recursive-CTE oracle, and by an equality test against the
+    propagation twin.
+
+    Per alternation: large-star connects every above-min neighbor of
+    each node to that node's adjacency minimum (one groupBy + one
+    equi-join on the symmetric edge list); small-star does the same
+    for the parent-ward orientation.  Each step is |edges|-sized,
+    partial-aggregated, and checkpointed; convergence = (count,
+    xxhash64-sum) checksum of the canonical edge set unchanged — one
+    tiny aggregate per round instead of a set-difference join.  At
+    100 TB both steps are plain shuffles on the edge list; no step
+    materializes adjacency lists wider than a groupBy state row."""
+    pairs = q_jaccard_block(spark, sf_dir).select("doc_a", "doc_b")
+    return star_components(pairs)
+
+
+def star_components(pairs: DataFrame) -> DataFrame:
+    """Alternating large-star/small-star contraction over an undirected
+    pair list (columns ``doc_a``, ``doc_b``) → (doc_id, cluster_id =
+    component min).  Factored out of q_dedup_components_star so the
+    deep-chain convergence test can drive it on synthetic graphs."""
+    nodes = (
+        pairs.select(F.col("doc_a").alias("u"))
+        .union(pairs.select(F.col("doc_b").alias("u")))
+        .distinct()
+    )
+    # canonical undirected edge set: (u < v), no self-loops
+    E = (
+        pairs.select(
+            F.least("doc_a", "doc_b").alias("u"),
+            F.greatest("doc_a", "doc_b").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = None
+    for _ in range(20):  # ~log2(n) alternations suffice; checksum exits earlier
+        sym = E.union(E.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        # LARGE-STAR: node u's minimum m = min(adjacency ∪ self); every
+        # strictly-greater neighbor re-attaches to m.
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        m = mins.select("u", F.least("u", "mn").alias("m"))
+        large = (
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        )
+        E1 = (
+            large.filter(F.col("a") != F.col("b"))
+            .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # SMALL-STAR: orient parent-ward (group by the larger endpoint
+        # c); every smaller neighbor n — and c itself — re-attaches to
+        # the smallest.
+        adj = E1.select(F.col("v").alias("c"), F.col("u").alias("n"))
+        mins2 = adj.groupBy("c").agg(F.min("n").alias("m"))
+        small = adj.join(mins2, "c").select(
+            F.col("n").alias("a"), F.col("m").alias("b")
+        ).union(mins2.select(F.col("c").alias("a"), F.col("m").alias("b")))
+        E2 = (
+            small.filter(F.col("a") != F.col("b"))
+            .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        sig = tuple(
+            E2.agg(
+                F.count(F.lit(1)),
+                # decimal sum: full-range xxhash64 longs overflow an
+                # ANSI bigint SUM after ~2 terms of the same sign
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+            ).first()
+        )
+        E = E2
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # fixpoint edges form stars rooted at component minima: a node's
+    # label is its smallest symmetric neighbor (roots label themselves)
+    sym = E.union(E.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    lab = sym.groupBy("u").agg(F.min("v").alias("mn")).select(
+        "u", F.least("u", "mn").alias("label")
+    )
+    return nodes.join(lab, "u", "left").select(
+        F.col("u").alias("doc_id"),
+        F.coalesce("label", "u").alias("cluster_id"),
+    )
+
+
 @spark_query(
     "q_dedup_canonical",
     oracle="""

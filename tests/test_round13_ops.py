@@ -114,3 +114,42 @@ def test_mmr_matches_numpy_replay(spark, sf_dir):
         assert row["vec_id"] == vid, (row, vid)
         assert abs(row["mmr_score"] - round(score, 4)) <= 1e-4
         assert abs(row["relevance"] - round(rel[vid], 4)) <= 1e-4
+
+
+def test_star_components_equals_propagation(spark, sf_dir):
+    """The log-round star-contraction components must produce the
+    exact labeling of the diameter-round min-label propagation on the
+    real near-dup graph (both also hash-match the same recursive-CTE
+    oracle)."""
+    star = {
+        (r["doc_id"], r["cluster_id"])
+        for r in QUERIES["q_dedup_components_star"](spark, sf_dir).collect()
+    }
+    prop = {
+        (r["doc_id"], r["cluster_id"])
+        for r in QUERIES["q_dedup_components"](spark, sf_dir).collect()
+    }
+    assert star == prop
+
+
+def test_star_components_handles_deep_chain(spark):
+    """The case star contraction exists for: a path graph of length 64
+    (diameter 64) collapses to ONE component rooted at its minimum —
+    within the operator's ~log n alternation bound, where plain
+    propagation would need 64 rounds.  Plus two disjoint extras: an
+    isolated edge and a triangle, to check components don't bleed."""
+    from antidote_data_framework_spark.operators.text import star_components
+
+    chain = [(i, i + 1) for i in range(100, 164)]           # path, min=100
+    extra = [(500, 501)]                                    # isolated edge
+    tri = [(700, 701), (701, 702), (700, 702)]              # triangle
+    pairs = spark.createDataFrame(
+        chain + extra + tri, "doc_a BIGINT, doc_b BIGINT"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"] for r in star_components(pairs).collect()
+    }
+    assert set(got) == set(range(100, 165)) | {500, 501, 700, 701, 702}
+    assert all(got[i] == 100 for i in range(100, 165))
+    assert got[500] == got[501] == 500
+    assert got[700] == got[701] == got[702] == 700
