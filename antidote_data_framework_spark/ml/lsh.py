@@ -218,16 +218,26 @@ def q_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probed) — the information-theoretic floor for structureless data.
     On real embedding manifolds IVF recall concentrates because true
     neighbors share cells; the operator's plan is unchanged."""
+    raw = load_table(spark, sf_dir, "embeddings")
+    return ivf_probe_topk(raw, k=16, nprobe=6, topk=5, query_vec_id=0)
+
+
+def ivf_probe_topk(
+    raw: DataFrame, k: int, nprobe: int, topk: int, query_vec_id: int
+) -> DataFrame:
+    """The IVF recipe over any (vec_id, label, embedding) frame —
+    factored from q_ivf_cosine_topk so the planted-cluster recall test
+    can drive it on structured synthetic data (the fixture embeddings
+    are near-isotropic, which pins recall to the probed fraction)."""
     import numpy as np
 
-    from ..operators.vectors import dot_product
+    from ..operators.vectors import cosine, dot_product
 
     # L2-normalize BEFORE clustering: on unit vectors Euclidean
     # distance is monotone in cosine, so the KMeans cells align with
     # cosine neighborhoods (without this, measured recall@5 vs the
     # exact search dropped to 0.2).
-    raw = load_table(spark, sf_dir, "embeddings")
-    # materialize the norm BEFORE the per-element lambda — an
+    # Materialize the norm BEFORE the per-element lambda — an
     # unresolved expression captured by a higher-order function is
     # re-evaluated per element, turning the normalize into dim x the
     # full dot product per row — and cache the normalized vectors so
@@ -245,30 +255,32 @@ def q_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(F.col("embedding"), lambda x: x.cast("double") / F.col("nrm"))
         ),
     ).cache()
-    km = KMeans(k=16, seed=42, featuresCol="features", predictionCol="cluster")
+    km = KMeans(k=k, seed=42, featuresCol="features", predictionCol="cluster")
     model = km.fit(emb)
     assigned = model.transform(emb)
 
-    query = emb.filter(F.col("vec_id") == 0).first()
+    query = emb.filter(F.col("vec_id") == query_vec_id).first()
     q = np.array(query["features"].toArray(), dtype=np.float64)
     centers = np.asarray(model.clusterCenters(), dtype=np.float64)
     sims = (centers @ q) / (
         np.linalg.norm(centers, axis=1) * np.linalg.norm(q) + 1e-12
     )
-    probe = [int(i) for i in np.argsort(-sims)[:6]]
+    probe = [int(i) for i in np.argsort(-sims)[:nprobe]]
 
-    from ..operators.vectors import cosine
-
-    qdf = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    qdf = emb.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qe")
+    )
     scored = (
-        assigned.filter(F.col("cluster").isin(probe) & (F.col("vec_id") != 0))
-        .crossJoin(bcast(qdf, "1-row quantile aggregate"))
+        assigned.filter(
+            F.col("cluster").isin(probe) & (F.col("vec_id") != query_vec_id)
+        )
+        .crossJoin(bcast(qdf, "1-row query vector"))
         .withColumn("cos_raw", cosine(F.col("embedding"), F.col("qe")))
     )
     return (
         scored.orderBy(F.desc("cos_raw"), F.asc("vec_id"))
         .select("vec_id", "label", F.round("cos_raw", 4).alias("cosine_sim"))
-        .limit(5)
+        .limit(topk)
     )
 
 
