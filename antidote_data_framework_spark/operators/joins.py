@@ -263,6 +263,69 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @spark_query(
+    "q_join_asof_nearest",
+    oracle="""
+SELECT event_id, ts, nearest_orderkey, nearest_orderdate, delta_days
+FROM (
+  SELECT e.event_id, CAST(e.ts AS TIMESTAMP) AS ts,
+         o.o_orderkey AS nearest_orderkey,
+         o.o_orderdate AS nearest_orderdate,
+         date_diff('day', o.o_orderdate, CAST(e.ts AS DATE)) AS delta_days,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.event_id
+           ORDER BY ABS(date_diff('day', o.o_orderdate, CAST(e.ts AS DATE))),
+                    o.o_orderdate, o.o_orderkey) AS rn
+  FROM events e
+  JOIN orders o ON o.o_custkey = e.user_id
+   AND ABS(date_diff('day', o.o_orderdate, CAST(e.ts AS DATE))) <= 90
+) WHERE rn = 1
+""",
+)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-direction as-of join: each event matched to the same
+    user's closest order in time, looking BOTH ways, within a ±90-day
+    tolerance — the other as-of flavor (pandas ``merge_asof
+    direction='nearest'``): sensor/event alignment where the closest
+    reading matters more than the latest-preceding one (q_join_asof is
+    the backward flavor).
+
+    Same scalable rewrite: ranged equi-join on the user key — the
+    tolerance band is what keeps the fan-out bounded at any scale, the
+    nearest-match contract is undefined without one on an unbounded
+    history — then a per-event rank-1 that Catalyst compiles to
+    WindowGroupLimit (partial top-1 before the exchange).  Total order:
+    |Δdays| asc, then earlier order date (backward wins symmetric
+    ties), then orderkey.  delta_days is emitted SIGNED (positive =
+    order preceded the event) so downstream can audit the direction
+    mix."""
+    orders = load_table(spark, sf_dir, "orders")
+    events = load_table(spark, sf_dir, "events")
+    delta = F.datediff(F.to_date("ts"), F.col("o_orderdate"))
+    joined = events.join(
+        orders,
+        (orders.o_custkey == events.user_id)
+        & (
+            F.abs(F.datediff(F.to_date(events.ts), orders.o_orderdate))
+            <= F.lit(90)
+        ),
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.abs(delta).asc(), F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "ts",
+            F.col("o_orderkey").alias("nearest_orderkey"),
+            F.col("o_orderdate").alias("nearest_orderdate"),
+            delta.cast("bigint").alias("delta_days"),
+        )
+    )
+
+
+@spark_query(
     "q_join_range_binned",
     oracle="""
 WITH e AS (
