@@ -143,6 +143,69 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @spark_query(
+    "q_tokenizer_fertility",
+    oracle="""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+       CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+'))) AS BIGINT) AS re_tokens,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS chars,
+       CAST((SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+'))) * 20000
+             + SUM(len(string_split(text, ' '))))
+            // (2 * SUM(len(string_split(text, ' ')))) AS DOUBLE) / 10000.0
+         AS fertility_re_per_ws,
+       CAST((SUM(LENGTH(text)) * 20000
+             + SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+'))))
+            // (2 * SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+')))) AS DOUBLE)
+         / 10000.0 AS chars_per_re_token
+FROM documents
+GROUP BY lang
+""",
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language — the multilingual-budgeting
+    metric (how many tokenizer tokens per whitespace word, and how
+    many characters each token covers): a language whose fertility is
+    2x costs 2x the context window for the same text, which skews both
+    corpus mixing and serving costs.  Uses the same BPE-ish regex
+    token law as q_text_tokens so the two reconcile.
+
+    Determinism: both ratios are rounded to 4 dp via the exact-integer
+    half-up identity (a*2e4 + b) div (2b) — the ratio of two bigint
+    sums is a rational whose double quotient can straddle a .xxxx5
+    boundary differently per engine (the q_reagg_partial lesson from
+    the sf0.1 sweep); integer arithmetic makes both engines compute
+    the SAME integer, then one shared double division.  Scale: counts
+    fold map-side in the scan stage; the shuffle is |langs| rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("ws_tokens"),
+        F.sum(F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+"), 0)))
+        .cast("bigint")
+        .alias("re_tokens"),
+        F.sum(F.length("text")).cast("bigint").alias("chars"),
+    )
+    return per.select(
+        "lang",
+        "n_docs",
+        "ws_tokens",
+        "re_tokens",
+        "chars",
+        (
+            F.expr("(re_tokens * 20000 + ws_tokens) div (2 * ws_tokens)").cast(
+                "double"
+            )
+            / F.lit(10000.0)
+        ).alias("fertility_re_per_ws"),
+        (
+            F.expr("(chars * 20000 + re_tokens) div (2 * re_tokens)").cast("double")
+            / F.lit(10000.0)
+        ).alias("chars_per_re_token"),
+    )
+
+
+@spark_query(
     "q_doc_fingerprint",
     oracle="""
 SELECT d.doc_id,
