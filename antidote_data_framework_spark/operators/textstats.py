@@ -206,6 +206,85 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @spark_query(
+    "q_ngram_novelty",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+tri AS (
+  SELECT DISTINCT doc_id,
+         t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] || ' ' || t[CAST(i AS INT) + 2] AS g
+  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 3
+),
+first AS (SELECT g, MIN(doc_id) AS first_doc FROM tri GROUP BY g)
+SELECT tri.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+       CAST(SUM(CASE WHEN f.first_doc = tri.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       CAST((SUM(CASE WHEN f.first_doc = tri.doc_id THEN 1 ELSE 0 END) * 20000
+             + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE) / 10000.0 AS novelty
+FROM tri JOIN first f ON f.g = tri.g
+GROUP BY tri.doc_id
+""",
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY: the fraction of a doc's distinct
+    word trigrams whose corpus-wide first occurrence (min doc_id) is
+    the doc itself — i.e. how much genuinely new text each document
+    adds in ingestion order.  The monitoring curve behind dedup and
+    curriculum decisions: a corpus whose marginal novelty decays to
+    ~0 is re-crawling itself, and the docs driving the decay are the
+    rewrite/prune candidates (they reconcile with
+    q_dedup_chunk_rewrite's kept-token accounting at chunk
+    granularity).
+
+    Shape: one distinct-(doc, trigram) explode in the scan stage, one
+    groupBy(g) electing first owners (partial-aggregated MIN — the
+    same election as chunk dedup), one hash join back, one per-doc
+    rollup.  Only (16-byte-ish trigram, doc_id) pairs ever shuffle.
+    Novelty rounds via the exact-integer half-up identity so both
+    engines emit the same double."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    tri = (
+        docs.select("doc_id", t.alias("t"))
+        .filter(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 2),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("t"), i),
+                        F.element_at(F.col("t"), i + 1),
+                        F.element_at(F.col("t"), i + 2),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    first = tri.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    joined = tri.join(first, "g")
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    per = joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_trigrams"),
+        F.sum(novel).cast("bigint").alias("n_novel"),
+    )
+    return per.select(
+        "doc_id",
+        "n_trigrams",
+        "n_novel",
+        (
+            F.expr("(n_novel * 20000 + n_trigrams) div (2 * n_trigrams)").cast(
+                "double"
+            )
+            / F.lit(10000.0)
+        ).alias("novelty"),
+    )
+
+
+@spark_query(
     "q_doc_fingerprint",
     oracle="""
 SELECT d.doc_id,
