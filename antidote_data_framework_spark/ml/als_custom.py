@@ -117,9 +117,19 @@ def custom_als(
     U: DataFrame | None = None,
     V: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
-    """Run ``alternations`` (U-step, V-step) rounds, optionally warm-
+    """Run ``alternations`` two-half-step rounds, optionally warm-
     starting from previous factor tables.  localCheckpoint after each
-    table keeps the loop's plan flat (SURVEY §3.2)."""
+    table keeps the loop's plan flat (SURVEY §3.2).
+
+    Half-step ORDER depends on the seed (r6 ADVICE: a fixed U-first
+    order silently discarded a passed-in U — the first half-step
+    re-solved it from V, so only V actually seeded the refit):
+
+    - cold / V-only seed → (U-step, V-step): U is re-derived from the
+      (possibly seeded) V, as before;
+    - U seeded → (V-step, U-step): the first solve CONSUMES the seeded
+      U, so both factor tables genuinely warm-start the refit.
+    """
     if V is None:
         V = _det_factors(ratings.select("item_id").distinct(), "item_id")
         V = V.localCheckpoint(eager=True)
@@ -128,13 +138,22 @@ def custom_als(
     # entity counts are loop-invariant: measure once, reuse per step
     n_items = V.count()
     n_users = U.count() if U is not None else ratings.select("user_id").distinct().count()
+    u_seeded = U is not None
     for _ in range(alternations):
-        U = _half_step(ratings, V, "user_id", "item_id", lam, n_items).localCheckpoint(
-            eager=True
-        )
-        V = _half_step(ratings, U, "item_id", "user_id", lam, n_users).localCheckpoint(
-            eager=True
-        )
+        if u_seeded:
+            V = _half_step(ratings, U, "item_id", "user_id", lam, n_users).localCheckpoint(
+                eager=True
+            )
+            U = _half_step(ratings, V, "user_id", "item_id", lam, n_items).localCheckpoint(
+                eager=True
+            )
+        else:
+            U = _half_step(ratings, V, "user_id", "item_id", lam, n_items).localCheckpoint(
+                eager=True
+            )
+            V = _half_step(ratings, U, "item_id", "user_id", lam, n_users).localCheckpoint(
+                eager=True
+            )
     return U, V
 
 

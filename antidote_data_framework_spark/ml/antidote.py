@@ -211,8 +211,19 @@ def q_antidote_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return als.fit(df)
 
-    def _orig_item_stats(model):
-        pred = model.transform(base).filter(F.col("prediction").isNotNull())
+    def _orig_pred(model):
+        """Original-user predictions under the current model,
+        localCheckpointed: THREE downstream actions read it per
+        iteration (μ/var stats, the g_j aggregation, and their
+        collects) — checkpointing runs the factor-join transform once
+        instead of once per action (r6 VERDICT #4 budget work)."""
+        return (
+            model.transform(base)
+            .filter(F.col("prediction").isNotNull())
+            .localCheckpoint(eager=True)
+        )
+
+    def _orig_item_stats(pred):
         return (
             pred.groupBy("item_id")
             .agg(
@@ -224,7 +235,7 @@ def q_antidote_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     trajectory = []
     baseline_model = _fit(base)
-    base_stats = _orig_item_stats(baseline_model).collect()
+    base_stats = _orig_item_stats(_orig_pred(baseline_model)).collect()
     baseline_pol = float(np.mean([r["v"] for r in base_stats])) if base_stats else 0.0
     trajectory.append((-1, baseline_pol, len(base_stats)))
 
@@ -262,13 +273,13 @@ def q_antidote_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
         model = _fit(combined)
 
         uf = model.userFactors.withColumnRenamed("id", "user_id")
-        mu_df = _orig_item_stats(model)
+        pred = _orig_pred(model)
+        mu_df = _orig_item_stats(pred)
         mu_rows = mu_df.collect()
         pol = float(np.mean([r["v"] for r in mu_rows])) if mu_rows else 0.0
         trajectory.append((it, pol, len(mu_rows)))
 
         # g_j: centered original predictions weighted by user factors
-        pred = model.transform(base).filter(F.col("prediction").isNotNull())
         pj = (
             pred.join(mu_df.select("item_id", "mu"), "item_id")
             .join(uf, "user_id")

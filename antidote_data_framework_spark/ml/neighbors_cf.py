@@ -50,6 +50,15 @@ from .recsys_data import RATINGS_CTE, ratings_df
 CAP = 64  # max rated items per user entering any pairwise expansion
 MIN_CO = 3  # min co-raters for a pair to enter the similarity model
 
+# Item-item cosine model per (session, sf_dir) — the co-rating pair
+# aggregation is the expensive invariant part of every item-CF query
+# over the same snapshot (r6 VERDICT #4: q_item_item_cosine and
+# q_item_item_recommend each rebuilt it).  Cached persisted like
+# graph._TRANSITION_CACHE and cleared by session.clear_derived_caches,
+# so bench sweeps still start cold and the first consumer pays the
+# build exactly once per sweep.
+_SIMS_CACHE: dict[str, DataFrame] = {}
+
 # Shared oracle CTE chain: deduped rating cells -> per-user cap.
 _CAPPED_CTES = f"""
 cells AS (
@@ -83,12 +92,16 @@ def _capped_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _item_sims(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Upper-triangle item-item cosine pairs with ≥ MIN_CO co-raters.
+    """Upper-triangle item-item cosine pairs with ≥ MIN_CO co-raters,
+    cached per (session, sf_dir) — see ``_SIMS_CACHE``.
 
     Self-join on user_id (co-rating expansion, bounded by the CAP) →
     groupBy the ITEM PAIR (only co-occurring pairs exist) → normalize
     by the per-item L2 norms (tiny aggregate, broadcast-joined twice).
     """
+    key = f"{id(spark)}:{sf_dir}"
+    if key in _SIMS_CACHE:
+        return _SIMS_CACHE[key]
     capped = _capped_cells(spark, sf_dir)
     norms = capped.groupBy("item_id").agg(F.sum(F.col("r") * F.col("r")).alias("sq"))
     a = capped.alias("a")
@@ -108,7 +121,7 @@ def _item_sims(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ni = bcast(norms.select(F.col("item_id").alias("item_i"), F.col("sq").alias("sq_i")), "bounded by construction; see enclosing docstring")
     nj = bcast(norms.select(F.col("item_id").alias("item_j"), F.col("sq").alias("sq_j")), "bounded by construction; see enclosing docstring")
-    return (
+    sims = (
         pairs.join(ni, "item_i")
         .join(nj, "item_j")
         .select(
@@ -117,7 +130,10 @@ def _item_sims(spark: SparkSession, sf_dir: str) -> DataFrame:
             "co",
             (F.col("dot") / F.sqrt(F.col("sq_i") * F.col("sq_j"))).alias("cos_raw"),
         )
+        .cache()
     )
+    _SIMS_CACHE[key] = sims
+    return sims
 
 
 @spark_query(
@@ -331,12 +347,21 @@ def q_slopeone_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = tr.alias("a")
     b = tr.alias("b")
-    dev = (
+    # Upper-triangle rewrite (r6 VERDICT #4/#5): the dev table is
+    # antisymmetric — dev(j,i) = -dev(i,j) with the same co-count — so
+    # the co-rating self-join emits each unordered pair ONCE
+    # (item < item, halving the join output and the pair shuffle) and
+    # both directions are derived by a cheap union of the aggregated,
+    # MIN_CO-filtered model table.  IEEE round-to-nearest is
+    # sign-symmetric, so the negated sum equals the sum of negations
+    # exactly; the oracle keeps the naive both-directions semantics
+    # and the results hash-match.
+    tri = (
         a.join(b, (F.col("a.user_id") == F.col("b.user_id"))
-               & (F.col("a.item_id") != F.col("b.item_id")))
-        .groupBy(F.col("a.item_id").alias("j"), F.col("b.item_id").alias("i"))
+               & (F.col("a.item_id") < F.col("b.item_id")))
+        .groupBy(F.col("a.item_id").alias("lo"), F.col("b.item_id").alias("hi"))
         .agg(
-            F.avg(F.col("a.r") - F.col("b.r")).alias("d"),
+            F.sum(F.col("a.r") - F.col("b.r")).alias("s"),
             F.count(F.lit(1)).cast("bigint").alias("c"),
         )
         # MIN_CO floor (r5 VERDICT #5, mirroring q_item_item_cosine):
@@ -346,8 +371,18 @@ def q_slopeone_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
         # co-raters to enter the model).
         .filter(F.col("c") >= MIN_CO)
     )
-    dev_r = dev.select(
-        F.col("j").alias("dev_j"), F.col("i").alias("dev_i"), "d", "c"
+    dev_r = tri.select(
+        F.col("lo").alias("dev_j"),
+        F.col("hi").alias("dev_i"),
+        (F.col("s") / F.col("c")).alias("d"),
+        "c",
+    ).unionAll(
+        tri.select(
+            F.col("hi").alias("dev_j"),
+            F.col("lo").alias("dev_i"),
+            (-F.col("s") / F.col("c")).alias("d"),
+            "c",
+        )
     )
     pred = (
         te.alias("te")

@@ -108,7 +108,7 @@ def q_corpus_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         src.join(corpus, "tok")
-        .join(bcast(ns, "1-row count aggregate"), "source")
+        .join(bcast(ns, "per-source count agg (|sources| rows)"), "source")
         .crossJoin(bcast(n_total, "1-row total-count agg"))
         .groupBy("source", "n_src")
         .agg(

@@ -249,16 +249,21 @@ WITH dim AS (
          ts AS valid_from,
          LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
   FROM events
+),
+fact AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(o_orderdate + INTERVAL 27 YEAR AS TIMESTAMP) AS order_ts
+  FROM orders
 )
 SELECT o.o_orderkey, o.o_custkey AS user_id,
-       CAST(o.o_orderdate AS TIMESTAMP) AS order_ts,
+       o.order_ts,
        d.state AS state_at_order,
        CAST(d.valid_from AS TIMESTAMP) AS state_since
-FROM orders o
+FROM fact o
 JOIN dim d
   ON d.user_id = o.o_custkey
- AND d.valid_from <= o.o_orderdate
- AND (d.valid_to IS NULL OR d.valid_to > o.o_orderdate)
+ AND d.valid_from <= o.order_ts
+ AND (d.valid_to IS NULL OR d.valid_to > o.order_ts)
 ORDER BY o.o_orderkey
 """,
 )
@@ -267,6 +272,15 @@ def q_scd2_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     each order picks up the dimension version (the user's event-state
     history as a stand-in SCD2 dim) valid AT order time, via the
     half-open interval predicate ``valid_from <= t < valid_to``.
+
+    Fixture bridge (VERDICT r6 #1): the dim's validity intervals live
+    in Jan 2024 (events) while raw order dates end in 2001, so the
+    interval predicate could never fire.  The fact timeline is aligned
+    into the dim era by the same fixed +27-year calendar shift as
+    q_join_asof_nearest (``add_months`` / ``+ INTERVAL 27 YEAR``,
+    leap-day-clamped identically in both engines), making the tiling
+    semantics — including the open-ended last version — execute on
+    ~10k matched orders at sf0.1.
 
     This is how every warehouse fact query reads history ("what
     segment was the customer in when they ordered?").  The interval
@@ -286,21 +300,23 @@ def q_scd2_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("valid_from"),
         F.lead("ts").over(w).alias("valid_to"),
     )
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "order_ts", F.add_months("o_orderdate", 27 * 12).cast("timestamp")
+    )
     return (
         o.join(
             dim,
             (dim.user_id == o.o_custkey)
-            & (F.col("valid_from") <= F.col("o_orderdate"))
+            & (F.col("valid_from") <= F.col("order_ts"))
             & (
                 F.col("valid_to").isNull()
-                | (F.col("valid_to") > F.col("o_orderdate"))
+                | (F.col("valid_to") > F.col("order_ts"))
             ),
         )
         .select(
             "o_orderkey",
             F.col("o_custkey").alias("user_id"),
-            F.col("o_orderdate").alias("order_ts"),
+            "order_ts",
             F.col("state").alias("state_at_order"),
             F.col("valid_from").alias("state_since"),
         )

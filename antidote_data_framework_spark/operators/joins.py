@@ -269,15 +269,19 @@ SELECT event_id, ts, nearest_orderkey, nearest_orderdate, delta_days
 FROM (
   SELECT e.event_id, CAST(e.ts AS TIMESTAMP) AS ts,
          o.o_orderkey AS nearest_orderkey,
-         o.o_orderdate AS nearest_orderdate,
-         date_diff('day', o.o_orderdate, CAST(e.ts AS DATE)) AS delta_days,
+         CAST(o.o_orderdate + INTERVAL 27 YEAR AS TIMESTAMP) AS nearest_orderdate,
+         date_diff('day', CAST(o.o_orderdate + INTERVAL 27 YEAR AS DATE),
+                   CAST(e.ts AS DATE)) AS delta_days,
          ROW_NUMBER() OVER (
            PARTITION BY e.event_id
-           ORDER BY ABS(date_diff('day', o.o_orderdate, CAST(e.ts AS DATE))),
+           ORDER BY ABS(date_diff('day',
+                        CAST(o.o_orderdate + INTERVAL 27 YEAR AS DATE),
+                        CAST(e.ts AS DATE))),
                     o.o_orderdate, o.o_orderkey) AS rn
   FROM events e
   JOIN orders o ON o.o_custkey = e.user_id
-   AND ABS(date_diff('day', o.o_orderdate, CAST(e.ts AS DATE))) <= 90
+   AND ABS(date_diff('day', CAST(o.o_orderdate + INTERVAL 27 YEAR AS DATE),
+           CAST(e.ts AS DATE))) <= 90
 ) WHERE rn = 1
 """,
 )
@@ -289,6 +293,16 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     reading matters more than the latest-preceding one (q_join_asof is
     the backward flavor).
 
+    Fixture bridge (VERDICT r6 #1): the events table spans Jan 2024
+    while orders span 1995–2001, so the raw tables share no ±90-day
+    window and the join would be vacuously empty.  The order timeline
+    is aligned into the event era by a fixed +27-year calendar shift
+    (``add_months(o_orderdate, 324)``: 1997-01 → 2024-01), mirrored
+    exactly in the oracle (``+ INTERVAL 27 YEAR``); both engines clamp
+    Feb-29 to Feb-28 under year shifts, so the bridge is deterministic.
+    This exercises every code path (rank, signed delta, tie-break) on
+    ~50k matched events at sf0.1.
+
     Same scalable rewrite: ranged equi-join on the user key — the
     tolerance band is what keeps the fan-out bounded at any scale, the
     nearest-match contract is undefined without one on an unbounded
@@ -298,14 +312,16 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ties), then orderkey.  delta_days is emitted SIGNED (positive =
     order preceded the event) so downstream can audit the direction
     mix."""
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_aligned_date", F.add_months("o_orderdate", 27 * 12)
+    )
     events = load_table(spark, sf_dir, "events")
-    delta = F.datediff(F.to_date("ts"), F.col("o_orderdate"))
+    delta = F.datediff(F.to_date("ts"), F.col("o_aligned_date"))
     joined = events.join(
         orders,
         (orders.o_custkey == events.user_id)
         & (
-            F.abs(F.datediff(F.to_date(events.ts), orders.o_orderdate))
+            F.abs(F.datediff(F.to_date(events.ts), orders.o_aligned_date))
             <= F.lit(90)
         ),
     )
@@ -319,7 +335,7 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "ts",
             F.col("o_orderkey").alias("nearest_orderkey"),
-            F.col("o_orderdate").alias("nearest_orderdate"),
+            F.col("o_aligned_date").cast("timestamp").alias("nearest_orderdate"),
             delta.cast("bigint").alias("delta_days"),
         )
     )

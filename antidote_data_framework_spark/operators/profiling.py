@@ -648,7 +648,7 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
-    cn = c.join(bcast(n, "1-row count aggregate"), c.c_nationkey == n.n_nationkey)
+    cn = c.join(bcast(n, "structural dim (25-row nation)"), c.c_nationkey == n.n_nationkey)
     ng = (
         cn.groupBy("c_nationkey", "c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n_sz"))
@@ -658,8 +658,8 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("r_sz"))
     )
     assigned = (
-        cn.join(bcast(ng, "1-row count aggregate"), ["c_nationkey", "c_mktsegment"])
-        .join(bcast(rg, "1-row range aggregate"), ["n_regionkey", "c_mktsegment"])
+        cn.join(bcast(ng, "group-count agg (<=25 nations x segments)"), ["c_nationkey", "c_mktsegment"])
+        .join(bcast(rg, "group-count agg (<=5 regions x segments)"), ["n_regionkey", "c_mktsegment"])
         .select(
             "c_custkey",
             F.when(F.col("n_sz") >= 5, "nation")

@@ -367,7 +367,7 @@ def q_rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
     sims = (
         emb.filter(F.col("vec_id") != 0)
-        .crossJoin(bcast(q, "1-row quantile aggregate"))
+        .crossJoin(bcast(q, "1-row query vector"))
         .select(
             F.col("vec_id").alias("doc_id"),
             cosine(F.col("embedding"), F.col("qe")).alias("cos_raw"),

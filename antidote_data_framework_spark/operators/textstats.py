@@ -152,11 +152,12 @@ SELECT lang,
        CAST(SUM(LENGTH(text)) AS BIGINT) AS chars,
        CAST((SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+'))) * 20000
              + SUM(len(string_split(text, ' '))))
-            // (2 * SUM(len(string_split(text, ' ')))) AS DOUBLE) / 10000.0
+            // NULLIF(2 * SUM(len(string_split(text, ' '))), 0) AS DOUBLE) / 10000.0
          AS fertility_re_per_ws,
        CAST((SUM(LENGTH(text)) * 20000
              + SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+'))))
-            // (2 * SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+')))) AS DOUBLE)
+            // NULLIF(2 * SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+'))), 0)
+            AS DOUBLE)
          / 10000.0 AS chars_per_re_token
 FROM documents
 GROUP BY lang
@@ -175,8 +176,12 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums is a rational whose double quotient can straddle a .xxxx5
     boundary differently per engine (the q_reagg_partial lesson from
     the sf0.1 sweep); integer arithmetic makes both engines compute
-    the SAME integer, then one shared double division.  Scale: counts
-    fold map-side in the scan stage; the shuffle is |langs| rows."""
+    the SAME integer, then one shared double division.  Zero-token
+    language buckets yield NULL ratios on BOTH engines (r6 ADVICE:
+    nullif guards — Spark's integer div already nulls on 0, DuckDB's
+    ``//`` would raise instead of producing a comparable row).
+    Scale: counts fold map-side in the scan stage; the shuffle is
+    |langs| rows."""
     docs = load_table(spark, sf_dir, "documents")
     per = docs.groupBy("lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
@@ -193,13 +198,15 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         "re_tokens",
         "chars",
         (
-            F.expr("(re_tokens * 20000 + ws_tokens) div (2 * ws_tokens)").cast(
-                "double"
-            )
+            F.expr(
+                "(re_tokens * 20000 + ws_tokens) div nullif(2 * ws_tokens, 0)"
+            ).cast("double")
             / F.lit(10000.0)
         ).alias("fertility_re_per_ws"),
         (
-            F.expr("(chars * 20000 + re_tokens) div (2 * re_tokens)").cast("double")
+            F.expr(
+                "(chars * 20000 + re_tokens) div nullif(2 * re_tokens, 0)"
+            ).cast("double")
             / F.lit(10000.0)
         ).alias("chars_per_re_token"),
     )

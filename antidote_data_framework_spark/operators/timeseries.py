@@ -576,7 +576,13 @@ def chunked_carry_fold(
         "chunk", ((F.row_number().over(wseq) - F.lit(1)) / F.lit(chunk_size)).cast("int")
     ).persist()
     try:
-        n_passes = ranked.agg(F.max("chunk")).first()[0] + 1
+        # Empty input: F.max returns null → no passes, return an empty
+        # state table of the declared schema (r6 ADVICE: `None + 1`
+        # used to TypeError here instead).
+        mx = ranked.agg(F.max("chunk")).first()[0]
+        if mx is None:
+            return df.sparkSession.createDataFrame([], state_schema)
+        n_passes = mx + 1
         state: DataFrame | None = None
         for k in range(n_passes):
             chunk = ranked.filter(F.col("chunk") == k).drop("chunk")

@@ -151,7 +151,7 @@ def q_tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(s, (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey))
-        .join(bcast(n, "1-row count aggregate"), s.s_nationkey == n.n_nationkey)
+        .join(bcast(n, "structural dim (25-row nation)"), s.s_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
             F.sum(
@@ -213,7 +213,7 @@ def q_tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
     )
     group_li = li.join(s, li.l_suppkey == s.s_suppkey).join(
-        bcast(n, "1-row count aggregate"), s.s_nationkey == n.n_nationkey
+        bcast(n, "structural dim (25-row nation)"), s.s_nationkey == n.n_nationkey
     )
     per_part = group_li.groupBy(F.col("l_partkey").alias("partkey")).agg(
         F.sum(

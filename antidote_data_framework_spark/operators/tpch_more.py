@@ -104,7 +104,7 @@ def q_tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(bcast(n, "1-row count aggregate"), c.c_nationkey == n.n_nationkey)
+        .join(bcast(n, "structural dim (25-row nation)"), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
         .agg(rev_exact.alias("rev_exact"))
         .orderBy(F.desc("rev_exact"), F.asc("c_custkey"))

@@ -70,7 +70,7 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
     scored = (
         emb.filter(F.col("vec_id") != 0)
-        .crossJoin(bcast(q, "1-row quantile aggregate"))
+        .crossJoin(bcast(q, "1-row query vector"))
         .withColumn("cos_raw", cosine(F.col("embedding"), F.col("qe")))
     )
     return (
@@ -272,7 +272,7 @@ def q_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket").alias("qb"),
     )
     scored = (
-        b.crossJoin(bcast(q, "1-row quantile aggregate"))
+        b.crossJoin(bcast(q, "query-vector sample (1% of vectors)"))
         .filter(F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id",

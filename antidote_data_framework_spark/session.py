@@ -66,10 +66,16 @@ def clear_derived_caches(spark: SparkSession) -> None:
     Lazy plan HANDLES (sources.fixtures._DF_CACHE) and on-disk stream
     staging are fixture plumbing, not query work, and are NOT cleared.
     """
-    from .ml import als, recsys_data
+    from .ml import als, neighbors_cf, recsys_data
     from .operators import graph, lakehouse_ops
 
     lakehouse_ops._DEMO_TABLE_CACHE.clear()
+    for df in neighbors_cf._SIMS_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    neighbors_cf._SIMS_CACHE.clear()
     for e, _n in graph._TRANSITION_CACHE.values():
         try:
             e.unpersist()

@@ -31,6 +31,7 @@ import numpy as np
 import pandas as pd
 
 import __spark_entry__ as entrymod
+from antidote_data_framework_spark.registry import EXPECTED_EMPTY
 from antidote_data_framework_spark.session import get_spark
 from antidote_data_framework_spark.sources import TABLES
 
@@ -130,6 +131,17 @@ def compare_one(
     scols, srows = canon_rows(sdf)
     rec = {"mode": "rows-only" if sql is None else "sql", "spark_rows": len(sdf),
            "spark_sec": round(spark_s, 3)}
+    # Zero-row lint (VERDICT r6 #2): an empty result set makes any
+    # hash-match vacuous — empty==empty verifies none of the query's
+    # logic.  Queries whose correct fixture answer IS empty must
+    # declare @spark_query(..., expected_empty=True).
+    if len(sdf) == 0 and name not in EXPECTED_EMPTY:
+        return (
+            False,
+            "ZERO-ROW RESULT (vacuous pass): declare expected_empty=True "
+            "in the registry if an empty result is genuinely correct",
+            rec,
+        )
     if sql is None:
         return True, f"rows-only ok ({len(sdf)} rows, {spark_s:.1f}s)", rec
     ddf = con.execute(sql).fetchdf()

@@ -53,6 +53,30 @@ def test_sweep_artifact_modes_match_oracle_declarations():
     assert not wrong, f"sweep mode disagrees with oracle_sql() declaration: {wrong[:10]}"
 
 
+def test_sweep_artifact_no_vacuous_zero_row_passes():
+    """Zero-row lint over the committed evidence (VERDICT r6 #2): a
+    query whose Spark result is empty hash-matches vacuously — r6 found
+    three operators whose core logic had never executed yet sat green
+    in every sweep.  oracle_check.py now fails such queries at sweep
+    time; this test enforces the same invariant on the committed
+    artifacts so a stale pre-lint artifact can't mask one either."""
+    from antidote_data_framework_spark.registry import EXPECTED_EMPTY
+
+    for path in (ARTIFACT, SF01_ARTIFACT):
+        if not path.exists():
+            continue
+        sweep = json.loads(path.read_text())
+        vacuous = sorted(
+            k
+            for k, v in sweep["queries"].items()
+            if v.get("spark_rows") == 0 and k not in EXPECTED_EMPTY
+        )
+        assert not vacuous, (
+            f"{path.name}: zero-row (vacuous) passes not declared "
+            f"expected_empty: {vacuous}"
+        )
+
+
 SF01_ARTIFACT = pathlib.Path(__file__).resolve().parent.parent / "ORACLE_SWEEP_sf0.1.json"
 
 
