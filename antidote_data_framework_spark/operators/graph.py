@@ -31,6 +31,38 @@ _DAMP = 0.85
 # by session.clear_derived_caches like the ALS/bias-pipeline caches.
 _TRANSITION_CACHE: dict[str, tuple[DataFrame, int]] = {}
 
+# Support->=2 undirected edge table per (session, sf_dir): the
+# min-support co-purchase graph underlying q_graph_triangles,
+# q_link_prediction_adamic, and q_recursive_bfs — each previously
+# re-ran the identical lineitem self-join + aggregation (r6 VERDICT #4
+# budget work).  Checkpointed once; cleared with the caches above.
+_SUPPORT2_CACHE: dict[str, DataFrame] = {}
+
+
+def support2_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cached) undirected (u < v) part co-purchase edges with >= 2
+    co-order support — the shared signal graph of the three consumers
+    above.  Materialized via localCheckpoint: every consumer iterates
+    or multi-reads it, so a lazy plan would re-run the self-join per
+    action."""
+    key = f"{id(spark)}:{sf_dir}"
+    if key in _SUPPORT2_CACHE:
+        return _SUPPORT2_CACHE[key]
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
+    und = (
+        a.join(b, "k")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("u", "v")
+        .localCheckpoint()
+    )
+    _SUPPORT2_CACHE[key] = und
+    return und
+
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric co-purchase edges: parts appearing in the same order,
@@ -337,21 +369,11 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ~0.4), and a census over the noise graph is O(sum outdeg^2)
     # wedge work with no analytic meaning.  The support threshold is
     # ALSO the standard market-basket practice (min-support).  The
-    # edge table is materialized once: three consumers below (both
-    # wedge sides + the closing-edge probe) would otherwise re-run
-    # the lineitem self-join three times.
-    li = load_table(spark, sf_dir, "lineitem")
-    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
-    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
-    und = (
-        a.join(b, "k")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= 2)
-        .select("u", "v")
-        .localCheckpoint()
-    )
+    # edge table is materialized once (and shared session-wide via
+    # support2_edges): three consumers below (both wedge sides + the
+    # closing-edge probe) would otherwise re-run the lineitem
+    # self-join three times.
+    und = support2_edges(spark, sf_dir)
     deg = (
         und.select(F.col("u").alias("node"))
         .unionAll(und.select(F.col("v").alias("node")))
@@ -544,18 +566,7 @@ def q_link_prediction_adamic(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(18,9) and the top-50 orders by that EXACT decimal (tie
     broken u, v) — no double comparison anywhere in the cut.
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
-    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
-    und = (
-        a.join(b, "k")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= 2)
-        .select("u", "v")
-        .localCheckpoint()
-    )
+    und = support2_edges(spark, sf_dir)
     sym = und.select(F.col("u").alias("s"), F.col("v").alias("d")).unionAll(
         und.select(F.col("v").alias("s"), F.col("u").alias("d"))
     )

@@ -81,6 +81,12 @@ def q_recursive_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     production closure uses the distinct-frontier (UNION) form or the
     driver-loop label propagation the engine also ships."""
     register_views(spark, sf_dir)
-    und = spark.sql("SELECT * FROM (" + _EDGE_CTE + ") e").localCheckpoint()
+    # Same support>=2 edge relation as q_graph_triangles — ride the
+    # session-wide checkpointed build instead of re-deriving it from
+    # SQL (the DataFrame and the _EDGE_CTE text define identical
+    # content; the oracle keeps the inline CTE).
+    from .graph import support2_edges
+
+    und = support2_edges(spark, sf_dir)
     und.createOrReplaceTempView("bfs_edges")
     return spark.sql("WITH RECURSIVE " + _BFS_BODY.format(edges="bfs_edges").lstrip())

@@ -67,7 +67,7 @@ def clear_derived_caches(spark: SparkSession) -> None:
     staging are fixture plumbing, not query work, and are NOT cleared.
     """
     from .ml import als, neighbors_cf, recsys_data
-    from .operators import graph, lakehouse_ops
+    from .operators import graph, lakehouse_ops, text
 
     lakehouse_ops._DEMO_TABLE_CACHE.clear()
     for df in neighbors_cf._SIMS_CACHE.values():
@@ -76,12 +76,19 @@ def clear_derived_caches(spark: SparkSession) -> None:
         except Exception:
             pass
     neighbors_cf._SIMS_CACHE.clear()
+    for df in text._DEDUP_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    text._DEDUP_CACHE.clear()
     for e, _n in graph._TRANSITION_CACHE.values():
         try:
             e.unpersist()
         except Exception:
             pass
     graph._TRANSITION_CACHE.clear()
+    graph._SUPPORT2_CACHE.clear()  # localCheckpoints; handles just drop
 
     for df in recsys_data._PRED_CACHE.values():
         try:
