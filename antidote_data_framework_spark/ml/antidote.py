@@ -143,9 +143,13 @@ def q_antidote_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Distribution contract per iteration (the 100 TB shape):
       - retrain: MLlib ALS on the combined ratings;
-      - summaries: A_j (r(r+1)/2 wide aggregation over ALL observers)
-        and g_j (r-wide aggregation over original predictions joined
-        with userFactors) — m-row results, never data-sized;
+      - summaries: ONE fused wide aggregation over pred⋈userFactors
+        (μ_j, var_j, n_j, Σ x̂·u, Σ u, and the r(r+1)/2 outer-product
+        sums for A_j's original-observer part) — an m-row result,
+        never data-sized.  g_j = Σ x̂·u − μ_j·Σ u by linearity, and
+        the fully-observed antidote users contribute the SAME
+        Σ_a u_a·u_aᵀ to every A_j, added driver-side from the k
+        collected factor rows;
       - driver: k×m gradient assembly from the summaries + the k
         antidote factor rows; normalized 0.5-rating-unit step,
         projected to the rating box;
@@ -168,9 +172,12 @@ def q_antidote_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     objective after retrain — 0.77 → 0.86 at both sf0.001/sf0.01 —
     so the gradient-continuation form is used instead.)
 
-    Measured at sf0.001: baseline 1.0336 → init 0.7696 → best 0.7595
-    (-26.5%), reproducing the paper's antidote effect direction.
-    Runs on a deterministic 20% user cohort to bound retrain cost.
+    Measured at sf0.001: baseline 1.0346 → best 0.7781 (-24.8%),
+    reproducing the paper's antidote effect direction.  Runs on a
+    deterministic 20% user cohort to bound retrain cost.  (r7: the
+    fused summary pass cut warm sf0.1 wall from ~19 s to ~14 s; the
+    trajectory values moved in the 3rd decimal because g_j is now
+    accumulated in the algebraically equivalent Σx̂·u − μ·Σu order.)
     """
     k, rank, lam, iters = 5, 8, 0.1, 3
     half_step_iters = {1}  # retrain-free iterations
@@ -212,16 +219,11 @@ def q_antidote_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
         return als.fit(df)
 
     def _orig_pred(model):
-        """Original-user predictions under the current model,
-        localCheckpointed: THREE downstream actions read it per
-        iteration (μ/var stats, the g_j aggregation, and their
-        collects) — checkpointing runs the factor-join transform once
-        instead of once per action (r6 VERDICT #4 budget work)."""
-        return (
-            model.transform(base)
-            .filter(F.col("prediction").isNotNull())
-            .localCheckpoint(eager=True)
-        )
+        """Original-user predictions under the current model.  Lazy —
+        each iteration has exactly ONE action reading it (the fused
+        summary aggregation below), so the factor-join transform runs
+        once per iteration with no checkpoint materialization job."""
+        return model.transform(base).filter(F.col("prediction").isNotNull())
 
     def _orig_item_stats(pred):
         return (
@@ -273,64 +275,74 @@ def q_antidote_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
         model = _fit(combined)
 
         uf = model.userFactors.withColumnRenamed("id", "user_id")
-        pred = _orig_pred(model)
-        mu_df = _orig_item_stats(pred)
-        mu_rows = mu_df.collect()
-        pol = float(np.mean([r["v"] for r in mu_rows])) if mu_rows else 0.0
-        trajectory.append((it, pol, len(mu_rows)))
 
-        # g_j: centered original predictions weighted by user factors
-        pj = (
-            pred.join(mu_df.select("item_id", "mu"), "item_id")
+        # ONE fused summary pass per iteration (r7 budget work): the
+        # old shape ran three data-sized jobs (μ/var stats, the g_j
+        # aggregation over pred⋈μ⋈uf, and A_j over combined⋈uf) plus a
+        # checkpoint materialization.  Algebra removes all but one:
+        #   g_j = Σ_i (x̂_ij − μ_j)·u_i = Σ_i x̂_ij·u_i − μ_j·Σ_i u_i
+        # so g_j needs only per-item sums of pred·f and f — no second
+        # pass that already knows μ_j; and the antidote users are
+        # FULLY observed, so their A-contribution Σ_a u_a·u_aᵀ is the
+        # SAME r×r matrix for every item — computed driver-side from
+        # the k collected factor rows instead of shuffling the
+        # antidote block through the join.  A_j's original-observer
+        # part comes from the same pred⋈uf join (every combined user
+        # and item is in training, so factor rows exist for all and
+        # the inner joins are lossless).
+        summary = (
+            _orig_pred(model)
             .join(uf, "user_id")
-            .select(
-                "item_id",
-                (F.col("prediction") - F.col("mu")).alias("c"),
-                "features",
+            .groupBy("item_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_obs"),
+                F.avg("prediction").alias("mu"),
+                F.var_pop("prediction").alias("v"),
+                *[
+                    F.sum(F.col("prediction") * F.col("features")[p]).alias(f"pf{p}")
+                    for p in range(rank)
+                ],
+                *[F.sum(F.col("features")[p]).alias(f"sf{p}") for p in range(rank)],
+                *[
+                    F.sum(F.col("features")[p] * F.col("features")[q]).alias(
+                        f"a{p}_{q}"
+                    )
+                    for p in range(rank)
+                    for q in range(p, rank)
+                ],
             )
         )
-        g_rows = pj.groupBy("item_id").agg(
-            *[
-                F.sum(F.col("c") * F.col("features")[p]).alias(f"g{p}")
-                for p in range(rank)
-            ]
-        ).collect()
-        # A_j: factor outer-product sums over ALL observers of item j
-        aj = combined.join(uf, "user_id").select("item_id", "features")
-        a_rows = aj.groupBy("item_id").agg(
-            *[
-                F.sum(F.col("features")[p] * F.col("features")[q]).alias(f"a{p}_{q}")
-                for p in range(rank)
-                for q in range(p, rank)
-            ]
-        ).collect()
+        s_rows = summary.collect()
+        pol = float(np.mean([r["v"] for r in s_rows])) if s_rows else 0.0
+        trajectory.append((it, pol, len(s_rows)))
+
+        U_ant = {
+            r["user_id"]: np.array(r["features"], dtype=np.float64)
+            for r in uf.filter(F.col("user_id") >= antidote_uid).collect()
+        }
+        A_ant = np.zeros((rank, rank))
+        for ua in U_ant.values():
+            A_ant += np.outer(ua, ua)
 
         G = np.zeros((m, rank))
-        A = np.tile(lam * np.eye(rank), (m, 1, 1))
+        A = np.tile(lam * np.eye(rank) + A_ant, (m, 1, 1))
         N = np.ones(m)
-        for r in g_rows:
-            i = item_index.get(r["item_id"])
-            if i is not None:
-                G[i] = [r[f"g{p}"] or 0.0 for p in range(rank)]
-        for r in a_rows:
+        for r in s_rows:
             i = item_index.get(r["item_id"])
             if i is None:
                 continue
+            mu_i = r["mu"] or 0.0
+            G[i] = [
+                (r[f"pf{p}"] or 0.0) - mu_i * (r[f"sf{p}"] or 0.0)
+                for p in range(rank)
+            ]
+            N[i] = r["n_obs"]
             for p in range(rank):
                 for q in range(p, rank):
                     v = r[f"a{p}_{q}"] or 0.0
                     A[i, p, q] += v
                     if p != q:
                         A[i, q, p] += v
-        for r in mu_rows:
-            i = item_index.get(r["item_id"])
-            if i is not None:
-                N[i] = r["n_obs"]
-
-        U_ant = {
-            r["user_id"]: np.array(r["features"], dtype=np.float64)
-            for r in uf.filter(F.col("user_id") >= antidote_uid).collect()
-        }
         ainv_g = np.stack([np.linalg.solve(A[i], G[i]) for i in range(m)])
         grad = np.zeros((k, m))
         for a in range(k):
