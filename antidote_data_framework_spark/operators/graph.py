@@ -38,26 +38,58 @@ _TRANSITION_CACHE: dict[str, tuple[DataFrame, int]] = {}
 # budget work).  Checkpointed once; cleared with the caches above.
 _SUPPORT2_CACHE: dict[str, DataFrame] = {}
 
+# Directed co-purchase pair counts (src, dst, w) per (session, sf_dir)
+# — the ONE lineitem self-join every graph query's edge table derives
+# from (r7 budget work: pagerank's weighted edges and the support>=2
+# family each ran their own identical self-join per sweep).  The
+# symmetric directed count for (u, v) with u < v IS the undirected
+# co-order support, so support2_edges is a filter over this table,
+# not a second shuffle.
+_PAIR_CACHE: dict[str, DataFrame] = {}
+
+
+def _pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cached) directed co-purchase pair counts: parts appearing in
+    the same order, weighted by co-occurrence count.  The self-join is
+    blocked by l_orderkey (orders have ~4 lines, so the fan-out is
+    bounded per key); at 100 TB this is the standard market-basket
+    edge build — skewed giant orders would be capped or salted first.
+    localCheckpointed: every graph query multi-reads or iterates its
+    derivation, so a lazy plan would re-run the self-join per action."""
+    key = f"{id(spark)}:{sf_dir}"
+    if key in _PAIR_CACHE:
+        return _PAIR_CACHE[key]
+    a = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src")
+    )
+    b = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst")
+    )
+    pairs = (
+        a.join(b, "k")
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .localCheckpoint()
+    )
+    _PAIR_CACHE[key] = pairs
+    return pairs
+
 
 def support2_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(cached) undirected (u < v) part co-purchase edges with >= 2
     co-order support — the shared signal graph of the three consumers
-    above.  Materialized via localCheckpoint: every consumer iterates
-    or multi-reads it, so a lazy plan would re-run the self-join per
-    action."""
+    above.  Derived by a filter over the shared pair-count table: the
+    directed count of (u, v) with u < v equals the undirected co-order
+    support exactly (each co-occurring line pair contributes one count
+    to each direction), so no second self-join runs."""
     key = f"{id(spark)}:{sf_dir}"
     if key in _SUPPORT2_CACHE:
         return _SUPPORT2_CACHE[key]
-    li = load_table(spark, sf_dir, "lineitem")
-    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
-    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
     und = (
-        a.join(b, "k")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= 2)
-        .select("u", "v")
+        _pair_counts(spark, sf_dir)
+        .filter((F.col("src") < F.col("dst")) & (F.col("w") >= 2))
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
         .localCheckpoint()
     )
     _SUPPORT2_CACHE[key] = und
@@ -65,23 +97,9 @@ def support2_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Symmetric co-purchase edges: parts appearing in the same order,
-    weighted by co-occurrence count.  The self-join is blocked by
-    l_orderkey (orders have ~4 lines, so the fan-out is bounded per
-    key); at 100 TB this is the standard market-basket edge build —
-    skewed giant orders would be capped or salted first."""
-    a = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src")
-    )
-    b = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst")
-    )
-    return (
-        a.join(b, "k")
-        .filter(F.col("src") != F.col("dst"))
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("w"))
-    )
+    """Symmetric weighted co-purchase edges — the shared cached
+    pair-count table (see ``_pair_counts``)."""
+    return _pair_counts(spark, sf_dir)
 
 
 def _transitions(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int]:

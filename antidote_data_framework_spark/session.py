@@ -89,6 +89,7 @@ def clear_derived_caches(spark: SparkSession) -> None:
             pass
     graph._TRANSITION_CACHE.clear()
     graph._SUPPORT2_CACHE.clear()  # localCheckpoints; handles just drop
+    graph._PAIR_CACHE.clear()  # localCheckpoint; handle just drops
 
     for df in recsys_data._PRED_CACHE.values():
         try:
