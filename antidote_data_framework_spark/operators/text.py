@@ -728,6 +728,123 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @spark_query(
+    "q_dedup_cluster_stats",
+    oracle="""
+WITH RECURSIVE tok AS (
+  SELECT DISTINCT doc_id, lang, source, UNNEST(string_split(text, ' ')) AS w
+  FROM documents
+),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM tok a
+  JOIN tok b ON a.lang = b.lang AND a.source = b.source AND a.w = b.w
+            AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+good AS (
+  SELECT p.doc_a, p.doc_b
+  FROM pairs p
+  JOIN cnt ca ON ca.doc_id = p.doc_a
+  JOIN cnt cb ON cb.doc_id = p.doc_b
+  WHERE p.n_common * 1.0 / (ca.n + cb.n - p.n_common) >= 0.6
+),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM good
+          UNION ALL
+          SELECT doc_b, doc_a FROM good),
+reach(u, label) AS (
+  SELECT u, u AS label FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, r.label FROM edges e JOIN reach r ON r.u = e.v
+),
+comp AS (SELECT u AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY u),
+mem AS (
+  SELECT d.doc_id,
+         COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+         d.n_chars,
+         len(string_split(d.text, ' ')) AS n_tokens
+  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id ASC) AS rk
+  FROM mem
+),
+canon AS (
+  SELECT cluster_id,
+         CAST(COUNT(*) AS BIGINT) AS n_members,
+         CAST(SUM(n_tokens) AS BIGINT) AS tokens_all,
+         CAST(SUM(CASE WHEN rk > 1 THEN n_tokens ELSE 0 END) AS BIGINT)
+           AS tokens_dropped
+  FROM ranked GROUP BY cluster_id
+),
+per AS (
+  SELECT n_members AS cluster_size,
+         CAST(COUNT(*) AS BIGINT)            AS n_clusters,
+         CAST(SUM(n_members) AS BIGINT)      AS n_docs,
+         CAST(SUM(tokens_all) AS BIGINT)     AS total_tokens,
+         CAST(SUM(tokens_dropped) AS BIGINT) AS redundant_tokens
+  FROM canon GROUP BY 1
+)
+SELECT cluster_size, n_clusters, n_docs, total_tokens, redundant_tokens,
+       ROUND(CAST(SUM(total_tokens)
+                  OVER (ORDER BY cluster_size DESC) AS DOUBLE)
+             / SUM(total_tokens) OVER (), 6) AS cum_token_share
+FROM per
+ORDER BY cluster_size
+""",
+)
+def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster SIZE DISTRIBUTION with token accounting — the
+    diagnostic a curation team reads before picking dedup
+    aggressiveness: for each cluster size, how many clusters, how many
+    docs and tokens they hold, how many tokens dedup would reclaim,
+    and the dup-mass CDF (share of ALL corpus tokens sitting in
+    clusters of at least this size — the curve that says "clusters of
+    size ≥3 hold 9% of the corpus").
+
+    Rides q_dedup_canonical's per-cluster ledger (itself riding the
+    cached component labels), so the expensive pair detection is never
+    recomputed: this query is a |clusters|-row rollup plus one
+    |sizes|-row window — at 100 TB both are free next to the upstream
+    scan.  The CDF numerator/denominator are exact integer sums; the
+    single double division is deterministic cross-engine."""
+    can = q_dedup_canonical(spark, sf_dir)
+    per = (
+        can.select(
+            F.col("n_members").alias("cluster_size"),
+            (F.col("tokens_kept") + F.col("tokens_dropped")).alias("tokens_all"),
+            "tokens_dropped",
+        )
+        .groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+            F.sum("cluster_size").cast("bigint").alias("n_docs"),
+            F.sum("tokens_all").cast("bigint").alias("total_tokens"),
+            F.sum("tokens_dropped").cast("bigint").alias("redundant_tokens"),
+        )
+    )
+    w_cum = Window.orderBy(F.desc("cluster_size")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return per.select(
+        "cluster_size",
+        "n_clusters",
+        "n_docs",
+        "total_tokens",
+        "redundant_tokens",
+        F.round(
+            F.sum("total_tokens").over(w_cum).cast("double")
+            / F.sum("total_tokens").over(w_all),
+            6,
+        ).alias("cum_token_share"),
+    ).orderBy("cluster_size")
+
+
+@spark_query(
     "q_text_containment",
     oracle="""
 WITH toks AS (SELECT doc_id, lang, source, string_split(text, ' ') AS t FROM documents),

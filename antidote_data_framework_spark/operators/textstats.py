@@ -732,6 +732,119 @@ def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spark_query(
+    "q_mixture_temperature",
+    oracle="""
+WITH s AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_toks
+  FROM documents GROUP BY 1
+),
+t AS (
+  SELECT CAST(SUM(n_docs) AS BIGINT)          AS n_total,
+         CAST(SUM(n_docs * n_docs) AS BIGINT) AS n2_sum,
+         CAST(COUNT(*) AS BIGINT)             AS k,
+         CAST(SUM(n_toks) AS BIGINT)          AS tok_total
+  FROM s
+),
+x AS (SELECT * FROM s CROSS JOIN t),
+u AS (
+  SELECT source, '0.5' AS tau, n_docs,
+         CAST(n_docs AS DOUBLE) * n_docs / n2_sum   AS w,
+         CAST(n_docs AS DOUBLE) * n_total / n2_sum  AS boost,
+         tok_total
+  FROM x
+  UNION ALL
+  SELECT source, '1', n_docs,
+         CAST(n_docs AS DOUBLE) / n_total,
+         CAST(1.0 AS DOUBLE),
+         tok_total
+  FROM x
+  UNION ALL
+  SELECT source, 'inf', n_docs,
+         CAST(1.0 AS DOUBLE) / k,
+         CAST(n_total AS DOUBLE) / (k * n_docs),
+         tok_total
+  FROM x
+)
+SELECT source, tau, n_docs,
+       ROUND(w, 6)             AS weight,
+       ROUND(boost, 4)         AS boost,
+       ROUND(w * tok_total, 2) AS expected_tokens
+FROM u
+ORDER BY source, tau
+""",
+)
+def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source-mixture weights — the data-mixing
+    primitive LLM corpus assembly actually uses (multilingual /
+    multi-source balancing samples source i with probability
+    ∝ p_i^(1/τ)): τ<1 SHARPENS toward big sources, τ=1 is
+    proportional, τ→∞ is uniform.  Emits, per (source, τ), the
+    sampling weight, the boost over proportional sampling (the
+    up/down-sampling factor small sources get), and the expected token
+    draw at a one-epoch budget — the three numbers a mixture review
+    reads.
+
+    Determinism contract: τ is restricted to {0.5, 1, ∞}, whose
+    weights are RATIOS OF EXACT INTEGER SUMS (n², n, 1 — no libm
+    pow(), which is not ulp-stable cross-runtime; the q_minhash_scurve
+    lesson), so Spark and DuckDB compute bit-identical doubles before
+    the display rounding.  Shape: one |sources|-row aggregate, one
+    1-row totals aggregate joined back (broadcast-sized by
+    construction, same pattern as q_corpus_mixture), and a 3-way
+    literal τ expansion — at 100 TB the corpus is scanned once for the
+    counts and everything downstream is bytes."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_toks"),
+    )
+    t = s.agg(
+        F.sum("n_docs").cast("bigint").alias("n_total"),
+        F.sum(F.col("n_docs") * F.col("n_docs")).cast("bigint").alias("n2_sum"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n_toks").cast("bigint").alias("tok_total"),
+    )
+    # 1-row totals — under autoBroadcastJoinThreshold by construction,
+    # no hint needed (repo guard rejects hints on non-structural dims)
+    x = s.crossJoin(t)
+    nd = F.col("n_docs").cast("double")
+    variants = [
+        ("0.5", nd * F.col("n_docs") / F.col("n2_sum"),
+         nd * F.col("n_total") / F.col("n2_sum")),
+        ("1", nd / F.col("n_total"), F.lit(1.0)),
+        ("inf", F.lit(1.0) / F.col("k"),
+         F.col("n_total").cast("double") / (F.col("k") * F.col("n_docs"))),
+    ]
+    out = x.select(
+        "source",
+        "n_docs",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(tau).alias("tau"),
+                        w.alias("w"),
+                        b.alias("boost"),
+                        (w * F.col("tok_total")).alias("etok"),
+                    )
+                    for tau, w, b in variants
+                ]
+            )
+        ).alias("v"),
+    )
+    return out.select(
+        "source",
+        F.col("v.tau").alias("tau"),
+        "n_docs",
+        F.round(F.col("v.w"), 6).alias("weight"),
+        F.round(F.col("v.boost"), 4).alias("boost"),
+        F.round(F.col("v.etok"), 2).alias("expected_tokens"),
+    ).orderBy("source", "tau")
+
+
 def five_grams(docs: DataFrame) -> DataFrame:
     """(doc_id, gram) for every 5-token shingle — shared by the exact
     decontamination join and its bloom-prefiltered twin
