@@ -104,6 +104,106 @@ def _det_factors(m: int, rank: int) -> np.ndarray:
     return (((j + 1) * 7 + (f + 1) * 13) % 11) / 11.0 - 0.5
 
 
+def fused_item_summary(pred: DataFrame, uf: DataFrame, rank: int) -> DataFrame:
+    """The ONE fused per-item summary pass of the bilevel gradient
+    (r7 budget work) — everything the driver-side assembly needs in a
+    single m-row aggregation over pred⋈userFactors:
+
+      n_obs, μ_j, var_j           (polarization + gradient scale)
+      pf_p = Σ_i x̂_ij·u_ip        (the Σ x̂·u half of g_j)
+      sf_p = Σ_i u_ip             (the μ·Σu half of g_j)
+      a_pq = Σ_i u_ip·u_iq        (A_j's original-observer triangle)
+
+    The old shape ran three data-sized jobs (μ/var stats, g_j over
+    pred⋈μ⋈uf, A_j over combined⋈uf) plus a checkpoint; the algebra
+    g_j = Σ(x̂−μ)·u = Σx̂·u − μ·Σu removes all but this one pass.
+    Equivalence to the naive three-job form and to a pure-numpy replay
+    is test-pinned in tests/test_antidote_fused.py (r7 VERDICT #1).
+
+    MLlib emits float32 predictions/factors; without the explicit
+    double casts below Spark would round every PRODUCT to float32
+    before summing (float*float→float), costing ~7 significant digits
+    exactly where the Σx̂·u − μ·Σu cancellation needs them (measured:
+    1e-7 → 1e-12 relative error vs the float64 replay)."""
+    p_d = F.col("prediction").cast("double")
+
+    def f_d(p: int):
+        return F.col("features")[p].cast("double")
+
+    return (
+        pred.join(uf, "user_id")
+        .groupBy("item_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.avg(p_d).alias("mu"),
+            F.var_pop(p_d).alias("v"),
+            *[F.sum(p_d * f_d(p)).alias(f"pf{p}") for p in range(rank)],
+            *[F.sum(f_d(p)).alias(f"sf{p}") for p in range(rank)],
+            *[
+                F.sum(f_d(p) * f_d(q)).alias(f"a{p}_{q}")
+                for p in range(rank)
+                for q in range(p, rank)
+            ],
+        )
+    )
+
+
+def bilevel_grad_from_summary(
+    s_rows,
+    item_index: dict,
+    U_ant: dict[int, np.ndarray],
+    k: int,
+    rank: int,
+    lam: float,
+    antidote_uid: int,
+) -> np.ndarray:
+    """Driver-side k×m bilevel-gradient assembly from the m collected
+    summary rows (see ``fused_item_summary``) plus the k antidote
+    factor vectors:
+
+        grad[a, j] = (2/(m·n_j)) · g_jᵀ · A_j⁻¹ · u_a
+        A_j = λI + Σ_{i∈origΩ_j} u_i·u_iᵀ + Σ_a u_a·u_aᵀ
+
+    The antidote users are FULLY observed, so their A-contribution is
+    the same r×r matrix for every item — added once here instead of
+    shuffling the antidote block through the join."""
+    m = len(item_index)
+    A_ant = np.zeros((rank, rank))
+    for ua in U_ant.values():
+        A_ant += np.outer(ua, ua)
+
+    G = np.zeros((m, rank))
+    A = np.tile(lam * np.eye(rank) + A_ant, (m, 1, 1))
+    N = np.ones(m)
+    for r in s_rows:
+        i = item_index.get(r["item_id"])
+        if i is None:
+            continue
+        mu_i = r["mu"] or 0.0
+        # g_j as Σx̂·u − μ·Σu cancels two same-magnitude sums, losing
+        # precision when the per-item prediction spread is much smaller
+        # than the mean — safe HERE because the gradient is only ever
+        # used max-normalized (direction), but any future consumer of G
+        # unnormalized must revisit this accumulation (SCALE.md note).
+        G[i] = [
+            (r[f"pf{p}"] or 0.0) - mu_i * (r[f"sf{p}"] or 0.0) for p in range(rank)
+        ]
+        N[i] = r["n_obs"]
+        for p in range(rank):
+            for q in range(p, rank):
+                v = r[f"a{p}_{q}"] or 0.0
+                A[i, p, q] += v
+                if p != q:
+                    A[i, q, p] += v
+    ainv_g = np.stack([np.linalg.solve(A[i], G[i]) for i in range(m)])
+    grad = np.zeros((k, m))
+    for a in range(k):
+        ua = U_ant.get(antidote_uid + a)
+        if ua is not None:
+            grad[a] = (2.0 / (m * N)) * (ainv_g @ ua)
+    return grad
+
+
 @spark_query("q_antidote_step")  # rows-only: golden-tested vs numpy in tests/
 def q_antidote_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One antidote projected-gradient step (k=5 users × 20 items,
@@ -276,43 +376,13 @@ def q_antidote_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         uf = model.userFactors.withColumnRenamed("id", "user_id")
 
-        # ONE fused summary pass per iteration (r7 budget work): the
-        # old shape ran three data-sized jobs (μ/var stats, the g_j
-        # aggregation over pred⋈μ⋈uf, and A_j over combined⋈uf) plus a
-        # checkpoint materialization.  Algebra removes all but one:
-        #   g_j = Σ_i (x̂_ij − μ_j)·u_i = Σ_i x̂_ij·u_i − μ_j·Σ_i u_i
-        # so g_j needs only per-item sums of pred·f and f — no second
-        # pass that already knows μ_j; and the antidote users are
-        # FULLY observed, so their A-contribution Σ_a u_a·u_aᵀ is the
-        # SAME r×r matrix for every item — computed driver-side from
-        # the k collected factor rows instead of shuffling the
-        # antidote block through the join.  A_j's original-observer
-        # part comes from the same pred⋈uf join (every combined user
-        # and item is in training, so factor rows exist for all and
-        # the inner joins are lossless).
-        summary = (
-            _orig_pred(model)
-            .join(uf, "user_id")
-            .groupBy("item_id")
-            .agg(
-                F.count(F.lit(1)).alias("n_obs"),
-                F.avg("prediction").alias("mu"),
-                F.var_pop("prediction").alias("v"),
-                *[
-                    F.sum(F.col("prediction") * F.col("features")[p]).alias(f"pf{p}")
-                    for p in range(rank)
-                ],
-                *[F.sum(F.col("features")[p]).alias(f"sf{p}") for p in range(rank)],
-                *[
-                    F.sum(F.col("features")[p] * F.col("features")[q]).alias(
-                        f"a{p}_{q}"
-                    )
-                    for p in range(rank)
-                    for q in range(p, rank)
-                ],
-            )
-        )
-        s_rows = summary.collect()
+        # ONE fused summary pass per iteration — see fused_item_summary
+        # for the algebra (g_j = Σx̂·u − μ·Σu; antidote A-contribution
+        # added driver-side since it is item-invariant).  A_j's
+        # original-observer part comes from the same pred⋈uf join
+        # (every combined user and item is in training, so factor rows
+        # exist for all and the inner joins are lossless).
+        s_rows = fused_item_summary(_orig_pred(model), uf, rank).collect()
         pol = float(np.mean([r["v"] for r in s_rows])) if s_rows else 0.0
         trajectory.append((it, pol, len(s_rows)))
 
@@ -320,35 +390,9 @@ def q_antidote_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
             r["user_id"]: np.array(r["features"], dtype=np.float64)
             for r in uf.filter(F.col("user_id") >= antidote_uid).collect()
         }
-        A_ant = np.zeros((rank, rank))
-        for ua in U_ant.values():
-            A_ant += np.outer(ua, ua)
-
-        G = np.zeros((m, rank))
-        A = np.tile(lam * np.eye(rank) + A_ant, (m, 1, 1))
-        N = np.ones(m)
-        for r in s_rows:
-            i = item_index.get(r["item_id"])
-            if i is None:
-                continue
-            mu_i = r["mu"] or 0.0
-            G[i] = [
-                (r[f"pf{p}"] or 0.0) - mu_i * (r[f"sf{p}"] or 0.0)
-                for p in range(rank)
-            ]
-            N[i] = r["n_obs"]
-            for p in range(rank):
-                for q in range(p, rank):
-                    v = r[f"a{p}_{q}"] or 0.0
-                    A[i, p, q] += v
-                    if p != q:
-                        A[i, q, p] += v
-        ainv_g = np.stack([np.linalg.solve(A[i], G[i]) for i in range(m)])
-        grad = np.zeros((k, m))
-        for a in range(k):
-            ua = U_ant.get(antidote_uid + a)
-            if ua is not None:
-                grad[a] = (2.0 / (m * N)) * (ainv_g @ ua)
+        grad = bilevel_grad_from_summary(
+            s_rows, item_index, U_ant, k, rank, lam, antidote_uid
+        )
         gmax = float(np.abs(grad).max()) or 1.0
         X_t = np.clip(X_t - (0.5 / gmax) * grad, RATING_LO, RATING_HI)
         last_grad = grad
