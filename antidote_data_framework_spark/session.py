@@ -88,8 +88,15 @@ def clear_derived_caches(spark: SparkSession) -> None:
         except Exception:
             pass
     graph._TRANSITION_CACHE.clear()
-    graph._SUPPORT2_CACHE.clear()  # localCheckpoints; handles just drop
-    graph._PAIR_CACHE.clear()  # localCheckpoint; handle just drops
+    for df in list(graph._SUPPORT2_CACHE.values()) + list(
+        graph._PAIR_CACHE.values()
+    ):
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    graph._SUPPORT2_CACHE.clear()
+    graph._PAIR_CACHE.clear()
 
     for df in recsys_data._PRED_CACHE.values():
         try:

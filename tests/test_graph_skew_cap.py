@@ -1,0 +1,76 @@
+"""Giant-order skew cap for the shared graph pair-count build
+(r7 VERDICT #4: the 100-TB skew handling was a docstring promise).
+
+cap_order_lines bounds any single order's contribution to the
+l_orderkey self-join at SKEW_LINE_CAP lines, so one pathological order
+with L lines fans out CAP·(CAP−1) pair rows instead of L·(L−1).  The
+cap must be (a) a real bound on synthetic giant orders, (b) the
+identity on the fixtures (TPC-H baskets have ≤ 7 lines — so every
+committed graph hash is unchanged), and (c) deterministic: the
+survivor set is the (l_linenumber, l_partkey)-lowest lines, the same
+rule the DuckDB oracles mirror.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from antidote_data_framework_spark.operators.graph import (
+    SKEW_LINE_CAP,
+    cap_order_lines,
+)
+from antidote_data_framework_spark.sources import load_table
+
+
+def _giant(spark):
+    rows = [(1, 100 + i, i + 1) for i in range(100)]  # giant order, 100 lines
+    rows += [(2, 7, 1), (2, 9, 2)]  # normal order
+    return spark.createDataFrame(
+        rows, "l_orderkey BIGINT, l_partkey BIGINT, l_linenumber INT"
+    )
+
+
+def test_giant_order_fanout_bounded(spark):
+    li = cap_order_lines(_giant(spark))
+    counts = {
+        r["l_orderkey"]: r["c"]
+        for r in li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    assert counts == {1: SKEW_LINE_CAP, 2: 2}
+    # the pair fan-out for the giant key is CAP*(CAP-1), not 100*99
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    n = a.join(b, "k").filter("src <> dst AND k = 1").count()
+    assert n == SKEW_LINE_CAP * (SKEW_LINE_CAP - 1)
+
+
+def test_cap_survivors_are_deterministic_prefix(spark):
+    """Survivors are exactly the SKEW_LINE_CAP lowest (l_linenumber,
+    l_partkey) lines — the rule the oracle SQL mirrors."""
+    surv = sorted(
+        r["l_partkey"]
+        for r in cap_order_lines(_giant(spark)).filter("l_orderkey = 1").collect()
+    )
+    assert surv == [100 + i for i in range(SKEW_LINE_CAP)]
+
+
+def test_cap_handles_duplicate_linenumbers(spark):
+    """The bound holds even when line numbers repeat (row_number, not a
+    raw filter), and the l_partkey tiebreak keeps it deterministic."""
+    rows = [(1, p, 1) for p in range(50)]  # 50 lines, ALL linenumber=1
+    li = spark.createDataFrame(
+        rows, "l_orderkey BIGINT, l_partkey BIGINT, l_linenumber INT"
+    )
+    got = sorted(r["l_partkey"] for r in cap_order_lines(li).collect())
+    assert got == list(range(SKEW_LINE_CAP))
+
+
+def test_cap_is_identity_on_fixture(spark, sf_dir):
+    """Fixture baskets are under the cap, so the capped build equals
+    the uncapped one — the committed graph hashes are unchanged."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_linenumber"
+    )
+    assert cap_order_lines(li).count() == li.count()
+    mx = li.groupBy("l_orderkey").count().agg(F.max("count")).first()[0]
+    assert mx <= SKEW_LINE_CAP
