@@ -1,0 +1,185 @@
+"""Third-scale checkpoint (r7 VERDICT #5): measure sf0.1 -> sf0.3 wall
+ratios for the bench's most expensive queries so the 100-TB linearity
+claims are measurements for the heavy family, not design notes.
+
+The driver's fixture generator is not in this repo (TESTDATA.md: the
+parquet at /root/testdata is driver-generated and read-only), so the
+sf0.3 input is DERIVED deterministically from the driver's sf0.1
+tables: three replicas, all entity keys shifted by r * 10_000_000 per
+replica r so every join key space triples without collisions.
+
+Replica semantics, chosen so each operator's WORK triples rather than
+its structure changing:
+- region/nation are dimensions — kept single (customers keep valid
+  n_nationkey references);
+- customer/supplier/part/orders/lineitem/events/embeddings: key
+  columns shifted, payload untouched — ratings, graphs, timelines and
+  vector sets replicate 3x with disjoint keys;
+- documents: doc_id shifted AND every token suffixed "~r" for
+  replicas 1/2 — replicas share no shingles, so the near-duplicate
+  cluster structure replicates instead of every doc gaining two
+  cross-replica near-twins (which would triple dup DENSITY, a
+  different corpus, not a bigger one).
+
+The derived tables live under .scale/sf0.3_derived/ (gitignored;
+regenerate with --gen).  Results go to SCALE_CHECKPOINT.json
+(committed) and are summarized in SCALE.md.  This is a TIMING fixture:
+correctness at sf0.3 is covered by each query's invariants elsewhere,
+not by oracle hashes here.
+
+Usage:
+    python scale_checkpoint.py --gen    # build .scale/sf0.3_derived
+    python scale_checkpoint.py --run    # measure + write artifact
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
+
+SRC = os.environ.get("SPARK_GRAFT_SCALE_SRC", "/root/testdata/sf0.1")
+DST = os.path.join(HERE, ".scale", "sf0.3_derived")
+OFFSET = 10_000_000
+N_REPLICAS = 3
+
+# int64 key columns to shift per table (dims region/nation excluded)
+KEY_COLS = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+# the bench's top-10 most expensive queries (bench_queries.json, r7)
+TOP_QUERIES = [
+    "q_antidote_loop",
+    "q_als_warmstart_refit",
+    "q_graph_pagerank",
+    "q_stream_dedup_stateful",
+    "q_ivfpq_topk",
+    "q_stream_pattern_match",
+    "q_minhash_lsh",
+    "q_stream_python_source",
+    "q_slopeone_rmse",
+    "q_stream_outer_join",
+]
+
+
+def gen() -> None:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    os.makedirs(DST, exist_ok=True)
+    for t in ["region", "nation"]:
+        pq.write_table(pq.read_table(f"{SRC}/{t}.parquet"), f"{DST}/{t}.parquet")
+        print(f"gen: {t} copied (dimension, single copy)", flush=True)
+    for t, keys in KEY_COLS.items():
+        base = pq.read_table(f"{SRC}/{t}.parquet")
+        reps = []
+        for r in range(N_REPLICAS):
+            tab = base
+            for k in keys:
+                idx = tab.schema.get_field_index(k)
+                tab = tab.set_column(
+                    idx, k, pc.add(tab.column(k), r * OFFSET)
+                )
+            if t == "documents" and r > 0:
+                suffix = f"~{r}"
+                texts = [
+                    " ".join(tok + suffix for tok in s.split(" "))
+                    for s in tab.column("text").to_pylist()
+                ]
+                idx = tab.schema.get_field_index("text")
+                tab = tab.set_column(idx, "text", pa.array(texts, pa.string()))
+                # n_chars tracks the suffixed text
+                idx = tab.schema.get_field_index("n_chars")
+                tab = tab.set_column(
+                    idx, "n_chars", pa.array([len(s) for s in texts], pa.int64())
+                )
+            reps.append(tab)
+        out = pa.concat_tables(reps)
+        pq.write_table(out, f"{DST}/{t}.parquet")
+        print(f"gen: {t} {base.num_rows} -> {out.num_rows} rows", flush=True)
+
+
+def run() -> None:
+    import __spark_entry__ as entrymod
+    from antidote_data_framework_spark.session import (
+        clear_derived_caches,
+        get_spark,
+    )
+    from antidote_data_framework_spark.sources import load_table
+    from pyspark.sql import types as T
+
+    arrow_unfriendly = (T.ArrayType, T.MapType, T.StructType)
+    spark = get_spark("scale-checkpoint")
+    qs = entrymod.queries()
+    n_runs = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "2"))
+
+    def run_once(name: str, sf_dir: str) -> float:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        if any(isinstance(f.dataType, arrow_unfriendly) for f in df.schema.fields):
+            df.collect()
+        else:
+            df.toPandas()
+        return time.time() - t0
+
+    results: dict[str, dict] = {}
+    for sf_name, sf_dir in [("sf0.1", SRC), ("sf0.3", DST)]:
+        load_table(spark, sf_dir, "lineitem").count()  # footer warm-up
+        for name in TOP_QUERIES:
+            best = None
+            for _ in range(n_runs):
+                clear_derived_caches(spark)
+                try:
+                    sec = run_once(name, sf_dir)
+                except Exception as exc:
+                    print(f"{sf_name}: {name} FAILED: {exc}", flush=True)
+                    sec = -1.0
+                    break
+                best = sec if best is None else min(best, sec)
+            results.setdefault(name, {})[sf_name] = (
+                round(best, 2) if best is not None else -1.0
+            )
+            print(f"{sf_name}: {name} {results[name][sf_name]}s", flush=True)
+
+    for name, r in results.items():
+        a, b = r.get("sf0.1", -1), r.get("sf0.3", -1)
+        r["ratio"] = round(b / a, 2) if a and a > 0 and b > 0 else None
+
+    doc = {
+        "src": SRC,
+        "derived": DST,
+        "replicas": N_REPLICAS,
+        "runs_per_point": n_runs,
+        "note": "min-of-runs wall seconds; 3x data -> linear operator "
+        "expects ratio <= ~3 (streaming queries carry a fixed "
+        "micro-batch + checkpoint floor, so their ratios read BELOW "
+        "the data ratio)",
+        "queries": results,
+    }
+    out = os.path.join(HERE, "SCALE_CHECKPOINT.json")
+    with open(out, "w") as f:
+        json.dump(doc, f, indent=1)
+    print(json.dumps({k: v.get("ratio") for k, v in results.items()}))
+    print(f"wrote {out}", flush=True)
+
+
+if __name__ == "__main__":
+    if "--gen" in sys.argv:
+        gen()
+    if "--run" in sys.argv:
+        run()
+    if len(sys.argv) == 1:
+        print(__doc__)
