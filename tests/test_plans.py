@@ -255,20 +255,43 @@ def test_python_fold_stage_keeps_parallelism(spark):
     bench_dir = "/root/testdata/sf0.1"
     if not os.path.isdir(bench_dir):
         pytest.skip("bench fixtures absent")
-    from antidote_data_framework_spark.operators.timeseries import _holt_fold
     from antidote_data_framework_spark.sources import load_table
+
+    def _per_key_count(pdf):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {"user_id": [int(pdf["user_id"].iloc[0])], "n": [len(pdf)]}
+        )
 
     ev = load_table(spark, bench_dir, "events").select(
         "user_id", "ts", "event_id", "value"
     )
     folded = ev.groupBy("user_id").applyInPandas(
-        _holt_fold,
-        "user_id bigint, n_events bigint, level double, trend double, "
-        "forecast_1 double",
+        _per_key_count, "user_id bigint, n bigint"
     )
     folded.collect()  # materialize so AQE fixes the stage partitioning
     n = folded.rdd.getNumPartitions()
     assert n > 4, f"Python fold stage coalesced to {n} partition(s)"
+    # the production holt FOLD stage (mapInPandas over
+    # repartition(user), before the final tiny-output orderBy — which
+    # legitimately coalesces ~1.5k rows to one partition) must keep
+    # the same fan-out guarantee
+    from antidote_data_framework_spark.operators.timeseries import (
+        _holt_stream_fold,
+    )
+
+    hp = (
+        ev.repartition("user_id")
+        .sortWithinPartitions("user_id", "ts", "event_id")
+        .mapInPandas(
+            _holt_stream_fold,
+            "user_id bigint, n_events bigint, level double, trend double, "
+            "forecast_1 double",
+        )
+    )
+    hp.collect()
+    assert hp.rdd.getNumPartitions() > 4
 
 
 def test_chunk_rewrite_plan_shape(spark, sf_dir):
