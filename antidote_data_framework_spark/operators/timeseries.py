@@ -488,7 +488,40 @@ def _holt_stream_fold(batches):
         yield pd.DataFrame(out)
 
 
-@spark_query("q_holt_linear")  # rows-only: sequential coupled recurrence
+# Recursive-CTE replay of the Holt fold (upgrades the pair from
+# rows-only to hash-matched): the recurrence is fixed-order IEEE
+# arithmetic, so DuckDB stepping rn -> rn+1 per user computes the SAME
+# doubles — the constants are written as the identical expressions the
+# Python kernel evaluates (0.3, 1.0 - 0.3, …), never pre-folded
+# decimals, because double(1.0-0.3) != double(0.7).
+_HOLT_ORACLE = """
+WITH RECURSIVE ev AS (
+  SELECT user_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+mx AS (SELECT user_id, MAX(rn) AS n FROM ev GROUP BY user_id),
+fold(user_id, rn, level, trend) AS (
+  SELECT user_id, CAST(1 AS BIGINT), value, CAST(0.0 AS DOUBLE)
+  FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT f.user_id, f.rn + 1,
+         0.3 * e.value + (1.0 - 0.3) * (f.level + f.trend),
+         0.1 * ((0.3 * e.value + (1.0 - 0.3) * (f.level + f.trend)) - f.level)
+           + (1.0 - 0.1) * f.trend
+  FROM fold f JOIN ev e ON e.user_id = f.user_id AND e.rn = f.rn + 1
+)
+SELECT f.user_id,
+       m.n AS n_events,
+       ROUND(f.level, 6) AS level,
+       ROUND(f.trend, 6) AS trend,
+       ROUND(f.level + f.trend, 6) AS forecast_1
+FROM fold f JOIN mx m ON m.user_id = f.user_id AND f.rn = m.n
+ORDER BY f.user_id
+"""
+
+
+@spark_query("q_holt_linear", oracle=_HOLT_ORACLE)
 def q_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holt double-exponential smoothing (level + linear trend) per
     user over the event-value series — the forecasting layer above
@@ -674,7 +707,7 @@ def holt_linear_chunked(
     ).orderBy("user_id")
 
 
-@spark_query("q_holt_linear_chunked")  # rows-only: sequential coupled recurrence
+@spark_query("q_holt_linear_chunked", oracle=_HOLT_ORACLE)
 def q_holt_linear_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q_holt_linear via the chunked partial-fold (chunk_size=256 — a
     few passes at bench SFs); output identical to q_holt_linear row
@@ -730,7 +763,32 @@ def ewma_recurrence_chunked(
     ).orderBy("user_id")
 
 
-@spark_query("q_ewma_recurrence_chunked")  # rows-only: sequential recurrence
+# Recursive-CTE replay of the unbounded EWMA fold — same upgrade as
+# _HOLT_ORACLE.  The cents quantization (pandas .round(0), half-even)
+# and DuckDB's ROUND(x, 0) agree on the fixtures because value*100
+# never lands on an exact binary .5 tie; the recurrence itself is the
+# identical (c + s) / 2.0 double op.
+_EWMA_CHUNKED_ORACLE = """
+WITH RECURSIVE ev AS (
+  SELECT user_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+mx AS (SELECT user_id, MAX(rn) AS n FROM ev GROUP BY user_id),
+fold(user_id, rn, s) AS (
+  SELECT user_id, CAST(1 AS BIGINT), ROUND(value * 100, 0)
+  FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT f.user_id, f.rn + 1, (ROUND(e.value * 100, 0) + f.s) / 2.0
+  FROM fold f JOIN ev e ON e.user_id = f.user_id AND e.rn = f.rn + 1
+)
+SELECT f.user_id, m.n AS n_events, ROUND(f.s, 6) AS ewma_cents
+FROM fold f JOIN mx m ON m.user_id = f.user_id AND f.rn = m.n
+ORDER BY f.user_id
+"""
+
+
+@spark_query("q_ewma_recurrence_chunked", oracle=_EWMA_CHUNKED_ORACLE)
 def q_ewma_recurrence_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unbounded per-user EWMA (streaming-twin semantics) as a chunked
     batch partial-fold; one row per user (n_events, ewma_cents)."""

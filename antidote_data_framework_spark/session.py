@@ -31,8 +31,9 @@ def get_spark(app_name: str = "antidote_data_framework_spark") -> SparkSession:
         # AQE's coalescing floor models cost as BYTES, which is right
         # for JVM stages and wrong for CPU-bound stages over small-byte
         # rows: the 2 MB events shuffle coalesced to 1-2 partitions, so
-        # per-key Python folds (applyInPandas Holt/EWMA) and iterative
-        # join loops (PageRank) ran on 2 of 32 cores.  A 64k floor lets
+        # per-key Python folds (the mapInPandas Holt stream-fold, the
+        # applyInPandas chunked carries) and iterative join loops
+        # (PageRank) ran on 2 of 32 cores.  A 64k floor lets
         # tiny-byte/CPU-heavy stages keep their parallelism (measured:
         # q_holt_linear 6.5->2.6 s, q_graph_pagerank 7.2->2.8 s at
         # sf0.1); large shuffles still coalesce toward the 64 MB
