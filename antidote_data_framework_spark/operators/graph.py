@@ -87,6 +87,20 @@ def cap_order_lines(li: DataFrame, cap: int = SKEW_LINE_CAP) -> DataFrame:
     )
 
 
+def cap_distinct_items(items: DataFrame, cap: int = SKEW_LINE_CAP) -> DataFrame:
+    """First-`cap` DISTINCT items per order (by item id) — the same
+    giant-order guard as ``cap_order_lines`` for builds that pair
+    distinct (ok, item) tuples instead of raw lines
+    (q_market_basket_lift).  Distinct items are unique per order, so
+    the single-column order is already deterministic."""
+    w = Window.partitionBy("ok").orderBy("item")
+    return (
+        items.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )
+
+
 def _pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(cached) directed co-purchase pair counts: parts appearing in
     the same order, weighted by co-occurrence count.  The self-join is
@@ -507,9 +521,15 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @spark_query(
     "q_market_basket_lift",
-    oracle="""
-WITH items AS (
-  SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem
+    oracle=f"""
+WITH ranked AS (
+  SELECT l_orderkey AS ok, l_partkey AS item,
+         ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_partkey)
+           AS rn
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+),
+items AS (
+  SELECT ok, item FROM ranked WHERE rn <= {SKEW_LINE_CAP}
 ),
 tot AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM items),
 freq AS (SELECT item, COUNT(*) AS c FROM items GROUP BY item),
@@ -539,14 +559,21 @@ def q_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of statistically).
 
     Scale shape: the pair fan-out is per-order and bounded by basket
-    size (~7 lines), so the self-join explodes O(orders·basket²), not
-    O(items²); min-support prunes before the frequency joins, and the
+    size — ENFORCED, not assumed: the same SKEW_LINE_CAP guard as the
+    graph pair build keeps the CAP lowest distinct items per order, so
+    the self-join explodes O(orders·CAP²) even against a pathological
+    giant basket (identity on the ≤7-line fixtures, mirrored in the
+    oracle); min-support prunes before the frequency joins, and the
     final ranking is a bounded TakeOrdered(50).  Lift is an exact
     integer rational converted to double once — identical in both
     engines, so even the tie-broken top-50 cut hash-matches.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("item")).distinct()
+    items = cap_distinct_items(
+        li.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("item")
+        ).distinct()
+    )
     total = items.agg(F.countDistinct("ok").alias("n_orders"))
     freq = items.groupBy("item").agg(F.count(F.lit(1)).alias("c"))
     a, b = items.alias("a"), items.alias("b")

@@ -21,7 +21,7 @@ from .reshape import register_views
 # as q_graph_triangles) from the smallest part id: per reachable node
 # within 3 hops, the hop distance and the number of distinct walks.
 # Shared recursion body; {edges} is the materialized edge relation —
-# a temp view over a checkpointed DataFrame on the Spark side (the
+# a temp view over a persisted DataFrame on the Spark side (the
 # recursive executor re-evaluates every referenced plan PER STEP, so
 # an inline 600k-row self-join CTE would be rebuilt each iteration —
 # measured 15-24 s vs ~3 s materialized), the inline CTE on the
@@ -82,7 +82,7 @@ def q_recursive_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-loop label propagation the engine also ships."""
     register_views(spark, sf_dir)
     # Same support>=2 edge relation as q_graph_triangles — ride the
-    # session-wide checkpointed build instead of re-deriving it from
+    # session-wide persisted build instead of re-deriving it from
     # SQL (the DataFrame and the _EDGE_CTE text define identical
     # content; the oracle keeps the inline CTE).
     from .graph import support2_edges

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from antidote_data_framework_spark.operators.graph import (
     SKEW_LINE_CAP,
+    cap_distinct_items,
     cap_order_lines,
 )
 from antidote_data_framework_spark.sources import load_table
@@ -63,6 +64,22 @@ def test_cap_handles_duplicate_linenumbers(spark):
     )
     got = sorted(r["l_partkey"] for r in cap_order_lines(li).collect())
     assert got == list(range(SKEW_LINE_CAP))
+
+
+def test_distinct_items_cap_bounds_market_basket(spark):
+    """The market-basket variant of the cap: a 100-distinct-item giant
+    basket keeps its SKEW_LINE_CAP lowest item ids; normal baskets are
+    untouched."""
+    rows = [(1, 200 + i) for i in range(100)] + [(2, 7), (2, 9)]
+    items = spark.createDataFrame(rows, "ok BIGINT, item BIGINT")
+    capped = cap_distinct_items(items)
+    counts = {
+        r["ok"]: r["c"]
+        for r in capped.groupBy("ok").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    assert counts == {1: SKEW_LINE_CAP, 2: 2}
+    surv = sorted(r["item"] for r in capped.filter("ok = 1").collect())
+    assert surv == [200 + i for i in range(SKEW_LINE_CAP)]
 
 
 def test_cap_is_identity_on_fixture(spark, sf_dir):
