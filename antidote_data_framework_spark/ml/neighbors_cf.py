@@ -42,7 +42,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.hints import broadcast_small as bcast
+from ..functions.hints import broadcast_bounded, broadcast_small as bcast
 
 from ..registry import spark_query
 from .recsys_data import RATINGS_CTE, ratings_df
@@ -370,6 +370,12 @@ def q_slopeone_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
         # with the same declared semantics (pairs need >= MIN_CO
         # co-raters to enter the model).
         .filter(F.col("c") >= MIN_CO)
+        # the aggregated model table is item-pair-sized (2.5k rows at
+        # sf0.1, 22k at the 9x scale fixture) — cache it so the item-
+        # coverage prune below and the scoring join don't re-run the
+        # 70M-row pair shuffle twice; dropped in clear_derived_caches'
+        # catalog sweep
+        .cache()
     )
     dev_r = tri.select(
         F.col("lo").alias("dev_j"),
@@ -384,10 +390,30 @@ def q_slopeone_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c",
         )
     )
+    # Item-coverage prune (found by the r8 9x scale checkpoint, where
+    # the un-pruned fan-out made this query 17.8x on 9x data): the
+    # te⋈tr user join fans out |te|·(train items/user) rows, but only
+    # rows whose items appear in the dev model can survive the dev
+    # join — and the model's item set is tiny (the MIN_CO floor keeps
+    # only popular pairs; its lo/hi item sets are identical by
+    # symmetry).  Semi-joining BOTH sides against that set first is a
+    # pure inner-join prune (identical results, oracle hash unchanged)
+    # that shrinks the fan-out before it is materialized.
+    dev_items = tri.select(F.col("lo").alias("item_id")).unionAll(
+        tri.select(F.col("hi").alias("item_id"))
+    ).distinct()
+    # measured-bound broadcast (repo hint discipline): the count action
+    # also fills tri's cache, which the scoring join reads next — one
+    # pair shuffle total; beyond the row limit the planner picks and
+    # the prune still applies as a shuffled semi join.
+    n_dev_items = dev_items.count()
+    dev_items_b = broadcast_bounded(dev_items, n_dev_items)
+    te_cov = te.join(dev_items_b, "item_id", "left_semi")
+    tr_cov = tr.join(dev_items_b, "item_id", "left_semi")
     pred = (
-        te.alias("te")
-        .join(tr.select(F.col("user_id"), F.col("item_id").alias("tr_i"),
-                        F.col("r").alias("r_ui")), "user_id")
+        te_cov.alias("te")
+        .join(tr_cov.select(F.col("user_id"), F.col("item_id").alias("tr_i"),
+                            F.col("r").alias("r_ui")), "user_id")
         .join(dev_r, (F.col("dev_j") == F.col("te.item_id"))
               & (F.col("dev_i") == F.col("tr_i")))
         .groupBy("te.user_id", "te.item_id", "te.r")

@@ -283,7 +283,16 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     books: list[np.ndarray] = []
     for i in range(PQ_M):
         coded = models[i].transform(coded)
-        books.append(np.vstack(models[i].clusterCenters()))  # k x subdim
+        b = np.vstack(models[i].clusterCenters())  # k_eff x subdim
+        if b.shape[0] < PQ_K:
+            # KMeans returns FEWER than k centers when duplicate points
+            # collapse a cluster (hit at the 9x replicated scale
+            # fixture: one subspace came back with 15 books, so the
+            # flat 16-stride LUT was 127 doubles and misaligned).  Pad
+            # to the fixed stride — codes come from the same model, so
+            # padded slots are never indexed.
+            b = np.vstack([b, np.repeat(b[-1:], PQ_K - b.shape[0], axis=0)])
+        books.append(b)
 
     # per-probed-cell flat LUT (8 x 16 = 128 doubles): ADC terms for
     # the query's residual against THAT cell

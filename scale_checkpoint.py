@@ -27,9 +27,15 @@ regenerate with --gen).  Results go to SCALE_CHECKPOINT.json
 correctness at sf0.3 is covered by each query's invariants elsewhere,
 not by oracle hashes here.
 
+A second derived point (sf0.9, nine replicas) turns the single ratio
+into a growth curve: wall(1x) -> wall(3x) -> wall(9x) per query.
+
 Usage:
-    python scale_checkpoint.py --gen    # build .scale/sf0.3_derived
-    python scale_checkpoint.py --run    # measure + write artifact
+    python scale_checkpoint.py --gen           # build sf0.3_derived
+    python scale_checkpoint.py --gen sf0.9     # build sf0.9_derived
+    python scale_checkpoint.py --run           # measure sf0.1 + sf0.3
+    python scale_checkpoint.py --run sf0.9     # add the sf0.9 point
+                                               # (merges into artifact)
 """
 
 from __future__ import annotations
@@ -43,9 +49,12 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, HERE)
 
 SRC = os.environ.get("SPARK_GRAFT_SCALE_SRC", "/root/testdata/sf0.1")
-DST = os.path.join(HERE, ".scale", "sf0.3_derived")
+POINTS = {"sf0.3": 3, "sf0.9": 9}
 OFFSET = 10_000_000
-N_REPLICAS = 3
+
+
+def _dst(point: str) -> str:
+    return os.path.join(HERE, ".scale", f"{point}_derived")
 
 # int64 key columns to shift per table (dims region/nation excluded)
 KEY_COLS = {
@@ -74,19 +83,21 @@ TOP_QUERIES = [
 ]
 
 
-def gen() -> None:
+def gen(point: str) -> None:
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    os.makedirs(DST, exist_ok=True)
+    n_replicas = POINTS[point]
+    dst = _dst(point)
+    os.makedirs(dst, exist_ok=True)
     for t in ["region", "nation"]:
-        pq.write_table(pq.read_table(f"{SRC}/{t}.parquet"), f"{DST}/{t}.parquet")
-        print(f"gen: {t} copied (dimension, single copy)", flush=True)
+        pq.write_table(pq.read_table(f"{SRC}/{t}.parquet"), f"{dst}/{t}.parquet")
+        print(f"gen[{point}]: {t} copied (dimension, single copy)", flush=True)
     for t, keys in KEY_COLS.items():
         base = pq.read_table(f"{SRC}/{t}.parquet")
         reps = []
-        for r in range(N_REPLICAS):
+        for r in range(n_replicas):
             tab = base
             for k in keys:
                 idx = tab.schema.get_field_index(k)
@@ -108,11 +119,11 @@ def gen() -> None:
                 )
             reps.append(tab)
         out = pa.concat_tables(reps)
-        pq.write_table(out, f"{DST}/{t}.parquet")
-        print(f"gen: {t} {base.num_rows} -> {out.num_rows} rows", flush=True)
+        pq.write_table(out, f"{dst}/{t}.parquet")
+        print(f"gen[{point}]: {t} {base.num_rows} -> {out.num_rows} rows", flush=True)
 
 
-def run() -> None:
+def run(points: list[str]) -> None:
     import __spark_entry__ as entrymod
     from antidote_data_framework_spark.session import (
         clear_derived_caches,
@@ -135,8 +146,14 @@ def run() -> None:
             df.toPandas()
         return time.time() - t0
 
+    out_path = os.path.join(HERE, "SCALE_CHECKPOINT.json")
     results: dict[str, dict] = {}
-    for sf_name, sf_dir in [("sf0.1", SRC), ("sf0.3", DST)]:
+    if os.path.exists(out_path):  # merge new points into the artifact
+        with open(out_path) as f:
+            results = json.load(f).get("queries", {})
+
+    for sf_name in points:
+        sf_dir = SRC if sf_name == "sf0.1" else _dst(sf_name)
         load_table(spark, sf_dir, "lineitem").count()  # footer warm-up
         for name in TOP_QUERIES:
             best = None
@@ -155,31 +172,44 @@ def run() -> None:
             print(f"{sf_name}: {name} {results[name][sf_name]}s", flush=True)
 
     for name, r in results.items():
-        a, b = r.get("sf0.1", -1), r.get("sf0.3", -1)
-        r["ratio"] = round(b / a, 2) if a and a > 0 and b > 0 else None
+        base = r.get("sf0.1", -1)
+        for point, mult in POINTS.items():
+            b = r.get(point, -1)
+            r[f"ratio_{mult}x"] = (
+                round(b / base, 2) if base and base > 0 and b > 0 else None
+            )
+        r.pop("ratio", None)  # legacy single-ratio field
 
     doc = {
         "src": SRC,
-        "derived": DST,
-        "replicas": N_REPLICAS,
+        "points": {p: {"replicas": m, "dir": _dst(p)} for p, m in POINTS.items()},
         "runs_per_point": n_runs,
-        "note": "min-of-runs wall seconds; 3x data -> linear operator "
-        "expects ratio <= ~3 (streaming queries carry a fixed "
+        "note": "min-of-runs wall seconds; Nx data -> linear operator "
+        "expects ratio_Nx <= ~N (streaming queries carry a fixed "
         "micro-batch + checkpoint floor, so their ratios read BELOW "
         "the data ratio)",
         "queries": results,
     }
-    out = os.path.join(HERE, "SCALE_CHECKPOINT.json")
-    with open(out, "w") as f:
+    with open(out_path, "w") as f:
         json.dump(doc, f, indent=1)
-    print(json.dumps({k: v.get("ratio") for k, v in results.items()}))
-    print(f"wrote {out}", flush=True)
+    print(
+        json.dumps(
+            {
+                k: {kk: vv for kk, vv in v.items() if kk.startswith("ratio")}
+                for k, v in results.items()
+            }
+        )
+    )
+    print(f"wrote {out_path}", flush=True)
 
 
 if __name__ == "__main__":
-    if "--gen" in sys.argv:
-        gen()
-    if "--run" in sys.argv:
-        run()
-    if len(sys.argv) == 1:
+    args = sys.argv[1:]
+    named = [a for a in args if not a.startswith("--")]
+    if "--gen" in args:
+        for p in named or ["sf0.3"]:
+            gen(p)
+    if "--run" in args:
+        run(named or ["sf0.1", "sf0.3"])
+    if not args:
         print(__doc__)

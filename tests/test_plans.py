@@ -56,7 +56,19 @@ def test_no_python_udfs_on_oracled_paths(spark, sf_dir):
       the output comes from the JVM-side exact recount, and the
       hash-match against the direct GROUP BY oracle proves the Python
       pruning lossless."""
-    sanctioned_python = {"q_heavy_hitters", "q_source_avro_roundtrip"}
+    sanctioned_python = {
+        "q_heavy_hitters",
+        "q_source_avro_roundtrip",
+        # The r8 recurrence upgrades: per-key sequential folds ARE the
+        # operator (no JVM expression states them), and each one's
+        # recursive-CTE oracle replays the fold step by step — the
+        # hash-match proves the Python fold faithful, which is the
+        # strongest check a sequential recurrence can get.  Same
+        # category as q_heavy_hitters' proven-lossless Python stage.
+        "q_holt_linear",
+        "q_holt_linear_chunked",
+        "q_ewma_recurrence_chunked",
+    }
     # q_source_avro_roundtrip: the mapInPandas stage is the INGEST
     # CONNECTOR decoding a foreign binary format (stdlib Avro codec,
     # sources/avro_py.py) — same category as q_source_custom_pyds'
