@@ -113,6 +113,13 @@ def _stage_events(
     for k in range(n_files):
         bdir = os.path.join(tmp, f"bucket={k}")
         parts = sorted(f for f in os.listdir(bdir) if f.endswith(".parquet")) if os.path.isdir(bdir) else []
+        if not parts:
+            # A gappy event timeline (e.g. the scale fixture's
+            # decade-apart replica windows) leaves some equal-width
+            # time buckets EMPTY — fewer staged files is a valid
+            # replay, not an error.  Fixture timelines at the standard
+            # SFs are contiguous, so their staging layout is unchanged.
+            continue
         assert len(parts) == 1, f"bucket {k}: expected 1 file, got {parts}"
         src_file = os.path.join(bdir, parts[0])
         for c in range(copies):

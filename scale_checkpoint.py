@@ -12,9 +12,15 @@ Replica semantics, chosen so each operator's WORK triples rather than
 its structure changing:
 - region/nation are dimensions — kept single (customers keep valid
   n_nationkey references);
-- customer/supplier/part/orders/lineitem/events/embeddings: key
-  columns shifted, payload untouched — ratings, graphs, timelines and
-  vector sets replicate 3x with disjoint keys;
+- customer/supplier/part/orders/lineitem/embeddings: key columns
+  shifted, payload untouched — ratings, graphs and vector sets
+  replicate with disjoint keys;
+- events: keys shifted AND ts shifted by r * 3650 days — replicas
+  sharing the same days/values would make any time- or value-band
+  join's TRUE OUTPUT quadratic in the replica count (measured: the
+  binned range join went 71x on 9x data against same-day replicas —
+  an artifact of the fixture, not the plan), while disjoint days
+  replicate the workload linearly;
 - documents: doc_id shifted AND every token suffixed "~r" for
   replicas 1/2 — replicas share no shingles, so the near-duplicate
   cluster structure replicates instead of every doc gaining two
@@ -82,6 +88,33 @@ TOP_QUERIES = [
     "q_stream_outer_join",
 ]
 
+# the next tier (r8: the 9x point caught two defects in the first ten,
+# so the curve is worth extending) — run with
+#   SPARK_GRAFT_SCALE_QUERIES=tier2 python scale_checkpoint.py --run ...
+TIER2_QUERIES = [
+    "q_item_item_cosine",
+    "q_dedup_incremental",
+    "q_pq_adc_topk",
+    "q_negative_sampling",
+    "q_dedup_components",
+    "q_dedup_components_star",
+    "q_antidote_grad_sharded",
+    "q_als_train_predict",
+    "q_join_range_binned",
+    "q_simhash_neardup",
+    "q_dedup_ngram_jaccard",
+    "q_winsorize_outliers",
+]
+
+
+def _query_list() -> list[str]:
+    sel = os.environ.get("SPARK_GRAFT_SCALE_QUERIES", "top")
+    if sel == "tier2":
+        return TIER2_QUERIES
+    if sel == "all":
+        return TOP_QUERIES + TIER2_QUERIES
+    return TOP_QUERIES
+
 
 def gen(point: str) -> None:
     import pyarrow as pa
@@ -104,6 +137,14 @@ def gen(point: str) -> None:
                 tab = tab.set_column(
                     idx, k, pc.add(tab.column(k), r * OFFSET)
                 )
+            if t == "events" and r > 0:
+                # disjoint day ranges per replica (see module docstring)
+                idx = tab.schema.get_field_index("ts")
+                shifted = pc.add(
+                    tab.column("ts"),
+                    pa.scalar(r * 3650 * 86400 * 1_000_000, pa.duration("us")),
+                )
+                tab = tab.set_column(idx, "ts", shifted)
             if t == "documents" and r > 0:
                 suffix = f"~{r}"
                 texts = [
@@ -155,7 +196,7 @@ def run(points: list[str]) -> None:
     for sf_name in points:
         sf_dir = SRC if sf_name == "sf0.1" else _dst(sf_name)
         load_table(spark, sf_dir, "lineitem").count()  # footer warm-up
-        for name in TOP_QUERIES:
+        for name in _query_list():
             best = None
             for _ in range(n_runs):
                 clear_derived_caches(spark)
