@@ -21,11 +21,16 @@ The final answer is therefore EXACT and hash-matches a plain semi-join
 oracle — the Bloom pass only changes WHERE rows die (map side vs
 post-shuffle), which is the whole point at scale.
 
-Everything stays JVM-side codegen: positions are ``pmod(xxhash64(key,
-seed), m)``, the bit array is built with ``bit_or`` over shifted
-masks and carried as a broadcast one-row ``map<int,bigint>`` column
-(word index -> 64-bit word), probed with ``element_at`` + bitwise AND.
-No driver collect, no Python in the hot path.
+Everything on the DATA path stays JVM-side codegen: positions are
+``pmod(xxhash64(key, seed), m)``, the bit array is built with
+``bit_or`` over shifted masks (map-side combined to <= m/64 word
+rows), carried as a broadcast one-row dense ``array<bigint>`` column,
+and probed with O(1) array ``element_at`` + bitwise AND.  The only
+driver state is the assembled word array itself — bounded by the
+FILTER size (m/64 longs), never by the data.  (A map<int,bigint>
+carrier was tried first: Spark's MapType element_at is a linear key
+scan per lookup, which turned scale-sized filters into an O(m)
+per-probe wall — see bloom_build.)
 """
 
 from __future__ import annotations
@@ -38,32 +43,58 @@ from ..functions.hints import broadcast_small as bcast
 from ..registry import spark_query
 from ..sources import load_table
 
-_M_BITS = 1 << 17  # filter width m; ~2k 64-bit words -> trivially broadcastable
-_K_PROBES = 3  # hash functions; fpp ~ (1 - e^{-3n/m})^3
+_M_BITS_MIN = 1 << 17  # floor width; ~2k 64-bit words
+_K_PROBES = 3  # hash functions; fpp ~ (1 - e^{-kn/m})^k
+_BITS_PER_KEY = 8  # m ≈ 8n -> fpp ≈ 3% at k=3
 
 
-def _positions(key: Column) -> list[Column]:
+def sized_m_bits(n_keys: int) -> int:
+    """Filter width sized to the MEASURED key count (r8: the 9× scale
+    point showed the old fixed 2^17 width saturating — at kn/m ≈ 5 the
+    fpp is ~98%, so the prefilter pruned nothing and the 'pruned' join
+    shuffled everything.  A Bloom filter that doesn't size to n is a
+    no-op at scale).  Power of two ≥ 8 bits/key, floored at 2^17 so
+    small dim sides keep the cheap constant width; the build side is
+    (m/64)-word sparse, so a 10⁹-key set is a ~1 GiB array — at that
+    point shard the filter by key range, which composes with this
+    sizing unchanged."""
+    m = _M_BITS_MIN
+    while m < n_keys * _BITS_PER_KEY:
+        m <<= 1
+    return m
+
+
+def _positions(key: Column, m_bits: int) -> list[Column]:
     """The k bit positions of ``key``: pmod(xxhash64(key, i), m).
 
     Seeding by hashing (key, lit(i)) pairs keeps all k probes inside
     one whole-stage-codegen projection."""
     return [
-        F.pmod(F.xxhash64(key, F.lit(i)), F.lit(_M_BITS)) for i in range(_K_PROBES)
+        F.pmod(F.xxhash64(key, F.lit(i)), F.lit(m_bits)) for i in range(_K_PROBES)
     ]
 
 
-def bloom_build(df: DataFrame, key: str) -> DataFrame:
-    """One-row DataFrame with a ``bloom: map<int,bigint>`` column —
-    the bit array of ``df[key]`` as sparse 64-bit words.
+def bloom_build(df: DataFrame, key: str, m_bits: int = _M_BITS_MIN) -> DataFrame:
+    """One-row DataFrame with a ``bloom: array<bigint>`` column — the
+    DENSE bit array of ``df[key]`` as m/64 64-bit words.
 
     Shape: explode the k positions per key (narrow), groupBy word
     index with a ``bit_or`` of single-bit masks (map-side combined —
-    at most m/64 groups regardless of input size), then fold the
-    <= m/64 (word, bits) rows into one map cell.  The map is bounded
-    at 2k entries by construction, so the final single-row aggregate
-    is not a scale hazard."""
+    at most m/64 groups regardless of input size), collect the set
+    words to the driver and lay them into the dense array.  Driver
+    state is bounded by the FILTER size (m/64 longs — 2 MiB at
+    m = 2²⁴), never by the data.
+
+    Dense array, not map (r8): Spark's ``element_at`` on MapType is a
+    LINEAR SCAN of the map's key array per lookup — O(m/64) per probe,
+    which made every probe of a scale-sized filter walk ~260k entries
+    (measured 22× wall on 9× data).  Array ``element_at`` is O(1).
+
+    Pass ``m_bits = sized_m_bits(n)`` with the measured/bounded
+    build-side count — an unsized filter saturates (see
+    ``sized_m_bits``)."""
     pos = df.select(
-        F.explode(F.array(*_positions(F.col(key)))).alias("pos")
+        F.explode(F.array(*_positions(F.col(key), m_bits))).alias("pos")
     )
     # shiftleft's bit count must be a SQL expression (the Python API
     # only takes a literal int), so the mask is an expr() over the
@@ -73,15 +104,21 @@ def bloom_build(df: DataFrame, key: str) -> DataFrame:
             F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT))")
         ).alias("word")
     )
-    return words.agg(
-        F.map_from_entries(F.collect_list(F.struct("widx", "word"))).alias("bloom")
-    )
+    n_words = m_bits // 64
+    dense = [0] * n_words
+    for r in words.collect():  # <= m/64 rows by construction
+        dense[int(r["widx"])] = int(r["word"])
+    spark = df.sparkSession
+    return spark.createDataFrame([(dense,)], "bloom ARRAY<BIGINT>")
 
 
-def bloom_might_contain(bloom_name: str, key_name: str) -> Column:
+def bloom_might_contain(
+    bloom_name: str, key_name: str, m_bits: int = _M_BITS_MIN
+) -> Column:
     """True iff every probe bit of column ``key_name`` is set in the
-    map column ``bloom_name`` — the standard no-false-negative
-    membership test, as a pure codegen predicate.
+    dense array column ``bloom_name`` — the standard no-false-negative
+    membership test, as a pure codegen predicate with O(1) array
+    lookups.  ``m_bits`` must be the width the filter was built with.
 
     Takes column NAMES (not Columns): the k probes need shiftleft with
     a computed bit count, which only the SQL expression form allows;
@@ -89,11 +126,8 @@ def bloom_might_contain(bloom_name: str, key_name: str) -> Column:
     (xxhash64(key, i) with the same literal seeds)."""
     conds = []
     for i in range(_K_PROBES):
-        p = f"pmod(xxhash64({key_name}, {i}), {_M_BITS})"
-        word = (
-            f"coalesce(element_at({bloom_name}, CAST({p} / 64 AS INT)),"
-            f" CAST(0 AS BIGINT))"
-        )
+        p = f"pmod(xxhash64({key_name}, {i}), {m_bits})"
+        word = f"element_at({bloom_name}, CAST({p} / 64 AS INT) + 1)"
         mask = f"shiftleft(CAST(1 AS BIGINT), CAST(pmod({p}, 64) AS INT))"
         conds.append(f"(({word} & {mask}) != 0)")
     return F.expr(" AND ".join(conds))
@@ -135,10 +169,11 @@ def q_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     seg = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
-    bloom = bloom_build(seg, "c_custkey")
+    m_bits = sized_m_bits(seg.count())  # cheap dim-side count
+    bloom = bloom_build(seg, "c_custkey", m_bits)
     cand = (
         orders.crossJoin(bcast(bloom, "1-row bit-array map (m/64 entries)"))
-        .filter(bloom_might_contain("bloom", "o_custkey"))
+        .filter(bloom_might_contain("bloom", "o_custkey", m_bits))
         .drop("bloom")
     )
     survivors = cand.join(
@@ -179,11 +214,25 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     grams = five_grams(docs)
     eval_grams = grams.filter(F.col("doc_id") % 20 == 0).select("gram").distinct()
-    bloom = bloom_build(eval_grams, "gram")
+    # size the filter to the eval-gram count (r8: the fixed 2^17 width
+    # saturated at the 9x scale point — fpp ~98%, the prefilter pruned
+    # nothing).  The bound is Σ(tokens−4) over eval docs — an UPPER
+    # bound on distinct grams from one cheap narrow aggregate (no
+    # explode/distinct pass); oversizing only lowers the fpp.
+    n_upper = (
+        docs.filter(F.col("doc_id") % 20 == 0)
+        .agg(
+            F.sum(F.greatest(F.size(F.split("text", " ")) - 4, F.lit(0))).alias("n")
+        )
+        .first()["n"]
+        or 0
+    )
+    m_bits = sized_m_bits(int(n_upper))
+    bloom = bloom_build(eval_grams, "gram", m_bits)
     train_grams = grams.filter(F.col("doc_id") % 20 != 0)
     cand = (
         train_grams.crossJoin(bcast(bloom, "1-row bit-array map (m/64 entries)"))
-        .filter(bloom_might_contain("bloom", "gram"))
+        .filter(bloom_might_contain("bloom", "gram", m_bits))
         .drop("bloom")
     )
     return (

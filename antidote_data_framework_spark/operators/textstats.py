@@ -10,7 +10,7 @@ shuffle is the final per-doc or per-corpus aggregation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hints import broadcast_small as bcast
@@ -872,6 +872,14 @@ WINNOW_K = 3  # tokens per k-gram
 WINNOW_W = 4  # k-gram hashes per winnowing window
 WINNOW_B = 131
 WINNOW_P = 1000000007
+# Document-frequency cap on the inverted index (r8: was a docstring
+# promise, made code after the 9x scale point measured 28x wall —
+# boilerplate fingerprints shared by d docs fan the self-join out
+# d*(d-1)/2 rows EACH, quadratic in corpus growth, and carry no
+# near-dup signal).  Fixture max DF is 147 at sf0.1 (measured), so 256
+# is the identity on every standard SF and binding only under skew;
+# mirrored in the oracle.
+WINNOW_DF_CAP = 256
 
 
 @spark_query(
@@ -1006,10 +1014,15 @@ fp AS (
          ELSE list_distinct(h) END AS fps
   FROM kg
 ),
-inv AS (SELECT doc_id, UNNEST(fps) AS fpv FROM fp)
+inv AS (SELECT doc_id, UNNEST(fps) AS fpv FROM fp),
+invf AS (
+  SELECT doc_id, fpv FROM (
+    SELECT doc_id, fpv, COUNT(*) OVER (PARTITION BY fpv) AS df FROM inv
+  ) WHERE df <= {WINNOW_DF_CAP}
+)
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(COUNT(*) AS BIGINT) AS n_shared
-FROM inv a JOIN inv b ON a.fpv = b.fpv AND a.doc_id < b.doc_id
+FROM invf a JOIN invf b ON a.fpv = b.fpv AND a.doc_id < b.doc_id
 GROUP BY 1, 2
 HAVING COUNT(*) >= 2
 """,
@@ -1029,11 +1042,16 @@ def q_winnow_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the self-equi-join on fp is bucketed by construction (each
     fingerprint's posting list is tiny for natural text), and the
     >= 2 threshold is a post-join partial count.  No text bodies ever
-    shuffle; no all-pairs stage.  At 100 TB fan-out is bounded by
-    posting-list length — hot fingerprints (boilerplate) are the skew
-    knob, handled exactly like hot n-grams in
-    q_corpus_boilerplate_ngrams (drop fps with document frequency
-    above a cap before the join)."""
+    shuffle; no all-pairs stage.  Hot fingerprints (boilerplate) are
+    the skew knob: a posting list of d docs fans the join out
+    d·(d−1)/2 rows, quadratic in corpus growth, so fps with document
+    frequency > WINNOW_DF_CAP are DROPPED before the join (window
+    count over fpv — the same shuffle key the join uses, so the cap
+    reuses the join partitioning).  Identity on every standard SF
+    (fixture max DF 147 < 256, hashes unchanged); at the 9× scale
+    fixture it cut the wall from 28× to near-linear.  Mirrored in the
+    oracle; same design as q_corpus_boilerplate_ngrams' hot-n-gram
+    cap."""
     docs = load_table(spark, sf_dir, "documents")
     s = F.transform(
         F.split("text", " "),
@@ -1067,6 +1085,12 @@ def q_winnow_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.array_distinct("h"))
     inv = kg.select("doc_id", F.explode(fps).alias("fpv"))
+    wdf = Window.partitionBy("fpv")
+    inv = (
+        inv.withColumn("df", F.count(F.lit(1)).over(wdf))
+        .filter(F.col("df") <= WINNOW_DF_CAP)
+        .drop("df")
+    )
     a, b = inv.alias("a"), inv.alias("b")
     return (
         a.join(

@@ -107,12 +107,36 @@ TIER2_QUERIES = [
 ]
 
 
+# third tier: mid-cost queries across operator families (r8: tiers 1-2
+# surfaced three real defects, so breadth pays)
+TIER3_QUERIES = [
+    "q_market_basket_lift",
+    "q_graph_triangles",
+    "q_udf_surface",
+    "q_scalar_math_cond",
+    "q_agg_rollup",
+    "q_image_phash_neardup",
+    "q_bucketed_join_noshuffle",
+    "q_als_recommend_ann",
+    "q_stream_heavy_hitters",
+    "q_rollup_multires",
+    "q_join_asof",
+    "q_winnow_neardup",
+    "q_decontaminate_bloom",
+    "q_embed_quantize",
+    "q_conformal_interval",
+    "q_glm_logreg_irls",
+]
+
+
 def _query_list() -> list[str]:
     sel = os.environ.get("SPARK_GRAFT_SCALE_QUERIES", "top")
     if sel == "tier2":
         return TIER2_QUERIES
+    if sel == "tier3":
+        return TIER3_QUERIES
     if sel == "all":
-        return TOP_QUERIES + TIER2_QUERIES
+        return TOP_QUERIES + TIER2_QUERIES + TIER3_QUERIES
     return TOP_QUERIES
 
 
