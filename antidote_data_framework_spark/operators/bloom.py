@@ -74,9 +74,16 @@ def _positions(key: Column, m_bits: int) -> list[Column]:
     ]
 
 
-def bloom_build(df: DataFrame, key: str, m_bits: int = _M_BITS_MIN) -> DataFrame:
-    """One-row DataFrame with a ``bloom: array<bigint>`` column — the
-    DENSE bit array of ``df[key]`` as m/64 64-bit words.
+def bloom_build(df: DataFrame, key: str, m_bits: int) -> DataFrame:
+    """One-row DataFrame with ``bloom: array<bigint>`` (the DENSE bit
+    array of ``df[key]`` as m/64 64-bit words) and ``m_bits: bigint``
+    — the width is CARRIED with the filter so the probe side reads it
+    from the row instead of trusting a caller-repeated constant
+    (r8 ADVICE: a build/probe width mismatch silently computes probe
+    positions mod the wrong m — element_at past the array end yields
+    NULL, the AND nulls out, and matching rows are DROPPED: false
+    negatives with no error).  ``m_bits`` is required — size it with
+    ``sized_m_bits(n)``.
 
     Shape: explode the k positions per key (narrow), groupBy word
     index with a ``bit_or`` of single-bit masks (map-side combined —
@@ -109,16 +116,20 @@ def bloom_build(df: DataFrame, key: str, m_bits: int = _M_BITS_MIN) -> DataFrame
     for r in words.collect():  # <= m/64 rows by construction
         dense[int(r["widx"])] = int(r["word"])
     spark = df.sparkSession
-    return spark.createDataFrame([(dense,)], "bloom ARRAY<BIGINT>")
+    return spark.createDataFrame(
+        [(dense, m_bits)], "bloom ARRAY<BIGINT>, m_bits BIGINT"
+    )
 
 
 def bloom_might_contain(
-    bloom_name: str, key_name: str, m_bits: int = _M_BITS_MIN
+    bloom_name: str, key_name: str, m_bits_name: str = "m_bits"
 ) -> Column:
     """True iff every probe bit of column ``key_name`` is set in the
     dense array column ``bloom_name`` — the standard no-false-negative
     membership test, as a pure codegen predicate with O(1) array
-    lookups.  ``m_bits`` must be the width the filter was built with.
+    lookups.  The filter width is read from the CARRIED ``m_bits``
+    column (bloom_build writes it), so build and probe cannot disagree
+    — the width is data, not a constant repeated at two call sites.
 
     Takes column NAMES (not Columns): the k probes need shiftleft with
     a computed bit count, which only the SQL expression form allows;
@@ -126,7 +137,7 @@ def bloom_might_contain(
     (xxhash64(key, i) with the same literal seeds)."""
     conds = []
     for i in range(_K_PROBES):
-        p = f"pmod(xxhash64({key_name}, {i}), {m_bits})"
+        p = f"pmod(xxhash64({key_name}, {i}), {m_bits_name})"
         word = f"element_at({bloom_name}, CAST({p} / 64 AS INT) + 1)"
         mask = f"shiftleft(CAST(1 AS BIGINT), CAST(pmod({p}, 64) AS INT))"
         conds.append(f"(({word} & {mask}) != 0)")
@@ -172,9 +183,9 @@ def q_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     m_bits = sized_m_bits(seg.count())  # cheap dim-side count
     bloom = bloom_build(seg, "c_custkey", m_bits)
     cand = (
-        orders.crossJoin(bcast(bloom, "1-row bit-array map (m/64 entries)"))
-        .filter(bloom_might_contain("bloom", "o_custkey", m_bits))
-        .drop("bloom")
+        orders.crossJoin(bcast(bloom, "1-row bit-array (m/64 words)"))
+        .filter(bloom_might_contain("bloom", "o_custkey"))
+        .drop("bloom", "m_bits")
     )
     survivors = cand.join(
         seg, cand.o_custkey == seg.c_custkey, "left_semi"
@@ -231,9 +242,9 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     bloom = bloom_build(eval_grams, "gram", m_bits)
     train_grams = grams.filter(F.col("doc_id") % 20 != 0)
     cand = (
-        train_grams.crossJoin(bcast(bloom, "1-row bit-array map (m/64 entries)"))
-        .filter(bloom_might_contain("bloom", "gram", m_bits))
-        .drop("bloom")
+        train_grams.crossJoin(bcast(bloom, "1-row bit-array (m/64 words)"))
+        .filter(bloom_might_contain("bloom", "gram"))
+        .drop("bloom", "m_bits")
     )
     return (
         cand.join(eval_grams, "gram")

@@ -606,11 +606,12 @@ def q_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @spark_query(
     "q_link_prediction_adamic",
-    oracle="""
-WITH und AS (
+    oracle=f"""
+WITH {_CAPPED_LINES_SQL},
+und AS (
   SELECT LEAST(a.l_partkey, b.l_partkey) AS u,
          GREATEST(a.l_partkey, b.l_partkey) AS v
-  FROM lineitem a JOIN lineitem b
+  FROM capped a JOIN capped b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
   GROUP BY 1, 2
   HAVING COUNT(*) >= 2

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..registry import spark_query
+from .graph import _CAPPED_LINES_SQL
 from .reshape import register_views
 
 # BFS over the supported co-purchase graph (same support>=2 edge rule
@@ -26,10 +27,14 @@ from .reshape import register_views
 # an inline 600k-row self-join CTE would be rebuilt each iteration —
 # measured 15-24 s vs ~3 s materialized), the inline CTE on the
 # DuckDB side (DuckDB materializes WITH members once).
+# The self-join reads the SKEW_LINE_CAP-capped lines (graph.py) — the
+# Spark side consumes support2_edges, which is built from the capped
+# pair table, so the oracle must mirror the cap or the two sides
+# diverge on any order with more than SKEW_LINE_CAP lines.
 _EDGE_CTE = """
   SELECT LEAST(a.l_partkey, b.l_partkey) AS u,
          GREATEST(a.l_partkey, b.l_partkey) AS v
-  FROM lineitem a JOIN lineitem b
+  FROM capped a JOIN capped b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
   GROUP BY 1, 2
   HAVING COUNT(*) >= 2
@@ -59,8 +64,11 @@ GROUP BY node
 ORDER BY hops, node
 """
 
+# Non-recursive members (capped, und) are legal inside a WITH RECURSIVE
+# list in both engines; only `reach` recurses.
 _RECURSIVE_BFS_ORACLE = (
-    "WITH RECURSIVE und AS (" + _EDGE_CTE + "),\n"
+    "WITH RECURSIVE " + _CAPPED_LINES_SQL + ",\n"
+    "und AS (" + _EDGE_CTE + "),\n"
     + _BFS_BODY.format(edges="und")
 )
 

@@ -574,6 +574,7 @@ def _holt_fold_carry(pdf):
     the same fixed-order loop as ``_holt_stream_fold`` — a chunk boundary
     only moves where the Python loop pauses, so the chunked fold is
     bit-identical to the single-pass fold (test-pinned)."""
+    import numpy as np
     import pandas as pd
 
     pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
@@ -721,13 +722,17 @@ def _ewma_fold_carry(pdf):
     (stream_queries.q_stream_ewma_stateful) — s = c if first else
     (c + s)/2 over cents — so batch-chunked, batch-unchunked, and the
     streaming state machine all land on bit-identical finals."""
+    import numpy as np
     import pandas as pd
 
     pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
     c0 = pdf["carry_n_events"].iloc[0]
     n = int(c0) if pd.notna(c0) else 0
     s = float(pdf["carry_ewma_cents"].iloc[0]) if n > 0 else 0.0
-    for c in (pdf["value"] * 100).round(0):
+    # floor(x*100 + 0.5): tie-free half-away quantization, the same
+    # IEEE expression the oracle's FLOOR(value * 100 + 0.5) evaluates
+    # (pandas .round is half-EVEN — divergent exactly on binary .5 ties)
+    for c in np.floor(pdf["value"].to_numpy() * 100 + 0.5):
         c = float(c)
         s = c if n == 0 else (c + s) / 2.0
         n += 1
@@ -764,10 +769,12 @@ def ewma_recurrence_chunked(
 
 
 # Recursive-CTE replay of the unbounded EWMA fold — same upgrade as
-# _HOLT_ORACLE.  The cents quantization (pandas .round(0), half-even)
-# and DuckDB's ROUND(x, 0) agree on the fixtures because value*100
-# never lands on an exact binary .5 tie; the recurrence itself is the
-# identical (c + s) / 2.0 double op.
+# _HOLT_ORACLE.  The cents quantization is FLOOR(value * 100 + 0.5) in
+# BOTH engines — tie-free by construction (identical IEEE ops), unlike
+# the earlier pandas .round(0) (half-even) vs DuckDB ROUND (half-away)
+# pairing, which agreed only while no fixture value*100 landed on a
+# representable .5 tie; the recurrence itself is the identical
+# (c + s) / 2.0 double op.
 _EWMA_CHUNKED_ORACLE = """
 WITH RECURSIVE ev AS (
   SELECT user_id, value,
@@ -776,10 +783,10 @@ WITH RECURSIVE ev AS (
 ),
 mx AS (SELECT user_id, MAX(rn) AS n FROM ev GROUP BY user_id),
 fold(user_id, rn, s) AS (
-  SELECT user_id, CAST(1 AS BIGINT), ROUND(value * 100, 0)
+  SELECT user_id, CAST(1 AS BIGINT), FLOOR(value * 100 + 0.5)
   FROM ev WHERE rn = 1
   UNION ALL
-  SELECT f.user_id, f.rn + 1, (ROUND(e.value * 100, 0) + f.s) / 2.0
+  SELECT f.user_id, f.rn + 1, (FLOOR(e.value * 100 + 0.5) + f.s) / 2.0
   FROM fold f JOIN ev e ON e.user_id = f.user_id AND e.rn = f.rn + 1
 )
 SELECT f.user_id, m.n AS n_events, ROUND(f.s, 6) AS ewma_cents

@@ -907,6 +907,7 @@ def q_stream_ewma_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     state is 16 bytes x |active users| in the state store; the
     recurrence never re-reads history."""
     import pandas as pd
+    import numpy as np
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     src = _stage_events(spark, sf_dir, n_files=2)
@@ -921,7 +922,9 @@ def q_stream_ewma_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         frames = [pdf for pdf in pdfs]
         if frames:
             allp = pd.concat(frames).sort_values(["ts", "event_id"])
-            for c in (allp["value"] * 100).round(0):
+            # floor(x+0.5): tie-free half-away cents, matching the
+            # batch twin's quantization (operators/timeseries.py)
+            for c in np.floor(allp["value"].to_numpy() * 100 + 0.5):
                 c = float(c)
                 s = c if n == 0 else (c + s) / 2.0
                 n += 1
@@ -968,6 +971,7 @@ def q_stream_cusum_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     trajectory is the event-time one and the plain-Python replay in
     tests/test_streaming.py matches exactly."""
     import pandas as pd
+    import numpy as np
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     src = _stage_events(spark, sf_dir, n_files=2)
@@ -985,7 +989,9 @@ def q_stream_cusum_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         frames = [pdf for pdf in pdfs]
         if frames:
             allp = pd.concat(frames).sort_values(["ts", "event_id"])
-            for c in (allp["value"] * 100).round(0):
+            # floor(x+0.5): tie-free half-away cents, matching the
+            # batch twin's quantization (operators/timeseries.py)
+            for c in np.floor(allp["value"].to_numpy() * 100 + 0.5):
                 c = float(c)
                 sp = max(0.0, sp + (c - K))
                 sn = max(0.0, sn + (K - c))

@@ -16,6 +16,7 @@ import antidote_data_framework_spark.ml  # noqa: F401  (registers ML queries)
 from antidote_data_framework_spark.operators.bloom import (
     bloom_build,
     bloom_might_contain,
+    sized_m_bits,
 )
 from antidote_data_framework_spark.sources import load_table
 
@@ -26,11 +27,11 @@ def test_bloom_no_false_negatives_and_real_pruning(spark):
     cust = load_table(spark, SF, "customer")
     orders = load_table(spark, SF, "orders")
     seg = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
-    bloom = bloom_build(seg, "c_custkey")
+    bloom = bloom_build(seg, "c_custkey", sized_m_bits(seg.count()))
     cand = (
         orders.crossJoin(F.broadcast(bloom))
         .filter(bloom_might_contain("bloom", "o_custkey"))
-        .drop("bloom")
+        .drop("bloom", "m_bits")
     )
     n_orders = orders.count()
     n_cand = cand.count()
