@@ -371,10 +371,10 @@ def q_slopeone_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
         # co-raters to enter the model).
         .filter(F.col("c") >= MIN_CO)
         # the aggregated model table is item-pair-sized (2.5k rows at
-        # sf0.1, 22k at the 9x scale fixture) — cache it so the item-
-        # coverage prune below and the scoring join don't re-run the
-        # 70M-row pair shuffle twice; dropped in clear_derived_caches'
-        # catalog sweep
+        # sf0.1, 22k at the 9x scale fixture) — cache it so the
+        # bound-measuring count and the scoring join's two dev_r
+        # branches don't re-run the 70M-row pair shuffle; dropped in
+        # clear_derived_caches' catalog sweep
         .cache()
     )
     dev_r = tri.select(
@@ -390,32 +390,33 @@ def q_slopeone_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c",
         )
     )
-    # Item-coverage prune (found by the r8 9x scale checkpoint, where
-    # the un-pruned fan-out made this query 17.8x on 9x data): the
-    # te⋈tr user join fans out |te|·(train items/user) rows, but only
-    # rows whose items appear in the dev model can survive the dev
-    # join — and the model's item set is tiny (the MIN_CO floor keeps
-    # only popular pairs; its lo/hi item sets are identical by
-    # symmetry).  Semi-joining BOTH sides against that set first is a
-    # pure inner-join prune (identical results, oracle hash unchanged)
-    # that shrinks the fan-out before it is materialized.
-    dev_items = tri.select(F.col("lo").alias("item_id")).unionAll(
-        tri.select(F.col("hi").alias("item_id"))
-    ).distinct()
-    # measured-bound broadcast (repo hint discipline): the count action
-    # also fills tri's cache, which the scoring join reads next — one
-    # pair shuffle total; beyond the row limit the planner picks and
-    # the prune still applies as a shuffled semi join.
-    n_dev_items = dev_items.count()
-    dev_items_b = broadcast_bounded(dev_items, n_dev_items)
-    te_cov = te.join(dev_items_b, "item_id", "left_semi")
-    tr_cov = tr.join(dev_items_b, "item_id", "left_semi")
+    # Model-first join order (r9, superseding the r8 semi-join prune):
+    # the un-pruned te⋈tr user join fans out |te|·(train items/user)
+    # rows — 17.8x on 9x data in the r8 scale checkpoint.  The r8 fix
+    # semi-joined both sides against the model's item set first, which
+    # restored ~linear scaling but cost a separate distinct+count
+    # action, a second broadcast, and two extra joins (~x1.6 at sf0.1,
+    # r8 VERDICT "what's wrong" #2).  Joining te to the BROADCAST dev
+    # model FIRST subsumes the prune by construction: each te row fans
+    # out only to its item's model partners (never to the user's whole
+    # train list), and the keyed (user, item) join against tr can only
+    # shrink that.  One count action total (fills tri's cache AND
+    # bounds the broadcast); measured min wall 4.9 s at sf0.1 (r8
+    # semi-join form: 6.6-8 s same session) and 4.5x on 9x data (r8
+    # form: 4.0x; un-pruned: 17.8x).  Beyond the broadcast bound the
+    # planner falls back to a shuffled join on dev_j, still keyed.
+    n_pairs = tri.count()
+    dev_b = broadcast_bounded(dev_r, 2 * n_pairs)
     pred = (
-        te_cov.alias("te")
-        .join(tr_cov.select(F.col("user_id"), F.col("item_id").alias("tr_i"),
-                            F.col("r").alias("r_ui")), "user_id")
-        .join(dev_r, (F.col("dev_j") == F.col("te.item_id"))
-              & (F.col("dev_i") == F.col("tr_i")))
+        te.alias("te")
+        .join(dev_b, F.col("dev_j") == F.col("te.item_id"))
+        .join(
+            tr.select(F.col("user_id").alias("tr_u"),
+                      F.col("item_id").alias("tr_i"),
+                      F.col("r").alias("r_ui")),
+            (F.col("te.user_id") == F.col("tr_u"))
+            & (F.col("dev_i") == F.col("tr_i")),
+        )
         .groupBy("te.user_id", "te.item_id", "te.r")
         .agg(
             F.least(
