@@ -53,3 +53,60 @@ def test_ivfpq_topk_recall_and_laws(spark, sf_dir):
     exact = [ids[i] for i in np.argsort(-sims) if ids[i] != 0][:10]
     got = {r["vec_id"] for r in rows}
     assert len(got & set(exact)) / 10 >= 0.1
+
+
+def test_ivfpq_collapsed_codebook_pad(spark, tmp_path):
+    """Pin the r8 codebook-pad fix (ml/pq.py: pad to PQ_K stride) at
+    unit scale, so it stops depending on the 9x scale harness.
+
+    Duplicate-heavy vectors make MLlib KMeans return FEWER than k
+    centers (random init de-dups its sampled seeds), and residuals
+    inside a pure-duplicate coarse cell collapse to a handful of
+    distinct points.  Before the pad, one short codebook made the
+    per-cell flat ADC LUT shorter than PQ_M*PQ_K and misaligned every
+    later subspace's offsets -- element_at crashed at index 128.  This
+    fixture (240 vectors, only 6 distinct templates) forces the
+    collapse deterministically and asserts the query still answers."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import functions as F
+
+    from antidote_data_framework_spark.ml.pq import PQ_K
+
+    rng = np.random.RandomState(7)
+    templates = rng.randn(6, 64).astype(np.float32)
+    n = 240
+    mat = templates[np.arange(n) % 6]  # exact duplicates only
+    tab = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                [row.tolist() for row in mat], pa.list_(pa.float32())
+            ),
+            "label": pa.array([i % 3 for i in range(n)], pa.int32()),
+        }
+    )
+    pq.write_table(tab, str(tmp_path / "embeddings.parquet"))
+
+    # the property the regression test RELIES on, asserted so the test
+    # can never silently stop exercising the pad path: a k=16 fit over
+    # 6 distinct points returns fewer than 16 centers
+    feats = spark.read.parquet(str(tmp_path / "embeddings.parquet")).select(
+        array_to_vector(F.col("embedding").cast("array<double>")).alias(
+            "features"
+        )
+    )
+    km = KMeans(k=PQ_K, seed=42, maxIter=10, initMode="random").fit(feats)
+    assert len(km.clusterCenters()) < PQ_K
+
+    rows = QUERIES["q_ivfpq_topk"](spark, str(tmp_path)).collect()
+    assert len(rows) == 10
+    assert all(r["vec_id"] != 0 for r in rows)
+    dists = [r["adc_dist"] for r in rows]
+    assert all(d >= 0 for d in dists) and dists == sorted(dists)
+    # 39 other rows share vec_id 0's exact template; their packed codes
+    # equal the query's own encoding, so the whole top-10 sits at one
+    # identical (near-zero) ADC distance
+    assert dists[-1] == dists[0]
