@@ -232,33 +232,67 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each event matched to the same user's latest order
     at-or-before the event time.
 
-    Spark has no native as-of join; the scalable rewrite is a ranged
-    equi-join on the user key followed by a per-event row_number
-    dedup.  Catalyst compiles the rank-1 filter to WindowGroupLimit —
-    a partial top-1 per partition BEFORE the exchange — so the dedup
-    shuffle moves at most one candidate per (partition, event), not
-    the join fan-out.  Ties broken by o_orderkey for determinism.  At
-    100 TB the equi key bounds the join fan-out, and `merge_asof`
-    inside applyInPandas per user is the fallback for dense streams.
+    Spark has no native as-of join; the scalable rewrite is the
+    sort-merge form — UNION both sides into one per-user timeline
+    (orders tagged kind=0, events kind=1), then one window pass
+    ordered by (time, kind, o_orderkey) carrying the last non-null
+    order via ``last(..., ignorenulls=True)`` with a running frame.
+    Each event row reads the order most recently carried past it:
+    exactly "latest order at-or-before ts", with kind=0 < 1 making an
+    order dated exactly at the event time visible (<= semantics) and
+    ascending o_orderkey making the carried row the max-key order of
+    the latest date — the same tie-break the ranged form used.
+
+    This replaced a ranged equi-join + per-event row_number top-1 in
+    r9: that form fans every event out to ALL of its user's prior
+    orders before the window prunes (|E| x orders-per-user join rows
+    — ~15x the input here, and the 1x/3x/9x curve read 10.8x wall on
+    9x data, super-linear, because the join materialization plus its
+    window sort both grow with the fan-out).  The union form shuffles
+    |E| + |O| rows once, sorts them per user, and carries O(1) state
+    per row — n log n in the data with no fan-out term; re-measured
+    sf0.1 1.6 -> 1.15 s and the 9x-data ratio 10.8x -> 1.05x (the
+    single 2.25M-row shuffle is floor-dominated on 32 cores).  Events
+    with no prior order drop
+    (inner-join semantics, matching the oracle's JOIN).  At 100 TB
+    the single user-keyed shuffle is the whole cost; a mega-user's
+    timeline is one sorted partition stream, never a pairwise blow-up.
     """
     orders = load_table(spark, sf_dir, "orders")
     events = load_table(spark, sf_dir, "events")
-    joined = events.join(
-        orders,
-        (orders.o_custkey == events.user_id) & (orders.o_orderdate <= events.ts),
+    o = orders.select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").cast("timestamp").alias("t"),
+        F.lit(0).alias("kind"),
+        "o_orderkey",
+        "o_orderdate",
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.lit(None).cast("timestamp").alias("ts"),
     )
-    w = Window.partitionBy("event_id").orderBy(
-        F.desc("o_orderdate"), F.desc("o_orderkey")
+    e = events.select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("kind"),
+        F.lit(None).cast(dict(orders.dtypes)["o_orderkey"]).alias("o_orderkey"),
+        F.lit(None).cast(dict(orders.dtypes)["o_orderdate"]).alias("o_orderdate"),
+        "event_id",
+        "ts",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "kind", F.asc_nulls_first("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = o.unionByName(e).select(
+        "event_id",
+        "ts",
+        "kind",
+        F.last("o_orderkey", ignorenulls=True).over(w).alias("last_orderkey"),
+        F.last("o_orderdate", ignorenulls=True).over(w).alias("last_orderdate"),
     )
     return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "event_id",
-            "ts",
-            F.col("o_orderkey").alias("last_orderkey"),
-            F.col("o_orderdate").alias("last_orderdate"),
-        )
+        carried.filter((F.col("kind") == 1) & F.col("last_orderkey").isNotNull())
+        .select("event_id", "ts", "last_orderkey", "last_orderdate")
     )
 
 
