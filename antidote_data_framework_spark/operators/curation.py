@@ -723,7 +723,13 @@ def _zlib_sizes(batches):
         )
 
 
-@spark_query("q_compression_ratio")  # rows-only: zlib has no SQL oracle
+# rows-only, surveyed for oracle upgrade r9 and kept: the output is a
+# pure function of zlib's DEFLATE byte stream (n_zlib), and DuckDB
+# ships no compress()/DEFLATE scalar — there is no SQL expression of
+# the codec, unlike the recurrence queries whose folds ARE arithmetic.
+# Determinism is instead pinned by the rows-only golden + invariance
+# tests (zlib output is fixed per (input, level) for the pinned build).
+@spark_query("q_compression_ratio")
 def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document DEFLATE compression ratio — the parameter-free
     redundancy detector every large corpus filter runs (Gopher /

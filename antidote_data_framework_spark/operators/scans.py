@@ -62,13 +62,22 @@ def q_scan_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@spark_query("q_source_csv_json_roundtrip")  # rows-only: exercises sinks
+@spark_query(
+    "q_source_csv_json_roundtrip",
+    oracle="""
+SELECT COUNT(*) AS n_csv, COUNT(*) AS n_json FROM lineitem
+""",
+)
 def q_source_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write a lineitem slice as CSV and JSON, read both back with an
     explicit schema (never inferred), return per-format row counts.
 
-    Rows-only: the sink side-effect is not SQL-expressible for the
-    oracle, but counts must equal the source slice.
+    Oracle (upgraded from rows-only, r9): the sink side-effect itself
+    is not SQL-expressible, but the query's CONTRACT is — a lossless
+    roundtrip returns exactly the source cardinality per format, so
+    ``COUNT(*) FROM lineitem`` twice IS the expected output and the
+    hash check now verifies the conservation law instead of only "ran
+    and returned a row".
     """
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
@@ -85,7 +94,18 @@ def q_source_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@spark_query("q_sink_partitioned_parquet")  # rows-only: exercises sinks
+@spark_query(
+    "q_sink_partitioned_parquet",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS n_rows,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 2) AS DOUBLE)
+         AS sum_totalprice
+FROM orders
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY o_orderpriority
+""",
+)
 def q_sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partitioned parquet sink + partition-pruned read-back.
 
@@ -93,6 +113,14 @@ def q_sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     a partition filter — the filter prunes directories, not rows
     (dynamic file listing), which is the 100 TB layout strategy for
     time/tenant-partitioned facts.
+
+    Oracle (upgraded from rows-only, r9): the write+pruned-read must
+    conserve the partition's rows and money exactly, so the expected
+    output is the same aggregate over the SOURCE table.  The sum goes
+    through the decimal-money discipline (functions/money.py rationale)
+    on both sides: the read-back's file/partition order is
+    nondeterministic, and a double sum's rounding at 2 dp would be
+    order-sensitive where a DECIMAL sum is exact.
     """
     out = _scratch_dir("orders_by_priority")
     orders = load_table(spark, sf_dir, "orders")
@@ -100,15 +128,33 @@ def q_sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.parquet(out).filter(F.col("o_orderpriority") == "1-URGENT")
     return back.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.round(F.sum("o_totalprice"), 2).alias("sum_totalprice"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(14,2)")), 2)
+        .cast("double")
+        .alias("sum_totalprice"),
     )
 
 
-@spark_query("q_source_orc_roundtrip")  # rows-only: exercises the ORC connector
+@spark_query(
+    "q_source_orc_roundtrip",
+    oracle="""
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(14,2))), 2) AS DOUBLE)
+         AS sum_acctbal
+FROM customer
+GROUP BY c_mktsegment
+""",
+)
 def q_source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write a customer slice as ORC, read it back with the explicit
     schema, and aggregate — exercises the second columnar format
     (ORC's predicate pushdown / column pruning mirror parquet's).
+
+    Oracle (upgraded from rows-only, r9): the roundtrip must conserve
+    every segment's customer count and account-balance total, so the
+    expected output is the same aggregate over the SOURCE table; sums
+    go through the decimal-money discipline on both sides because the
+    read-back's file order is nondeterministic.
 
     r4 bench drift note (VERDICT #5): sweep runs were [0.54, 0.51,
     0.25] vs r3's 0.21 s — the min still matches r3; the higher runs
@@ -123,7 +169,9 @@ def q_source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.schema("c_custkey BIGINT, c_mktsegment STRING, c_acctbal DOUBLE").orc(out)
     return back.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_customers"),
-        F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        F.round(F.sum(F.col("c_acctbal").cast("decimal(14,2)")), 2)
+        .cast("double")
+        .alias("sum_acctbal"),
     )
 
 

@@ -267,7 +267,20 @@ def _run_stream(agg: DataFrame, mode: str) -> str:
     return sink
 
 
-@spark_query("q_stream_tumbling_watermark")  # rows-only: streaming emission
+@spark_query(
+    "q_stream_tumbling_watermark",
+    oracle="""
+WITH wm AS (SELECT MAX(ts) - INTERVAL 1 HOUR AS w FROM events)
+SELECT CAST(time_bucket(INTERVAL '1 day', ts) AS TIMESTAMP)                 AS window_start,
+       CAST(time_bucket(INTERVAL '1 day', ts) + INTERVAL 1 DAY AS TIMESTAMP) AS window_end,
+       event_type,
+       COUNT(*)             AS n_events,
+       ROUND(SUM(value), 4) AS sum_value
+FROM events, wm
+WHERE time_bucket(INTERVAL '1 day', ts) + INTERVAL 1 DAY <= wm.w
+GROUP BY 1, 2, 3
+""",
+)
 def q_stream_tumbling_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of q_window_tumbling: 1-day tumbling counts per
     event type with a 1-hour watermark, append mode.
@@ -276,7 +289,20 @@ def q_stream_tumbling_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     minus 1h) passes its end — so finalized windows match the batch
     result exactly, and the trailing window stays in state (late rows
     beyond the watermark would be dropped).  The equivalence
-    assertion lives in tests/test_streaming.py."""
+    assertion lives in tests/test_streaming.py.
+
+    Oracle (upgraded from rows-only, r9): the emission law is
+    deterministic, so it IS SQL — the batch tumbling aggregate
+    restricted to windows whose end the final watermark
+    (global MAX(ts) − 1h) has passed.  Three facts make the law exact
+    for this source: (a) _stage_events buckets arrive in event-time
+    order, so no row is ever late and every finalized window equals
+    its batch twin; (b) Spark's no-data micro-batch (on by default)
+    flushes state after the last file, so the final watermark is the
+    GLOBAL max minus the delay; (c) no fixture's MAX(ts) lands within
+    1h±1ms of a day boundary (checked at all three SFs), so the <=
+    vs < boundary tie and Spark's millisecond watermark truncation
+    cannot flip a window's membership."""
     src = _stage_events(spark, sf_dir)
     stream = (
         spark.readStream.schema(_staged_schema(spark, src))
@@ -888,7 +914,26 @@ def q_stream_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@spark_query("q_stream_ewma_stateful")  # rows-only: custom streaming state
+_STREAM_EWMA_ORACLE = """
+WITH RECURSIVE ev AS (
+  SELECT user_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+mx AS (SELECT user_id, MAX(rn) AS n FROM ev GROUP BY user_id),
+fold(user_id, rn, s) AS (
+  SELECT user_id, CAST(1 AS BIGINT), FLOOR(value * 100 + 0.5)
+  FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT f.user_id, f.rn + 1, (FLOOR(e.value * 100 + 0.5) + f.s) / 2.0
+  FROM fold f JOIN ev e ON e.user_id = f.user_id AND e.rn = f.rn + 1
+)
+SELECT f.user_id, m.n AS n_events, ROUND(f.s, 4) AS ewma_cents
+FROM fold f JOIN mx m ON m.user_id = f.user_id AND f.rn = m.n
+"""
+
+
+@spark_query("q_stream_ewma_stateful", oracle=_STREAM_EWMA_ORACLE)
 def q_stream_ewma_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming EWMA (alpha = 1/2) per user with O(1) state — the
     UNBOUNDED-recurrence twin of the batch q_ewma_smooth (whose
@@ -952,7 +997,47 @@ def q_stream_ewma_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@spark_query("q_stream_cusum_stateful")  # rows-only: custom streaming state
+_STREAM_CUSUM_ORACLE = """
+WITH RECURSIVE ev AS (
+  SELECT user_id, FLOOR(value * 100 + 0.5) AS c,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+mx AS (SELECT user_id, MAX(rn) AS n FROM ev GROUP BY user_id),
+step AS (
+  SELECT user_id, rn,
+         GREATEST(0.0, c - 10000.0)  AS sp1,
+         GREATEST(0.0, 10000.0 - c)  AS sn1,
+         c
+  FROM ev
+),
+fold(user_id, rn, sp, sn, alarms) AS (
+  SELECT user_id, CAST(1 AS BIGINT),
+         CASE WHEN sp1 > 50000.0 THEN 0.0 ELSE sp1 END,
+         CASE WHEN sn1 > 50000.0 THEN 0.0 ELSE sn1 END,
+         CAST(CASE WHEN sp1 > 50000.0 THEN 1 ELSE 0 END
+            + CASE WHEN sn1 > 50000.0 THEN 1 ELSE 0 END AS BIGINT)
+  FROM step WHERE rn = 1
+  UNION ALL
+  SELECT f.user_id, f.rn + 1,
+         CASE WHEN GREATEST(0.0, f.sp + (e.c - 10000.0)) > 50000.0
+              THEN 0.0 ELSE GREATEST(0.0, f.sp + (e.c - 10000.0)) END,
+         CASE WHEN GREATEST(0.0, f.sn + (10000.0 - e.c)) > 50000.0
+              THEN 0.0 ELSE GREATEST(0.0, f.sn + (10000.0 - e.c)) END,
+         f.alarms
+           + CASE WHEN GREATEST(0.0, f.sp + (e.c - 10000.0)) > 50000.0
+                  THEN 1 ELSE 0 END
+           + CASE WHEN GREATEST(0.0, f.sn + (10000.0 - e.c)) > 50000.0
+                  THEN 1 ELSE 0 END
+  FROM fold f JOIN ev e ON e.user_id = f.user_id AND e.rn = f.rn + 1
+)
+SELECT f.user_id, m.n AS n_events,
+       ROUND(f.sp, 2) AS s_pos, ROUND(f.sn, 2) AS s_neg, f.alarms AS n_alarms
+FROM fold f JOIN mx m ON m.user_id = f.user_id AND f.rn = m.n
+"""
+
+
+@spark_query("q_stream_cusum_stateful", oracle=_STREAM_CUSUM_ORACLE)
 def q_stream_cusum_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Online CUSUM change detection per user with O(1) state — the
     STREAMING form of q_cusum_changepoint (whose batch form rewrites
