@@ -25,13 +25,19 @@ SF0001 = "/root/testdata/sf0.001"
 # Driver-facing registration order.  Round-1 lesson: the driver verifies
 # only the FIRST 50 keys in insertion order — r01 left 35 SURVEY §2 keys
 # without any correctness verdict because they registered late.  So the
-# contract keys come first: the 49 SQL-oracled §2 operators (strongest
-# check) in SURVEY §2 O-number order, then the rows-only §2 operators,
-# then the LLM-pipeline north-star extras, then everything else in
-# registration order.
+# contract keys come first: 50 SQL-oracled §2 operators (strongest
+# check) in SURVEY §2 O-number order — since the r9 oracle upgrades the
+# §2 contract has 53 SQL-oracled keys, so the window holds the first 50
+# by O-number and O-56/O-58/O-60 land just outside it (still
+# hash-verified by the committed sweeps at sf0.01 AND sf0.1, like every
+# registered key) — then the rows-only §2 operators, then the
+# LLM-pipeline north-star extras, then everything else in registration
+# order.
 CONTRACT_ORDER: list[str] = [
     # --- SQL-oracled SURVEY §2 keys (hash-checked by the driver) ---
     "q_scan_project_filter",      # O-1
+    "q_source_csv_json_roundtrip",  # O-2 (SQL since r9)
+    "q_sink_partitioned_parquet",   # O-3 (SQL since r9)
     "q_join_inner",               # O-4
     "q_join_broadcast",           # O-5
     "q_join_5way_star",           # O-6
@@ -74,22 +80,21 @@ CONTRACT_ORDER: list[str] = [
     "q_window_tumbling",          # O-48
     "q_window_sliding",           # O-49
     "q_window_session",           # O-50
+    "q_stream_tumbling_watermark",  # O-51 (SQL since r9)
+    "q_stream_dedup_stateful",    # O-52 (SQL since r9)
     "q_text_wordcount",           # O-53
     "q_text_ngrams",              # O-54
-    "q_dedup_exact",              # O-55
+    "q_dedup_exact",              # O-55 (slot 50 — last inside the window)
+    # --- SQL-oracled §2 keys just outside the 50-slot window (sweep-verified) ---
     "q_jaccard_block",            # O-56
     "q_cosine_topk",              # O-58
     "q_embed_centroids",          # O-60
     # --- rows-only SURVEY §2 keys (driver checks run + row count) ---
-    "q_agg_approx_distinct",      # O-15 (slot 50 — last inside the window)
-    "q_source_csv_json_roundtrip",  # O-2
-    "q_sink_partitioned_parquet",   # O-3
+    "q_agg_approx_distinct",      # O-15
     "q_als_train_predict",        # O-40
     "q_als_rmse_gate",            # O-41
     "q_antidote_step",            # O-42
     "q_antidote_loop",            # O-43
-    "q_stream_tumbling_watermark",  # O-51
-    "q_stream_dedup_stateful",    # O-52
     "q_minhash_lsh",              # O-57
     "q_knn_lsh",                  # O-59
     "q_kmeans_labels",            # O-61

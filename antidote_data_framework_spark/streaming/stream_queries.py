@@ -328,7 +328,17 @@ def q_stream_tumbling_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink)
 
 
-@spark_query("q_stream_dedup_stateful")  # rows-only: stateful streaming
+@spark_query(
+    "q_stream_dedup_stateful",
+    oracle="""
+WITH wm AS (SELECT MAX(ts) - INTERVAL 7 DAY AS w FROM events)
+SELECT CAST(time_bucket(INTERVAL '1 day', ts) AS TIMESTAMP) AS window_start,
+       COUNT(DISTINCT event_id) AS n_distinct_events
+FROM events, wm
+WHERE time_bucket(INTERVAL '1 day', ts) + INTERVAL 1 DAY <= wm.w
+GROUP BY 1
+""",
+)
 def q_stream_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming dedup: every time bucket is staged TWICE
     (each event arrives again as a replay one micro-batch later), and
@@ -338,7 +348,16 @@ def q_stream_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound at 100 TB/day).
 
     Emits one row per day: distinct events surviving dedup vs the 2×
-    duplicated input, proving the state machine dropped replays."""
+    duplicated input, proving the state machine dropped replays.
+
+    Oracle (upgraded from rows-only, r9 — this is SURVEY §2 O-52): the
+    emission law is SQL.  Every replay is dropped (the 7-day horizon
+    exceeds the ~6-day bucket span, so a bucket's keys are still in
+    state when its replay file arrives one micro-batch later), so
+    survivors = the DISTINCT event_ids of the source; append mode
+    then emits exactly the day windows whose end the final watermark
+    MAX(ts)−7d passed (same closure law as q_stream_tumbling_watermark,
+    with the trailing ~8 days staying in state)."""
     src = _stage_events(spark, sf_dir, copies=2, n_files=5)
     stream = (
         spark.readStream.schema(_staged_schema(spark, src))
@@ -414,7 +433,34 @@ def q_stream_custom_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@spark_query("q_stream_session_window")  # rows-only: streaming emission
+@spark_query(
+    "q_stream_session_window",
+    oracle="""
+WITH wm AS (SELECT MAX(ts) - INTERVAL 1 HOUR AS w FROM events),
+ordered AS (
+  SELECT user_id, ts, value,
+         CASE WHEN LAG(ts) OVER win IS NULL
+                OR ts - LAG(ts) OVER win >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, value,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM ordered
+)
+SELECT user_id,
+       CAST(MIN(ts) AS TIMESTAMP)                      AS session_start,
+       CAST(MAX(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+       COUNT(*)                         AS n_events,
+       ROUND(SUM(value), 4)             AS sum_value
+FROM sess, wm
+GROUP BY user_id, sess_id, wm.w
+HAVING MAX(ts) + INTERVAL 30 MINUTE <= wm.w
+""",
+)
 def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of q_window_session: per-user session windows
     with a 30-minute gap, merged incrementally as events arrive.
@@ -425,7 +471,14 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark passes a session's (gap-extended) end.  Append mode
     therefore emits exactly the closed sessions — at any scale the
     state size is bounded by open sessions within the watermark
-    horizon, not stream length."""
+    horizon, not stream length.
+
+    Oracle (upgraded from rows-only, r9): the batch gap-and-islands
+    rewrite (q_window_session's oracle) restricted to CLOSED sessions
+    — those whose gap-extended end the final watermark MAX(ts)−1h
+    passed.  In-order arrival means sessions merge exactly as in
+    batch, so the closed set is the batch session set filtered by the
+    closure law."""
     src = _stage_events(spark, sf_dir)
     stream = (
         spark.readStream.schema(_staged_schema(spark, src))
@@ -493,11 +546,23 @@ def q_stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink)
 
 
-@spark_query("q_stream_static_join")  # rows-only: streaming emission
+@spark_query(
+    "q_stream_static_join",
+    oracle="""
+SELECT c.c_mktsegment AS segment,
+       COUNT(*) AS n_events,
+       ROUND(SUM(e.value), 4) AS sum_value
+FROM events e JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY 1
+""",
+)
 def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment join: the event stream joins a static
     customer-derived dimension and aggregates per market segment in
-    complete mode.  This is THE production enrichment shape: facts
+    complete mode.  Oracle (upgraded from rows-only, r9): complete
+    mode's post-quiescence snapshot IS the batch join + aggregate —
+    no emission law needed — so the plain SQL join is the expected
+    output.  This is THE production enrichment shape: facts
     stream in, dimensions are a slowly-changing lookup; at 100 TB/day
     the only state is the running aggregate, bounded by |segments|.
 
@@ -531,7 +596,19 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink)
 
 
-@spark_query("q_stream_stream_join")  # rows-only: streaming emission
+@spark_query(
+    "q_stream_stream_join",
+    oracle="""
+SELECT CAST(date_trunc('day', c.ts) AS TIMESTAMP) AS click_day,
+       COUNT(*) AS n_attributed_pairs
+FROM events c
+JOIN events p
+  ON p.user_id = c.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 DAY
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+GROUP BY 1
+""",
+)
 def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join — click→purchase attribution: each
     'click' event joins the same user's 'purchase' events within the
@@ -541,7 +618,16 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly what the API forbids here).  Matches emit in append mode
     as both watermarks pass; the per-day rollup of the emitted pairs
     happens on the sink table and must equal the batch join twin
-    (asserted in tests/test_streaming.py)."""
+    (asserted in tests/test_streaming.py).
+
+    Oracle (upgraded from rows-only, r9): an INNER interval join's
+    matches emit as they are found, never gated on a closure law, and
+    in-order arrival plus the 1h-delay watermarks guarantee no click
+    is evicted while a purchase inside its 1-day horizon can still
+    arrive (a purchase at p_ts needs clicks ≥ p_ts − 1d; eviction only
+    removes clicks < global-min-watermark − 1d ≤ p_ts − 1h − 1d).  So
+    the emitted pair set equals the batch interval join exactly and
+    the oracle is the plain SQL twin."""
     src = _stage_events(spark, sf_dir)
     schema = _staged_schema(spark, src)
 
@@ -1126,7 +1212,25 @@ def q_stream_cusum_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@spark_query("q_stream_outer_join")  # rows-only: streaming emission
+_STREAM_OUTER_JOIN_ORACLE = """
+WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+wm AS (SELECT LEAST((SELECT MAX(ts) FROM c), (SELECT MAX(ts) FROM p))
+              - INTERVAL 1 HOUR AS w),
+m AS (SELECT DISTINCT c.event_id FROM c JOIN p ON p.user_id = c.user_id
+       AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 DAY),
+x AS (SELECT COUNT(*) AS n_expired FROM c, wm
+      WHERE c.event_id NOT IN (SELECT event_id FROM m)
+        AND c.ts + INTERVAL 1 DAY < wm.w)
+SELECT (SELECT COUNT(*) FROM c)  AS n_clicks,
+       (SELECT COUNT(*) FROM m)  AS n_matched,
+       (SELECT n_expired FROM x) AS n_expired_unmatched,
+       (SELECT COUNT(*) FROM c) - (SELECT COUNT(*) FROM m)
+         - (SELECT n_expired FROM x) AS n_retained_in_state
+"""
+
+
+@spark_query("q_stream_outer_join", oracle=_STREAM_OUTER_JOIN_ORACLE)
 def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked LEFT OUTER stream-stream join — the attribution
     twin of q_stream_stream_join that also emits the non-converting

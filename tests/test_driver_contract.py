@@ -25,12 +25,14 @@ def test_every_query_has_callable_and_oracles_are_subset(spark):
 def test_survey2_keys_registered_inside_driver_window():
     """The driver verifies only the first 50 insertion-order keys
     (r01 lesson).  Pin: all 62 SURVEY §2 contract keys come first, and
-    the first 50 slots are all SQL-oracled except the last."""
+    since the r9 oracle upgrades (O-2/O-3/O-51/O-52 now SQL) every one
+    of the 50 window slots is hash-checked — no rows-only key may
+    drift back inside the window."""
     qs = list(entrymod.queries())
     oracles = entrymod.oracle_sql()
     assert qs[:62] == entrymod.CONTRACT_ORDER[:62]
     not_oracled = [k for k in qs[:50] if k not in oracles]
-    assert not_oracled == ["q_agg_approx_distinct"]
+    assert not_oracled == []
 
 
 def test_events_queries_survive_a_conf_less_session(spark, sf_dir):
