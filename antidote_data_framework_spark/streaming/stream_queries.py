@@ -380,7 +380,13 @@ def q_stream_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink)
 
 
-@spark_query("q_stream_custom_stateful")  # rows-only: custom streaming state
+# rows-only, surveyed for oracle upgrade r9 and kept: the state fold
+# accumulates a FLOAT total via pandas .sum() (pairwise summation) per
+# batch — unlike the EWMA/CUSUM/TWS folds its op order is neither
+# sequential-scalar (CTE-replayable) nor integer-exact, so a DuckDB
+# SUM can differ at the 4-dp rounding boundary.  The batch-twin
+# equality test pins it instead.
+@spark_query("q_stream_custom_stateful")
 def q_stream_custom_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator via applyInPandasWithState:
     a per-event-type running aggregate (count + value sum)
@@ -1298,4 +1304,151 @@ def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(total), int(matched), int(expired), int(total - matched - expired))],
         "n_clicks bigint, n_matched bigint, n_expired_unmatched bigint, "
         "n_retained_in_state bigint",
+    )
+
+
+@spark_query(
+    "q_stream_transform_with_state",
+    oracle="""
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM events
+GROUP BY user_id
+""",
+)
+def q_stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running totals on Spark 4's transformWithState API
+    (SPARK-49564, the successor to applyInPandasWithState): a
+    StatefulProcessor object owns typed, NAMED state handles
+    (ValueState here) backed by the RocksDB state store, instead of
+    one opaque GroupState tuple.  State per user is two integers
+    (event count, total cents), updated per Arrow batch, emitted in
+    update mode; the final (max-count) update row per user is the
+    stream's answer.
+
+    Totals are INTEGER cents (the tie-free floor(x*100 + 0.5)
+    quantization shared with the EWMA/CUSUM folds), so the running
+    sum is exact integer arithmetic in every engine and the oracle is
+    the plain GROUP BY — no float-order caveat.
+
+    DEPENDENCY GATE: transformWithState's Python state protocol speaks
+    protobuf to a driver-side state server, and this container ships
+    no `google.protobuf` (pip installs are off-limits; verified: the
+    TWS driver worker crashes in StateMessage_pb2 on import).  Where
+    protobuf is absent the query runs the SAME fold on
+    applyInPandasWithState — identical state contents, batch
+    boundaries, emission cadence, and (integer-exact) results, so the
+    oracle and every test hold for both paths; on a protobuf-equipped
+    cluster the TWS path engages automatically.
+
+    Scale: state is 16 bytes x |active users| (RocksDB-backed and
+    incremental-checkpointed on the TWS path — that is WHY the new
+    API mandates the provider); per-batch work is one Arrow exchange
+    per shuffle partition."""
+    import numpy as np
+    import pandas as pd
+
+    src = _stage_events(spark, sf_dir, n_files=2)
+    stream = (
+        spark.readStream.schema(_staged_schema(spark, src))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out_schema = "user_id BIGINT, n_events BIGINT, total_cents BIGINT"
+
+    def _fold_batch(pdf: "pd.DataFrame", n: int, cents: int) -> tuple[int, int]:
+        c = np.floor(pdf["value"].to_numpy() * 100 + 0.5).astype("int64")
+        return n + len(pdf), cents + int(c.sum())
+
+    try:
+        import google.protobuf  # noqa: F401  (the TWS state protocol)
+
+        _HAVE_PROTOBUF = True
+    except ImportError:
+        _HAVE_PROTOBUF = False
+
+    if _HAVE_PROTOBUF:
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor,
+            StatefulProcessorHandle,
+        )
+
+        class RunningTotals(StatefulProcessor):
+            def init(self, handle: StatefulProcessorHandle) -> None:
+                self._agg = handle.getValueState("agg", "n BIGINT, cents BIGINT")
+
+            def handleInputRows(self, key, rows, timerValues):
+                n, cents = self._agg.get() if self._agg.exists() else (0, 0)
+                for pdf in rows:
+                    n, cents = _fold_batch(pdf, n, cents)
+                self._agg.update((n, cents))
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]],
+                        "n_events": [n],
+                        "total_cents": [cents],
+                    }
+                )
+
+            def close(self) -> None:
+                pass
+
+        conf = spark.conf
+        prev_provider = conf.get(
+            "spark.sql.streaming.stateStore.providerClass", None
+        )
+        # transformWithState requires the RocksDB provider (its state
+        # model — named handles, TTL, timers — is built on it).
+        conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        try:
+            out = stream.groupBy("user_id").transformWithStateInPandas(
+                statefulProcessor=RunningTotals(),
+                outputStructType=out_schema,
+                outputMode="Update",
+                timeMode="None",
+            )
+            sink = _run_stream(out, "update")
+        finally:
+            if prev_provider is None:
+                conf.unset("spark.sql.streaming.stateStore.providerClass")
+            else:
+                conf.set(
+                    "spark.sql.streaming.stateStore.providerClass",
+                    prev_provider,
+                )
+    else:
+        from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+        def fold_totals(key, pdfs, state: GroupState):
+            n, cents = state.get if state.exists else (0, 0)
+            for pdf in pdfs:
+                n, cents = _fold_batch(pdf, n, cents)
+            state.update((n, cents))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
+            )
+
+        out = stream.groupBy("user_id").applyInPandasWithState(
+            fold_totals,
+            outputStructType=out_schema,
+            stateStructType="n BIGINT, cents BIGINT",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        sink = _run_stream(out, "update")
+
+    latest = spark.table(sink)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        latest.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "total_cents")
     )
