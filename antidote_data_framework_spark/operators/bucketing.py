@@ -20,13 +20,30 @@ from ..sources import load_table
 N_BUCKETS = 8
 
 
-@spark_query("q_bucketed_join_noshuffle")  # rows-only: catalog-table sink
+@spark_query(
+    "q_bucketed_join_noshuffle",
+    oracle="""
+SELECT o.o_orderpriority,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - l.l_discount AS DECIMAL(8,2))), 2) AS DOUBLE)
+         AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderpriority
+""",
+)
 def q_bucketed_join_noshuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write lineitem and orders as tables bucketed+sorted by the join
     key, then join them: the physical plan scans bucket-aligned files
     and contains NO Exchange below the join (asserted in
     tests/test_plans.py).  Output: per-orderpriority revenue — the
-    same answer any layout gives; the layout only changes the plan."""
+    same answer any layout gives; the layout only changes the plan.
+
+    Oracle (upgraded from rows-only, r9): that layout-independence IS
+    the oracle — the bucketed catalog tables must conserve the plain
+    join+aggregate over the source parquet, with revenue in the exact
+    decimal-money form both engines share.  The no-Exchange property
+    stays plan-asserted in tests; the hash check now pins the data."""
     for name, key, cols in (
         ("lineitem", "l_orderkey", ["l_orderkey", "l_extendedprice", "l_discount"]),
         ("orders", "o_orderkey", ["o_orderkey", "o_orderpriority"]),
@@ -75,7 +92,18 @@ def q_bucketed_join_noshuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CBO_SESSION_SUFFIX: dict[int, str] = {}
 
 
-@spark_query("q_cbo_stats_broadcast")  # rows-only: catalog-table + stats surface
+@spark_query(
+    "q_cbo_stats_broadcast",
+    oracle="""
+SELECT o.o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY 1
+""",
+)
 def q_cbo_stats_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cost-based optimization via ANALYZE TABLE: a filtered dim join
     planned WITHOUT any broadcast hint — the build-side choice comes

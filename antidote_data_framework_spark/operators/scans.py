@@ -238,7 +238,19 @@ def q_source_custom_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@spark_query("q_source_schema_evolution")  # rows-only: scratch-path I/O
+@spark_query(
+    "q_source_schema_evolution",
+    oracle="""
+SELECT CAST(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END AS INTEGER) AS epoch,
+       COUNT(*) AS n_rows,
+       COUNT(CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice END) AS n_with_price,
+       CAST(ROUND(SUM(CASE WHEN o_orderkey % 2 = 1
+                           THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 2)
+            AS DOUBLE) AS price_sum
+FROM orders
+GROUP BY 1
+""",
+)
 def q_source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema evolution across parquet epochs: epoch 1 writes three
     columns, epoch 2 adds ``o_totalprice`` — ``mergeSchema`` unifies
@@ -313,7 +325,12 @@ def q_source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@spark_query("q_sink_compaction")  # rows-only: filesystem-layout operation
+# rows-only, surveyed for oracle upgrade r9 and kept: n_files/n_rows
+# are deterministic, but min/max rows-per-file depend on partitioner
+# internals (round-robin start offsets per input split; RangePartitioner
+# reservoir sampling) that no SQL law can restate.  The conservation
+# half (rows never change across compaction) is test-pinned.
+@spark_query("q_sink_compaction")
 def q_sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction — the table-maintenance operation every
     streaming/lakehouse ingest pipeline needs: micro-batch ingest
@@ -427,7 +444,26 @@ def q_dpp_partition_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@spark_query("q_source_quarantine_corrupt")  # rows-only: malformed-input handling
+@spark_query(
+    "q_source_quarantine_corrupt",
+    oracle="""
+WITH first200 AS (
+  SELECT value, ROW_NUMBER() OVER (ORDER BY event_id) AS rn
+  FROM events ORDER BY event_id LIMIT 200
+)
+SELECT 'clean' AS route, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+FROM first200 WHERE rn % 10 != 0
+UNION ALL
+SELECT 'quarantined' AS route, COUNT(*) AS n_rows, CAST(NULL AS BIGINT) AS cents
+FROM first200 WHERE rn % 10 = 0
+""",
+)
+# Oracle upgraded from rows-only in r9: the corruption pattern is
+# structural (every 10th staged line truncated), so the quarantine
+# split is a pure function of the first 200 events by event_id — the
+# oracle restates the law and the hash check verifies the router sent
+# every row to exactly one side with values conserved.
 def q_source_quarantine_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Malformed-record quarantine — the ingest-hardening surface:
     read JSON lines in PERMISSIVE mode with an explicit

@@ -165,9 +165,28 @@ def q_cogroup_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@spark_query("q_udtf_chunker")  # rows-only: Python table function
-# (Arrow-batched UDTF) — capability surface like q_udf_surface; the
-# JVM twin of the same chunking IS SQL-oracled (q_text_chunk)
+@spark_query(
+    "q_udtf_chunker",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+idx AS (
+  SELECT doc_id, t,
+         unnest(range(0, CAST(CEIL(len(t)/32.0) AS BIGINT))) AS i
+  FROM toks
+)
+SELECT doc_id,
+       CAST(i AS INTEGER) AS chunk_idx,
+       CAST(LEAST(32, len(t) - i*32) AS INTEGER) AS n_tokens,
+       t[i*32 + 1] AS first_tok
+FROM idx
+""",
+)
+# Oracle upgraded from rows-only in r9: the UDTF is a pure function of
+# each row (fixed 32-token chunking), restated in DuckDB as
+# unnest(range(ceil(len/32))) + list slicing — the Python boundary
+# stays on the Spark side, the LAW is engine-independent.
 def q_udtf_chunker(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python user-defined TABLE function (Spark 4 ``@udtf``): a
     row-expanding chunker invoked with LATERAL — each document emits

@@ -668,7 +668,22 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@spark_query("q_stream_lakehouse_ingest")  # rows-only: streaming sink
+@spark_query(
+    "q_stream_lakehouse_ingest",
+    oracle="""
+SELECT CAST(3 AS INTEGER) AS n_commits,
+       COUNT(*) AS n_rows_ingested,
+       COUNT(*) AS n_source_rows,
+       TRUE AS exactly_once
+FROM events
+""",
+)
+# Oracle upgraded from rows-only in r9: the conservation row is a pure
+# function of the source — 3 staged files x maxFilesPerTrigger=1 =
+# exactly 3 idempotent commits (this stateless foreachBatch query runs
+# no empty no-data batches), every source row lands exactly once.  The
+# hash check pins the exactly_once claim itself: a replayed or dropped
+# batch would flip the boolean or the counts.
 def q_stream_lakehouse_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ingestion into the versioned lakehouse table with
     exactly-once semantics: each micro-batch lands via foreachBatch →

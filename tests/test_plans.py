@@ -68,6 +68,12 @@ def test_no_python_udfs_on_oracled_paths(spark, sf_dir):
         "q_holt_linear",
         "q_holt_linear_chunked",
         "q_ewma_recurrence_chunked",
+        # r9: the Python UDTF IS this operator (the declared
+        # row-expanding Python boundary); its DuckDB oracle restates
+        # the 32-token chunking law and the hash-match proves the
+        # Python expansion faithful — the declarative twin
+        # (q_text_chunk) remains the JVM hot path.
+        "q_udtf_chunker",
     }
     # q_source_avro_roundtrip: the mapInPandas stage is the INGEST
     # CONNECTOR decoding a foreign binary format (stdlib Avro codec,
