@@ -905,7 +905,21 @@ def q_stream_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@spark_query("q_stream_backfill_availablenow")  # rows-only: streaming runtime
+@spark_query(
+    "q_stream_backfill_availablenow",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+FROM events
+GROUP BY event_type
+""",
+)
+# Oracle upgraded from rows-only in r9: AvailableNow drains the whole
+# source and complete mode's final snapshot is the batch census; cents
+# are integer-exact (values are non-negative at every SF, so Spark
+# HALF_UP and DuckDB half-away rounding agree even at ties), so the
+# oracle is the plain GROUP BY with no float caveat.
 def q_stream_backfill_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backfill via ``Trigger.AvailableNow``: process EVERYTHING already
     in the source as rate-limited micro-batches (maxFilesPerTrigger
@@ -953,7 +967,14 @@ def q_stream_backfill_availablenow(spark: SparkSession, sf_dir: str) -> DataFram
     return spark.table(sink)
 
 
-@spark_query("q_stream_checkpoint_recovery")  # rows-only: streaming runtime
+# rows-only, surveyed for oracle upgrade r9 and kept: the final census
+# matches the batch GROUP BY (and the backfill twin above now carries
+# that oracle), but this query's POINT is the phase1_rows/phase2_rows
+# split across the simulated crash — those counts restate the staging
+# file-bucket layout (floor-division time buckets over half the file
+# list), which is runtime arrangement, not data semantics a SQL oracle
+# should canonize.  The crash-resume conservation is test-pinned.
+@spark_query("q_stream_checkpoint_recovery")
 def q_stream_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-once restart from a checkpoint: run an AvailableNow
     backfill over HALF the staged files, "crash" (stop), land the
