@@ -42,14 +42,37 @@ def broadcast_small(df: DataFrame, reason: str) -> DataFrame:
     return F.broadcast(df)
 
 
-def widen_to_cores(df: DataFrame) -> DataFrame:
-    """Repartition ``df`` to core width iff its scan is NARROWER — the
-    guard for CPU-bound Python stages (mapInPandas decode/hash) over
-    small-file scans: one small parquet file arrives as 1-2 input
-    splits, which serializes the Python work on 1-2 of N cores
-    (measured: q_image_phash_neardup's whole 9x-scale wall was its
-    decode stage running on 2 partitions).  At real scale the scan
-    already has >= cores splits and this returns ``df`` unchanged, so
-    the shuffle is paid exactly when it buys parallelism."""
+WIDEN_MIN_BYTES = 2 << 20  # 2 MiB — measured break-even, see docstring
+
+
+def widen_to_cores(df: DataFrame, min_bytes: int = WIDEN_MIN_BYTES) -> DataFrame:
+    """Repartition ``df`` to core width iff its scan is NARROWER than
+    the core count AND carries enough decode work to amortize the
+    exchange — the guard for CPU-bound Python stages (mapInPandas
+    decode/hash) over small-file scans: one small parquet file arrives
+    as 1-2 input splits, which serializes the Python work on 1-2 of N
+    cores (measured: q_image_phash_neardup's whole 9x-scale wall was
+    its decode stage running on 2 partitions).
+
+    The work gate (r9 VERDICT #2): an UNCONDITIONAL widen regressed
+    q_multimodal_features x1.55 at sf0.1 (driver 1.54 -> 2.39 s) —
+    below ~2 MiB of input the round-robin exchange of binary payloads
+    plus the extra stage boundary cost more than the serial decode
+    they parallelize (A/B at sf0.1: no-widen ~1.6-2.3 s vs widen
+    ~3.4-8.5 s under load).  The gate reads Catalyst's optimizedPlan
+    sizeInBytes estimate — pure plan metadata, no job — so deciding
+    costs nothing: sf0.1 media est ~0.96 MiB stays narrow; the 3x/9x
+    scale fixtures (~2.9 / ~8.7 MiB) and any real corpus widen.  At
+    real scale the scan already has >= cores splits and this returns
+    ``df`` unchanged, so the shuffle is paid exactly when it buys
+    parallelism.  ``min_bytes=0`` restores the unconditional widen for
+    callers whose per-row work is size-independent."""
+    if min_bytes > 0:
+        try:
+            est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        except Exception:
+            est = None  # non-classic backend — fall back to the partition rule
+        if est is not None and est < min_bytes:
+            return df
     width = df.sparkSession.sparkContext.defaultParallelism
     return df.repartition(width) if df.rdd.getNumPartitions() < width else df

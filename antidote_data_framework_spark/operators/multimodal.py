@@ -305,8 +305,11 @@ def q_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # CPU-bound Python stage over a small-file scan: widen to core
     # width (measured: the whole 9x-scale wall was this stage on 2
-    # input splits) — no-op at real scale (functions/hints.py)
-    media = widen_to_cores(media)
+    # input splits) — no-op at real scale (functions/hints.py).
+    # min_bytes=0: phash's per-byte Python work (BMP decode + dHash
+    # grid means) is high enough that the widen pays even below the
+    # 2 MiB work gate (A/B at sf0.1: widened 1.28 s vs narrow 3-6 s).
+    media = widen_to_cores(media, min_bytes=0)
 
     def hash_images(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -533,7 +536,10 @@ def q_video_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["avg_edge_energy"].append(round(sum(edges) / len(edges), 6))
             yield pd.DataFrame(out)
 
-    return widen_to_cores(media).mapInPandas(sample, schema=out_schema)
+    # min_bytes=0: AVI assembly + per-frame means/edge kernels are
+    # heavy per byte — widen pays even below the 2 MiB work gate
+    # (A/B at sf0.1: widened 0.44 s vs narrow 1.3-1.6 s).
+    return widen_to_cores(media, min_bytes=0).mapInPandas(sample, schema=out_schema)
 
 
 FRAME_SAMPLES = 256  # 32 ms frames at 8 kHz — the frame-sampling stride

@@ -247,6 +247,27 @@ def _ensure_input_rows_listener(spark: SparkSession) -> _InputRowsListener:
     return _input_rows_listener
 
 
+def detach_listeners(spark: SparkSession) -> None:
+    """Detach the session-global StreamingQueryListener (shutdown hygiene).
+
+    A Python StreamingQueryListener is backed by a py4j callback server in
+    THIS process.  If the interpreter exits while the JVM's AsyncEventQueue
+    is still dispatching listener events, the JVM logs a full
+    ``CallbackClient ... Connection refused`` stack trace to stderr — which
+    destroyed the round-9 bench artifact (the driver's 2000-char tail
+    capture saw only the trace, never the headline JSON).  Harnesses that
+    print machine-parsed output last (bench.py, oracle sweeps) must call
+    this, then ``spark.stop()``, BEFORE printing.
+    """
+    global _input_rows_listener
+    if _input_rows_listener is not None:
+        try:
+            spark.streams.removeListener(_input_rows_listener)
+        except Exception:
+            pass  # session already gone — nothing left to detach from
+        _input_rows_listener = None
+
+
 def _run_stream(agg: DataFrame, mode: str) -> str:
     sink = f"mem_{uuid.uuid4().hex[:8]}"
     conf = agg.sparkSession.conf
@@ -1398,86 +1419,8 @@ def q_stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame
         c = np.floor(pdf["value"].to_numpy() * 100 + 0.5).astype("int64")
         return n + len(pdf), cents + int(c.sum())
 
-    try:
-        import google.protobuf  # noqa: F401  (the TWS state protocol)
-
-        _HAVE_PROTOBUF = True
-    except ImportError:
-        _HAVE_PROTOBUF = False
-
-    if _HAVE_PROTOBUF:
-        from pyspark.sql.streaming.stateful_processor import (
-            StatefulProcessor,
-            StatefulProcessorHandle,
-        )
-
-        class RunningTotals(StatefulProcessor):
-            def init(self, handle: StatefulProcessorHandle) -> None:
-                self._agg = handle.getValueState("agg", "n BIGINT, cents BIGINT")
-
-            def handleInputRows(self, key, rows, timerValues):
-                n, cents = self._agg.get() if self._agg.exists() else (0, 0)
-                for pdf in rows:
-                    n, cents = _fold_batch(pdf, n, cents)
-                self._agg.update((n, cents))
-                yield pd.DataFrame(
-                    {
-                        "user_id": [key[0]],
-                        "n_events": [n],
-                        "total_cents": [cents],
-                    }
-                )
-
-            def close(self) -> None:
-                pass
-
-        conf = spark.conf
-        prev_provider = conf.get(
-            "spark.sql.streaming.stateStore.providerClass", None
-        )
-        # transformWithState requires the RocksDB provider (its state
-        # model — named handles, TTL, timers — is built on it).
-        conf.set(
-            "spark.sql.streaming.stateStore.providerClass",
-            "org.apache.spark.sql.execution.streaming.state."
-            "RocksDBStateStoreProvider",
-        )
-        try:
-            out = stream.groupBy("user_id").transformWithStateInPandas(
-                statefulProcessor=RunningTotals(),
-                outputStructType=out_schema,
-                outputMode="Update",
-                timeMode="None",
-            )
-            sink = _run_stream(out, "update")
-        finally:
-            if prev_provider is None:
-                conf.unset("spark.sql.streaming.stateStore.providerClass")
-            else:
-                conf.set(
-                    "spark.sql.streaming.stateStore.providerClass",
-                    prev_provider,
-                )
-    else:
-        from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-
-        def fold_totals(key, pdfs, state: GroupState):
-            n, cents = state.get if state.exists else (0, 0)
-            for pdf in pdfs:
-                n, cents = _fold_batch(pdf, n, cents)
-            state.update((n, cents))
-            yield pd.DataFrame(
-                {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
-            )
-
-        out = stream.groupBy("user_id").applyInPandasWithState(
-            fold_totals,
-            outputStructType=out_schema,
-            stateStructType="n BIGINT, cents BIGINT",
-            outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
-        )
-        sink = _run_stream(out, "update")
+    runner = _run_totals_tws if _tws_path_available() else _run_totals_aipws
+    sink = runner(spark, stream, out_schema, _fold_batch)
 
     latest = spark.table(sink)
     from pyspark.sql import Window as W
@@ -1488,3 +1431,104 @@ def q_stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("rn") == 1)
         .select("user_id", "n_events", "total_cents")
     )
+
+
+def _tws_path_available() -> bool:
+    """Capability gate for transformWithState's Python state protocol.
+
+    TWS workers speak protobuf to a driver-side state server; without
+    `google.protobuf` the worker crashes inside StateMessage_pb2 at
+    import time, so the gate must be decided BEFORE the stream starts.
+    Module-level (not inline) so tests can pin the selection both ways
+    by injecting a stub module / monkeypatching — a protobuf-equipped
+    cluster must not silently take the fallback, and this container
+    must not take the TWS path."""
+    try:
+        import google.protobuf  # noqa: F401  (the TWS state protocol)
+
+        return True
+    except ImportError:
+        return False
+
+
+def _run_totals_tws(spark: SparkSession, stream: DataFrame, out_schema: str, fold_batch) -> str:
+    """transformWithState branch of q_stream_transform_with_state."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", "n BIGINT, cents BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, cents = self._agg.get() if self._agg.exists() else (0, 0)
+            for pdf in rows:
+                n, cents = fold_batch(pdf, n, cents)
+            self._agg.update((n, cents))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_cents": [cents],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    conf = spark.conf
+    prev_provider = conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    # transformWithState requires the RocksDB provider (its state
+    # model — named handles, TTL, timers — is built on it).
+    conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        out = stream.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=RunningTotals(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+        return _run_stream(out, "update")
+    finally:
+        if prev_provider is None:
+            conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            conf.set(
+                "spark.sql.streaming.stateStore.providerClass",
+                prev_provider,
+            )
+
+
+def _run_totals_aipws(spark: SparkSession, stream: DataFrame, out_schema: str, fold_batch) -> str:
+    """applyInPandasWithState fallback branch (no google.protobuf)."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fold_totals(key, pdfs, state: GroupState):
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n, cents = fold_batch(pdf, n, cents)
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
+        )
+
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        fold_totals,
+        outputStructType=out_schema,
+        stateStructType="n BIGINT, cents BIGINT",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_stream(out, "update")

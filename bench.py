@@ -47,6 +47,7 @@ Timing methodology (r2+r3 ADVICE, fixed for good this round):
 
 from __future__ import annotations
 
+import atexit
 import json
 import os
 import statistics
@@ -202,36 +203,62 @@ def main() -> None:
             indent=1,
         )
 
+    contract_line = json.dumps(
+        {
+            "metric": "total_query_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": times,
+            "sf": sf,
+        }
+    )
+    headline_line = json.dumps(
+        {
+            "metric": "total_query_sec",
+            "value": total,
+            "unit": "sec",
+            "sf": sf,
+            "n_queries": len(times),
+            "n_failed": sum(1 for t in times.values() if t < 0),
+            "sweeps": sweeps_done,
+            "budget_headroom_sec": round(budget - elapsed, 1),
+            "n_regressions_vs_prev": len(regressions),
+            "queries_file": "bench_queries.json",
+        }
+    )
+
+    # Shutdown BEFORE printing (r9 VERDICT #1): BENCH_r09 was lost because
+    # the JVM listener bus was still dispatching to the Python
+    # StreamingQueryListener when the interpreter exited — py4j dumped a
+    # >2000-char "CallbackClient ... Connection refused" stack trace to
+    # stderr AFTER the headline, and the driver's 2000-char tail capture
+    # contained no JSON at all.  Order matters: stop any active streaming
+    # queries, detach the Python listener (kills the callback route), stop
+    # the session, THEN emit the machine-parsed lines last.
+    try:
+        for q in spark.streams.active:
+            try:
+                q.stop()
+            except Exception:
+                pass
+        from antidote_data_framework_spark.streaming.stream_queries import (
+            detach_listeners,
+        )
+
+        detach_listeners(spark)
+        spark.stop()
+    except Exception as exc:  # shutdown noise must never cost the artifact
+        print(f"bench: shutdown warning: {exc}", file=sys.stderr)
+
+    # Belt-and-braces: if anything below is interrupted, atexit still
+    # re-prints the headline as the true last line of stdout.
+    atexit.register(lambda: (print(headline_line), sys.stdout.flush()))
+
     # Line 1: the full driver-contract JSON (metric + per-query map).
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-            }
-        )
-    )
-    sys.stdout.flush()
+    print(contract_line)
     # Last line: compact headline — complete even under tail-capture.
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_sec",
-                "value": total,
-                "unit": "sec",
-                "sf": sf,
-                "n_queries": len(times),
-                "n_failed": sum(1 for t in times.values() if t < 0),
-                "sweeps": sweeps_done,
-                "budget_headroom_sec": round(budget - elapsed, 1),
-                "n_regressions_vs_prev": len(regressions),
-                "queries_file": "bench_queries.json",
-            }
-        )
-    )
+    print(headline_line)
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

@@ -341,3 +341,75 @@ def test_listener_accounting_exact_past_progress_ring_buffer(spark, tmp_path):
     assert ring_sum < n_files  # the old accounting really does undercount
     [row] = spark.table("ring_buffer_regression").collect()
     assert row["count"] == n_files
+
+
+def test_tws_gate_detects_injected_protobuf(monkeypatch):
+    """r9 VERDICT #5: the transformWithState capability gate must flip
+    when google.protobuf becomes importable (stub injected into
+    sys.modules) and stay False in this container where it is absent —
+    so a protobuf-equipped cluster cannot silently take the fallback."""
+    import sys
+    import types
+
+    from antidote_data_framework_spark.streaming import stream_queries as sq
+
+    # This container ships no protobuf (SURVEY §0 environment contract).
+    assert sq._tws_path_available() is False
+
+    google = types.ModuleType("google")
+    protobuf = types.ModuleType("google.protobuf")
+    google.protobuf = protobuf
+    monkeypatch.setitem(sys.modules, "google", google)
+    monkeypatch.setitem(sys.modules, "google.protobuf", protobuf)
+    assert sq._tws_path_available() is True
+
+
+def test_tws_branch_selection_honors_gate(spark, sf_dir, monkeypatch):
+    """The query must route to _run_totals_tws when the gate is True and
+    _run_totals_aipws when False — pinned with sentinel runners so the
+    dispatch itself (not the stream) is under test."""
+    from antidote_data_framework_spark.streaming import stream_queries as sq
+
+    class _Taken(Exception):
+        pass
+
+    picked = {}
+
+    def _mark(name):
+        def _runner(spark_, stream, out_schema, fold_batch):
+            picked["branch"] = name
+            raise _Taken()
+
+        return _runner
+
+    monkeypatch.setattr(sq, "_run_totals_tws", _mark("tws"))
+    monkeypatch.setattr(sq, "_run_totals_aipws", _mark("aipws"))
+
+    monkeypatch.setattr(sq, "_tws_path_available", lambda: True)
+    try:
+        sq.q_stream_transform_with_state(spark, sf_dir)
+    except _Taken:
+        pass
+    assert picked["branch"] == "tws"
+
+    monkeypatch.setattr(sq, "_tws_path_available", lambda: False)
+    try:
+        sq.q_stream_transform_with_state(spark, sf_dir)
+    except _Taken:
+        pass
+    assert picked["branch"] == "aipws"
+
+
+def test_detach_listeners_idempotent(spark):
+    """bench.py's shutdown path (r9 VERDICT #1): detach_listeners must
+    remove the session-global listener, reset the module slot so a later
+    ensure re-installs a fresh one, and be safe to call twice."""
+    from antidote_data_framework_spark.streaming import stream_queries as sq
+
+    first = sq._ensure_input_rows_listener(spark)
+    assert sq._input_rows_listener is first
+    sq.detach_listeners(spark)
+    assert sq._input_rows_listener is None
+    sq.detach_listeners(spark)  # idempotent
+    second = sq._ensure_input_rows_listener(spark)
+    assert second is not first
