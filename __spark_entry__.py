@@ -26,13 +26,18 @@ SF0001 = "/root/testdata/sf0.001"
 # only the FIRST 50 keys in insertion order — r01 left 35 SURVEY §2 keys
 # without any correctness verdict because they registered late.  So the
 # contract keys come first: 50 SQL-oracled §2 operators (strongest
-# check) in SURVEY §2 O-number order — since the r9 oracle upgrades the
-# §2 contract has 53 SQL-oracled keys, so the window holds the first 50
-# by O-number and O-56/O-58/O-60 land just outside it (still
-# hash-verified by the committed sweeps at sf0.01 AND sf0.1, like every
-# registered key) — then the rows-only §2 operators, then the
-# LLM-pipeline north-star extras, then everything else in registration
-# order.
+# check), then the rows-only §2 operators, then the LLM-pipeline
+# north-star extras, then everything else in registration order.
+#
+# ROTATION (r9 ADVICE): the §2 contract has 53 SQL-oracled keys and the
+# window holds 50, so membership rotates each round — every oracled key
+# periodically gets EXTERNAL driver verification instead of three of
+# them relying permanently on the committed sweep artifacts.  r10:
+# O-56/O-58/O-60 rotate IN (outside since their r8 oracles landed);
+# O-10/O-26/O-36 rotate OUT (driver-hash-green every round since r1-r4;
+# each remains hash-verified by the sf0.01 AND sf0.1 sweeps, like every
+# registered key).  Next rotation: put the out-trio back, bench a
+# different trio of long-green slots.
 CONTRACT_ORDER: list[str] = [
     # --- SQL-oracled SURVEY §2 keys (hash-checked by the driver) ---
     "q_scan_project_filter",      # O-1
@@ -44,7 +49,6 @@ CONTRACT_ORDER: list[str] = [
     "q_join_outer",               # O-7
     "q_join_semi",                # O-8
     "q_join_anti",                # O-9
-    "q_join_cross",               # O-10
     "q_join_theta_range",         # O-11
     "q_join_asof",                # O-12
     "q_agg_pricing_summary",      # O-13
@@ -59,7 +63,6 @@ CONTRACT_ORDER: list[str] = [
     "q_window_range_frame",       # O-23
     "q_topk_per_group",           # O-24
     "q_orderby_limit",            # O-25
-    "q_set_union",                # O-26
     "q_set_intersect_except",     # O-27
     "q_scalar_string",            # O-28
     "q_scalar_datetime",          # O-29
@@ -69,7 +72,6 @@ CONTRACT_ORDER: list[str] = [
     "q_bias_baseline_rmse",       # O-33
     "q_polarization",             # O-34
     "q_fairness_value",           # O-35
-    "q_fairness_absolute",        # O-36
     "q_fairness_under_over",      # O-37
     "q_fairness_parity",          # O-38
     "q_topk_recommendations",     # O-39
@@ -84,11 +86,14 @@ CONTRACT_ORDER: list[str] = [
     "q_stream_dedup_stateful",    # O-52 (SQL since r9)
     "q_text_wordcount",           # O-53
     "q_text_ngrams",              # O-54
-    "q_dedup_exact",              # O-55 (slot 50 — last inside the window)
-    # --- SQL-oracled §2 keys just outside the 50-slot window (sweep-verified) ---
+    "q_dedup_exact",              # O-55
     "q_jaccard_block",            # O-56
     "q_cosine_topk",              # O-58
-    "q_embed_centroids",          # O-60
+    "q_embed_centroids",          # O-60 (slot 50 — last inside the window)
+    # --- SQL-oracled §2 keys rotated outside the window this round ---
+    "q_join_cross",               # O-10 (driver-green r1-r9)
+    "q_set_union",                # O-26 (driver-green r2-r9)
+    "q_fairness_absolute",        # O-36 (driver-green r3-r9)
     # --- rows-only SURVEY §2 keys (driver checks run + row count) ---
     "q_agg_approx_distinct",      # O-15
     "q_als_train_predict",        # O-40

@@ -100,7 +100,29 @@ def q_udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@spark_query("q_cogroup_align")  # rows-only: Python on the data path by design
+@spark_query(
+    "q_cogroup_align",
+    oracle="""
+SELECT o.o_custkey AS user_id,
+       o.o_orderkey,
+       COUNT(e.ts) AS n_events_7d,
+       CAST(COALESCE(SUM(CAST(FLOOR(e.value * 100 + 0.5) AS BIGINT)), 0)
+            AS BIGINT) AS value_7d_cents
+FROM orders o
+LEFT JOIN events e
+  ON e.user_id = o.o_custkey
+ AND e.ts <  o.o_orderdate
+ AND e.ts >= o.o_orderdate - INTERVAL 7 DAY
+GROUP BY 1, 2
+""",
+)
+# Oracle upgraded from rows-only in r10 (r9 VERDICT #4): the cogroup
+# Arrow boundary is the mechanism under demo, but the RESULT — per
+# order, the count/sum of the user's events in the 7 days before the
+# order date — is a plain interval left-join aggregate.  The window
+# sum is integer cents (the tie-free floor(x*100+0.5) discipline), so
+# both engines do exact integer arithmetic and pandas' half-even
+# rounding vs SQL's half-away can't diverge.
 def q_cogroup_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped co-processing via ``cogroup().applyInPandas``: align
     each user's ORDER history against their EVENT stream — per order,
@@ -139,7 +161,7 @@ def q_cogroup_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     def align(key, events_pdf: pd.DataFrame, orders_pdf: pd.DataFrame):
         if orders_pdf.empty:
             return pd.DataFrame(
-                columns=["user_id", "o_orderkey", "n_events_7d", "value_7d"]
+                columns=["user_id", "o_orderkey", "n_events_7d", "value_7d_cents"]
             )
         m = orders_pdf.merge(
             events_pdf[["user_id", "ts", "value"]], on="user_id", how="left"
@@ -148,10 +170,13 @@ def q_cogroup_align(spark: SparkSession, sf_dir: str) -> DataFrame:
             m["ts"] >= m["o_orderdate"] - pd.Timedelta(days=7)
         )
         m.loc[~in_window, ["ts", "value"]] = [pd.NaT, float("nan")]
+        # integer cents (tie-free floor(x*100+0.5)) — exact in every
+        # engine, see the registration comment
+        m["cents"] = np.floor(m["value"] * 100 + 0.5)
         g = m.groupby(["user_id", "o_orderkey"], as_index=False).agg(
-            n_events_7d=("ts", "count"), value_7d=("value", "sum")
+            n_events_7d=("ts", "count"), value_7d_cents=("cents", "sum")
         )
-        g["value_7d"] = g["value_7d"].fillna(0.0).round(2)
+        g["value_7d_cents"] = g["value_7d_cents"].fillna(0.0).astype("int64")
         return g
 
     return (
@@ -159,7 +184,10 @@ def q_cogroup_align(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cogroup(orders.groupBy("shard"))
         .applyInPandas(
             align,
-            schema="user_id BIGINT, o_orderkey BIGINT, n_events_7d BIGINT, value_7d DOUBLE",
+            schema=(
+                "user_id BIGINT, o_orderkey BIGINT, n_events_7d BIGINT, "
+                "value_7d_cents BIGINT"
+            ),
         )
         .orderBy("o_orderkey")
     )
@@ -271,7 +299,26 @@ def q_sql_function_macro(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@spark_query("q_maparrow_norms")  # rows-only: Python on the data path by design
+@spark_query(
+    "q_maparrow_norms",
+    oracle="""
+SELECT vec_id,
+       ROUND(SQRT(list_sum(list_transform(embedding,
+                                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
+             4) AS l2_norm
+FROM embeddings
+""",
+)
+# Oracle upgraded from rows-only in r10 (r9 VERDICT #4): the Arrow
+# boundary is the MECHANISM under demo, but the RESULT is plain
+# arithmetic a SQL oracle can restate.  Exactness argument: float32
+# inputs widen to float64 exactly, each square needs <= 48 mantissa
+# bits so x*x is EXACT in float64, and the kernel below accumulates
+# the 64 squares SEQUENTIALLY (one vectorized column add per
+# dimension) — the same left-to-right order DuckDB's list_sum uses —
+# so the pre-sqrt doubles are bit-identical in both engines; IEEE
+# sqrt is correctly rounded, and ROUND(·,4) of the same double can
+# only differ on an exact decimal tie, which no binary double hits.
 def q_maparrow_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``mapInArrow``: per-partition Arrow RecordBatch processing with
     NO pandas materialization — the lowest-overhead Python boundary.
@@ -302,7 +349,15 @@ def q_maparrow_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
             vecs = tbl.column("embedding")
             flat = np.asarray(vecs.combine_chunks().flatten(), dtype=np.float64)
             dim = len(flat) // len(tbl)
-            n = np.sqrt((flat.reshape(len(tbl), dim) ** 2).sum(axis=1))
+            sq = flat.reshape(len(tbl), dim) ** 2
+            # sequential per-dimension accumulation (NOT sq.sum(axis=1),
+            # whose pairwise summation can differ from a left-to-right
+            # sum in the last ulp): matches the oracle's list_sum order
+            # exactly — see the registration comment
+            acc = np.zeros(len(tbl), dtype=np.float64)
+            for j in range(dim):
+                acc += sq[:, j]
+            n = np.sqrt(acc)
             yield pa.RecordBatch.from_arrays(
                 [
                     tbl.column("vec_id").combine_chunks(),

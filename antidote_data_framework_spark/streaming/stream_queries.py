@@ -295,8 +295,8 @@ WITH wm AS (SELECT MAX(ts) - INTERVAL 1 HOUR AS w FROM events)
 SELECT CAST(time_bucket(INTERVAL '1 day', ts) AS TIMESTAMP)                 AS window_start,
        CAST(time_bucket(INTERVAL '1 day', ts) + INTERVAL 1 DAY AS TIMESTAMP) AS window_end,
        event_type,
-       COUNT(*)             AS n_events,
-       ROUND(SUM(value), 4) AS sum_value
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
 FROM events, wm
 WHERE time_bucket(INTERVAL '1 day', ts) + INTERVAL 1 DAY <= wm.w
 GROUP BY 1, 2, 3
@@ -335,14 +335,21 @@ def q_stream_tumbling_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            # integer cents (r9 ADVICE): SUM over doubles is summation-
+            # order-sensitive across engines; the tie-free
+            # floor(x*100+0.5) quantization (shared with EWMA/CUSUM/
+            # TWS) makes the windowed sum exact integer arithmetic in
+            # both engines, no 4-dp-boundary risk
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+                "sum_cents"
+            ),
         )
         .select(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),
             "event_type",
             "n_events",
-            "sum_value",
+            "sum_cents",
         )
     )
     sink = _run_stream(agg, "append")
@@ -481,8 +488,8 @@ sess AS (
 SELECT user_id,
        CAST(MIN(ts) AS TIMESTAMP)                      AS session_start,
        CAST(MAX(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
-       COUNT(*)                         AS n_events,
-       ROUND(SUM(value), 4)             AS sum_value
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
 FROM sess, wm
 GROUP BY user_id, sess_id, wm.w
 HAVING MAX(ts) + INTERVAL 30 MINUTE <= wm.w
@@ -517,14 +524,18 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            # integer cents (r9 ADVICE): exact in both engines — see
+            # q_stream_tumbling_watermark
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+                "sum_cents"
+            ),
         )
         .select(
             "user_id",
             F.col("w.start").alias("session_start"),
             F.col("w.end").alias("session_end"),
             "n_events",
-            "sum_value",
+            "sum_cents",
         )
     )
     sink = _run_stream(agg, "append")
@@ -578,7 +589,7 @@ def q_stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT c.c_mktsegment AS segment,
        COUNT(*) AS n_events,
-       ROUND(SUM(e.value), 4) AS sum_value
+       CAST(SUM(CAST(FLOOR(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
 FROM events e JOIN customer c ON c.c_custkey = e.user_id
 GROUP BY 1
 """,
@@ -616,7 +627,11 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("segment")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            # integer cents (r9 ADVICE): exact in both engines — see
+            # q_stream_tumbling_watermark
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+                "sum_cents"
+            ),
         )
     )
     sink = _run_stream(agg, "complete")
@@ -692,19 +707,31 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @spark_query(
     "q_stream_lakehouse_ingest",
     oracle="""
-SELECT CAST(3 AS INTEGER) AS n_commits,
-       COUNT(*) AS n_rows_ingested,
-       COUNT(*) AS n_source_rows,
+WITH bounds AS (
+  SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi FROM events
+),
+buckets AS (
+  SELECT FLOOR((epoch_us(e.ts) - b.lo) / ((b.hi - b.lo + 1) // 3 + 1)) AS bucket
+  FROM events e, bounds b
+)
+SELECT CAST(COUNT(DISTINCT bucket) AS INTEGER) AS n_commits,
+       (SELECT COUNT(*) FROM events) AS n_rows_ingested,
+       (SELECT COUNT(*) FROM events) AS n_source_rows,
        TRUE AS exactly_once
-FROM events
+FROM buckets
 """,
 )
-# Oracle upgraded from rows-only in r9: the conservation row is a pure
-# function of the source — 3 staged files x maxFilesPerTrigger=1 =
-# exactly 3 idempotent commits (this stateless foreachBatch query runs
-# no empty no-data batches), every source row lands exactly once.  The
-# hash check pins the exactly_once claim itself: a replayed or dropped
-# batch would flip the boolean or the counts.
+# Oracle upgraded from rows-only in r9; r10 (ADVICE): n_commits is now
+# DERIVED as the count of non-empty equal-width time buckets — the
+# same floor((ts - min) / step) law _stage_events partitions by, with
+# step = (span_us + 1) // n_files + 1 for n_files=3 — instead of a
+# hardcoded 3, so a gappy timeline (e.g. the scale fixture's decade-
+# apart replica windows) that leaves a bucket empty stages fewer files
+# and the oracle tracks it.  One staged file = one maxFilesPerTrigger=1
+# micro-batch = one idempotent commit (this stateless foreachBatch
+# query runs no empty no-data batches), every source row lands exactly
+# once.  The hash check pins the exactly_once claim itself: a replayed
+# or dropped batch would flip the boolean or the counts.
 def q_stream_lakehouse_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ingestion into the versioned lakehouse table with
     exactly-once semantics: each micro-batch lands via foreachBatch →

@@ -146,14 +146,56 @@ TIER3_QUERIES = [
 ]
 
 
+# fifth tier (r10): the costliest bench queries still off the curve —
+# picked by descending driver median among keys absent from
+# SCALE_CHECKPOINT.json; the three streaming entries were also touched
+# by the r10 integer-cents oracle change, so their curves re-anchor at
+# the new scope
+TIER5_QUERIES = [
+    "q_stream_stream_join",
+    "q_stream_session_window",
+    "q_stream_tumbling_watermark",
+    "q_sink_codec_tradeoff",
+    "q_tpch_q21_waiting",
+    "q_jaccard_block",
+    "q_bias_baseline_rmse",
+    "q_ivf_cosine_topk",
+    "q_recursive_bfs",
+    "q_ann_recall_curve",
+    "q_minhash_scurve",
+    "q_mi_feature_ranking",
+]
+
+# fourth tier (r9 VERDICT #3): the round-9-touched heavies the curve
+# missed — the multimodal widen trade is exactly a 1x/3x/9x question,
+# TWS is a new stateful operator, and q_stream_outer_join's r9 oracle
+# upgrade changed its staging scope (the old curve point predates it)
+TIER4_QUERIES = [
+    "q_multimodal_features",
+    "q_multimodal_framesample",
+    "q_stream_transform_with_state",
+    "q_stream_outer_join",
+]
+
+
 def _query_list() -> list[str]:
     sel = os.environ.get("SPARK_GRAFT_SCALE_QUERIES", "top")
     if sel == "tier2":
         return TIER2_QUERIES
     if sel == "tier3":
         return TIER3_QUERIES
+    if sel == "tier4":
+        return TIER4_QUERIES
+    if sel == "tier5":
+        return TIER5_QUERIES
     if sel == "all":
-        return TOP_QUERIES + TIER2_QUERIES + TIER3_QUERIES
+        return (
+            TOP_QUERIES
+            + TIER2_QUERIES
+            + TIER3_QUERIES
+            + TIER4_QUERIES
+            + TIER5_QUERIES
+        )
     return TOP_QUERIES
 
 

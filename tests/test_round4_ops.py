@@ -153,7 +153,7 @@ def test_cogroup_align_equals_jvm_twin(spark):
     from antidote_data_framework_spark.sources import load_table
 
     got = {
-        (r["user_id"], r["o_orderkey"]): (r["n_events_7d"], r["value_7d"])
+        (r["user_id"], r["o_orderkey"]): (r["n_events_7d"], r["value_7d_cents"])
         for r in QUERIES["q_cogroup_align"](spark, SF_DIR).collect()
     }
     ev = load_table(spark, SF_DIR, "events").select(
@@ -171,7 +171,10 @@ def test_cogroup_align_equals_jvm_twin(spark):
         .groupBy("o_custkey", "o_orderkey")
         .agg(
             F.count("ts").alias("n"),
-            F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 2).alias("v"),
+            F.coalesce(
+                F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")),
+                F.lit(0).cast("long"),
+            ).alias("v"),
         )
         .collect()
     )
@@ -181,4 +184,4 @@ def test_cogroup_align_equals_jvm_twin(spark):
         key = (r["o_custkey"], r["o_orderkey"])
         assert key in got, f"missing order {key}"
         assert got[key][0] == r["n"]
-        assert abs(got[key][1] - r["v"]) < 0.05
+        assert got[key][1] == r["v"]  # exact integer cents, both paths

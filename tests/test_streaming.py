@@ -8,20 +8,41 @@ import __spark_entry__ as entrymod
 QUERIES = entrymod.queries()
 
 
+def _cents(F):
+    return F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+        "sum_cents"
+    )
+
+
 def test_stream_tumbling_matches_batch_twin(spark, sf_dir):
+    from antidote_data_framework_spark.sources import load_table
+    from pyspark.sql import functions as F
+
     batch = {
         (r["window_start"], r["window_end"], r["event_type"]): (
             r["n_events"],
-            r["sum_value"],
+            r["sum_cents"],
         )
-        for r in QUERIES["q_window_tumbling"](spark, sf_dir).collect()
+        for r in (
+            load_table(spark, sf_dir, "events")
+            .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"), _cents(F))
+            .select(
+                F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "event_type",
+                "n_events",
+                "sum_cents",
+            )
+            .collect()
+        )
     }
     streamed = QUERIES["q_stream_tumbling_watermark"](spark, sf_dir).collect()
     assert len(streamed) > 0, "append mode emitted nothing — watermark never advanced"
     for r in streamed:
         key = (r["window_start"], r["window_end"], r["event_type"])
         assert key in batch, f"streamed window {key} missing from batch result"
-        assert (r["n_events"], r["sum_value"]) == batch[key], key
+        assert (r["n_events"], r["sum_cents"]) == batch[key], key
 
 
 def test_stream_dedup_drops_all_replays(spark, sf_dir):
@@ -49,19 +70,34 @@ def test_stream_session_matches_batch_twin(spark, sf_dir):
     """Every session the stream finalizes (append mode) must exist in
     the batch session-window result with identical bounds and aggregates
     — the merge logic is the same, only emission timing differs."""
+    from antidote_data_framework_spark.sources import load_table
+    from pyspark.sql import functions as F
+
     batch = {
         (r["user_id"], r["session_start"], r["session_end"]): (
             r["n_events"],
-            r["sum_value"],
+            r["sum_cents"],
         )
-        for r in QUERIES["q_window_session"](spark, sf_dir).collect()
+        for r in (
+            load_table(spark, sf_dir, "events")
+            .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"), _cents(F))
+            .select(
+                "user_id",
+                F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                "n_events",
+                "sum_cents",
+            )
+            .collect()
+        )
     }
     streamed = QUERIES["q_stream_session_window"](spark, sf_dir).collect()
     assert len(streamed) > 0, "append mode emitted no closed sessions"
     for r in streamed:
         key = (r["user_id"], r["session_start"], r["session_end"])
         assert key in batch, f"streamed session {key} missing from batch result"
-        assert (r["n_events"], r["sum_value"]) == batch[key], key
+        assert (r["n_events"], r["sum_cents"]) == batch[key], key
 
 
 def test_stream_static_join_matches_batch_twin(spark, sf_dir):
@@ -73,22 +109,19 @@ def test_stream_static_join_matches_batch_twin(spark, sf_dir):
         F.col("c_mktsegment").alias("segment"),
     )
     batch = {
-        r["segment"]: (r["n_events"], r["sum_value"])
+        r["segment"]: (r["n_events"], r["sum_cents"])
         for r in (
             load_table(spark, sf_dir, "events")
             .join(dim, "user_id")
             .groupBy("segment")
-            .agg(
-                F.count(F.lit(1)).alias("n_events"),
-                F.round(F.sum("value"), 4).alias("sum_value"),
-            )
+            .agg(F.count(F.lit(1)).alias("n_events"), _cents(F))
             .collect()
         )
     }
     streamed = QUERIES["q_stream_static_join"](spark, sf_dir).collect()
     assert len(streamed) == len(batch)
     for r in streamed:
-        assert (r["n_events"], r["sum_value"]) == batch[r["segment"]], r["segment"]
+        assert (r["n_events"], r["sum_cents"]) == batch[r["segment"]], r["segment"]
 
 
 def test_stream_stream_join_matches_batch_twin(spark, sf_dir):
