@@ -288,14 +288,30 @@ def q_source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@spark_query("q_source_binaryfile")  # rows-only: filesystem source, no SQL twin
+@spark_query(
+    "q_source_binaryfile",
+    oracle="""
+SELECT printf('doc_%05d.bin', doc_id) AS file_name,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_hash
+FROM documents
+WHERE doc_id < 20
+""",
+)
+# Oracle upgraded from rows-only in r10: the binaryFile SOURCE is the
+# mechanism under demo, but the round trip is a conservation law —
+# file bytes read back must hash to the md5 of the staged text's
+# UTF-8 encoding, which DuckDB restates directly (md5(text) hashes
+# the VARCHAR's UTF-8 bytes; octet_length(encode(...)) is its byte
+# length).  A torn, truncated, or re-encoded file flips the hash.
 def q_source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opaque-binary ingestion via Spark's built-in ``binaryFile``
     source — the entry point of every multimodal pipeline (stage raw
     image/audio/doc bytes, then decode with mapInPandas as in
     operators/multimodal.py).  Stages the first 20 documents as .bin
     files, reads them back as (path, length, content), and verifies
-    bytes survive the round trip via a per-file xxhash64.
+    bytes survive the round trip via a per-file md5 (md5, not
+    xxhash64, so the DuckDB oracle can restate the same digest).
 
     Scale notes: binaryFile lists files driver-side and packs them
     into partitions by size (maxPartitionBytes), so millions of tiny
@@ -319,7 +335,7 @@ def q_source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
         bf.select(
             F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
             F.col("length").cast("long").alias("n_bytes"),
-            F.xxhash64("content").alias("content_hash"),
+            F.md5("content").alias("content_hash"),
         )
         .orderBy("file_name")
     )

@@ -181,6 +181,15 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ANN_EVAL_DIMS = (1, 17, 33, 49)  # 1-based sign-bit dims for the eval LSH
 
+# Recall panel: every 100th vec_id BELOW this cap.  The cap is what
+# makes the panel FIXED-SIZE (<= 50 queries) as the corpus grows — r10
+# scale checkpoint caught the uncapped `vec_id % 100 = 0` panel growing
+# WITH the corpus, turning the panel x corpus scoring join quadratic
+# (measured 69x wall on 9x data ~= the 81x row-count law).  A recall
+# harness wants a fixed query panel over a growing corpus anyway;
+# corpus rows only ever appear once per panel member.
+ANN_PANEL_CAP = 5_000
+
 
 @spark_query(
     "q_ann_recall_curve",
@@ -193,7 +202,8 @@ WITH b AS (
         + CASE WHEN embedding[49] > 0 THEN 8 ELSE 0 END) AS bucket
   FROM embeddings
 ),
-q AS (SELECT vec_id AS q_id, embedding AS qe, bucket AS qb FROM b WHERE vec_id % 100 = 0),
+q AS (SELECT vec_id AS q_id, embedding AS qe, bucket AS qb FROM b
+      WHERE vec_id % 100 = 0 AND vec_id < 5000),
 scored AS (
   SELECT q.q_id, e.vec_id,
          list_sum(list_transform(list_zip(e.embedding, q.qe),
@@ -239,8 +249,9 @@ def q_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     before trusting an index ("measure, don't guess" as an operator).
 
     A deterministic sign-bit LSH (4 bits = the signs of 4 fixed
-    embedding dims) indexes the corpus; for a panel of query vectors
-    (vec_id % 100 = 0) the operator computes, IN ONE DISTRIBUTED
+    embedding dims) indexes the corpus; for a FIXED panel of query
+    vectors (every 100th vec_id below ANN_PANEL_CAP — <= 50 queries at
+    any corpus size) the operator computes, IN ONE DISTRIBUTED
     PASS, the exact cosine top-10 and the LSH-probed top-10 (buckets
     within hamming <= 1 ~= 31% of the corpus probed), then
     recall@{1,5,10} averaged over the panel.  Because the index is
@@ -266,13 +277,15 @@ def q_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, d in enumerate(ANN_EVAL_DIMS)
         ).alias("bucket"),
     )
-    q = b.filter(F.col("vec_id") % 100 == 0).select(
+    q = b.filter(
+        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < ANN_PANEL_CAP)
+    ).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("qe"),
         F.col("bucket").alias("qb"),
     )
     scored = (
-        b.crossJoin(bcast(q, "query-vector sample (1% of vectors)"))
+        b.crossJoin(bcast(q, "fixed recall panel (<= ANN_PANEL_CAP/100 rows)"))
         .filter(F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id",

@@ -180,6 +180,8 @@ TIER4_QUERIES = [
 
 def _query_list() -> list[str]:
     sel = os.environ.get("SPARK_GRAFT_SCALE_QUERIES", "top")
+    if sel.startswith("q_"):  # explicit comma-separated key list
+        return [k.strip() for k in sel.split(",") if k.strip()]
     if sel == "tier2":
         return TIER2_QUERIES
     if sel == "tier3":
