@@ -102,6 +102,15 @@ def main() -> None:
     load_table(spark, sf_dir, "lineitem").count()
 
     qs = entrymod.queries()
+    # optional subset for targeted runs / fast shutdown-path checks:
+    # SPARK_GRAFT_BENCH_QUERIES=q_a,q_b python bench.py
+    subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "")
+    if subset:
+        want = {k.strip() for k in subset.split(",") if k.strip()}
+        unknown = want - set(qs)
+        if unknown:
+            raise SystemExit(f"bench: unknown query keys: {sorted(unknown)}")
+        qs = {k: v for k, v in qs.items() if k in want}
     runs: dict[str, list[float]] = {name: [] for name in qs}
     t_start = time.time()
     sweeps_done = 0
@@ -186,6 +195,10 @@ def main() -> None:
     # readable straight from the artifact.
     elapsed = round(time.time() - t_start, 1)
     min_runs = min((len(rs) for rs in runs.values()), default=0)
+    if subset:
+        # a subset run must not clobber the full per-query record the
+        # round-over-round tracker anchors on
+        queries_file = os.path.join(here, "bench_queries_subset.json")
     with open(queries_file, "w") as f:
         json.dump(
             {
@@ -223,7 +236,7 @@ def main() -> None:
             "sweeps": sweeps_done,
             "budget_headroom_sec": round(budget - elapsed, 1),
             "n_regressions_vs_prev": len(regressions),
-            "queries_file": "bench_queries.json",
+            "queries_file": os.path.basename(queries_file),
         }
     )
 
