@@ -146,6 +146,22 @@ TIER3_QUERIES = [
 ]
 
 
+# sixth tier (r10, continuation): the next 12 costliest off the curve
+TIER6_QUERIES = [
+    "q_stream_cusum_stateful",
+    "q_stream_ewma_stateful",
+    "q_stream_checkpoint_recovery",
+    "q_stream_lakehouse_ingest",
+    "q_stream_backfill_availablenow",
+    "q_polarization",
+    "q_corpus_boilerplate_ngrams",
+    "q_kmeans_labels",
+    "q_sink_compaction",
+    "q_source_csv_json_roundtrip",
+    "q_equidepth_histogram",
+    "q_text_containment",
+]
+
 # fifth tier (r10): the costliest bench queries still off the curve —
 # picked by descending driver median among keys absent from
 # SCALE_CHECKPOINT.json; the three streaming entries were also touched
@@ -190,6 +206,8 @@ def _query_list() -> list[str]:
         return TIER4_QUERIES
     if sel == "tier5":
         return TIER5_QUERIES
+    if sel == "tier6":
+        return TIER6_QUERIES
     if sel == "all":
         return (
             TOP_QUERIES
@@ -197,6 +215,7 @@ def _query_list() -> list[str]:
             + TIER3_QUERIES
             + TIER4_QUERIES
             + TIER5_QUERIES
+            + TIER6_QUERIES
         )
     return TOP_QUERIES
 
