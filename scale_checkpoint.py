@@ -72,7 +72,7 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, HERE)
 
 SRC = os.environ.get("SPARK_GRAFT_SCALE_SRC", "/root/testdata/sf0.1")
-POINTS = {"sf0.3": 3, "sf0.9": 9}
+POINTS = {"sf0.3": 3, "sf0.9": 9, "sf2.7": 27}
 OFFSET = 10_000_000
 
 
@@ -146,6 +146,25 @@ TIER3_QUERIES = [
 ]
 
 
+# frontier tier (r10): a 4th scale point — 27 replicas — for a
+# representative heavy from each family, asking "does the 9x ratio
+# keep tracking N at 3x more data?"  Run ONLY at the sf2.7 point (the
+# lower points are already recorded):
+#   SPARK_GRAFT_SCALE_QUERIES=frontier python scale_checkpoint.py --gen sf2.7
+#   SPARK_GRAFT_SCALE_QUERIES=frontier python scale_checkpoint.py --run sf2.7
+FRONTIER_QUERIES = [
+    "q_simhash_neardup",       # highest dedup-family 9x ratio (6.99)
+    "q_join_range_binned",     # binned range join — quadratic risk
+    "q_winnow_neardup",        # winnowing shingle join
+    "q_decontaminate_bloom",   # sized bloom filter growth
+    "q_dedup_ngram_jaccard",   # shingle-blocked jaccard
+    "q_embed_quantize",        # pure codegen scan
+    "q_rollup_multires",       # multi-resolution re-agg (6.77)
+    "q_ann_recall_curve",      # validates the r10 panel-cap fix
+    "q_join_asof",             # validates the r9 union/sort-merge form
+    "q_multimodal_features",   # validates the r10 widen work gate
+]
+
 # sixth tier (r10, continuation): the next 12 costliest off the curve
 TIER6_QUERIES = [
     "q_stream_cusum_stateful",
@@ -208,6 +227,8 @@ def _query_list() -> list[str]:
         return TIER5_QUERIES
     if sel == "tier6":
         return TIER6_QUERIES
+    if sel == "frontier":
+        return FRONTIER_QUERIES
     if sel == "all":
         return (
             TOP_QUERIES
