@@ -321,7 +321,10 @@ def run(points: list[str]) -> None:
     from antidote_data_framework_spark.sources import load_table
     from pyspark.sql import types as T
 
-    arrow_unfriendly = (T.ArrayType, T.MapType, T.StructType)
+    # TimestampType included since the sf2.7 point: 27 replicas shift
+    # events ~260 years out, past pandas datetime64[ns]'s 2262 ceiling,
+    # so toPandas() overflows — collect() keeps microsecond precision
+    arrow_unfriendly = (T.ArrayType, T.MapType, T.StructType, T.TimestampType)
     spark = get_spark("scale-checkpoint")
     qs = entrymod.queries()
     n_runs = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "2"))
