@@ -319,12 +319,11 @@ def run(points: list[str]) -> None:
         get_spark,
     )
     from antidote_data_framework_spark.sources import load_table
+    from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
-    # TimestampType included since the sf2.7 point: 27 replicas shift
-    # events ~260 years out, past pandas datetime64[ns]'s 2262 ceiling,
-    # so toPandas() overflows — collect() keeps microsecond precision
-    arrow_unfriendly = (T.ArrayType, T.MapType, T.StructType, T.TimestampType)
+    arrow_unfriendly = (T.ArrayType, T.MapType, T.StructType)
+    ts_types = (T.TimestampType, T.TimestampNTZType)
     spark = get_spark("scale-checkpoint")
     qs = entrymod.queries()
     n_runs = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "2"))
@@ -335,7 +334,19 @@ def run(points: list[str]) -> None:
         if any(isinstance(f.dataType, arrow_unfriendly) for f in df.schema.fields):
             df.collect()
         else:
-            df.toPandas()
+            # keep the Arrow transfer path for timestamp columns by
+            # casting them to strings first: the sf2.7 point's
+            # 27-replica shifts land past pandas datetime64[ns]'s 2262
+            # ceiling (toPandas overflows), and row-pickling collect()
+            # would bill multi-M-row results ~10x transfer cost the
+            # other points don't pay
+            cols = [
+                F.col(f.name).cast("string").alias(f.name)
+                if isinstance(f.dataType, ts_types)
+                else F.col(f.name)
+                for f in df.schema.fields
+            ]
+            df.select(cols).toPandas()
         return time.time() - t0
 
     out_path = os.path.join(HERE, "SCALE_CHECKPOINT.json")
