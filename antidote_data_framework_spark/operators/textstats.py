@@ -882,6 +882,35 @@ WINNOW_P = 1000000007
 WINNOW_DF_CAP = 256
 
 
+def _winnow_tok_hash(t):
+    """Engine-portable token hash over (length, first char, last two
+    chars) — shared by q_doc_winnowing and q_winnow_neardup, mirrored
+    verbatim in their oracles via WINNOW_TOK_HASH_SQL.
+
+    r10: the original (length, first-char) hash had a ~700-value
+    range, so at the 27x scale point DISTINCT tokens collided en
+    masse — posting lists filled with false-positive fingerprints and
+    the neardup join stepped x6.3 on 3x data (SCALE.md round-10 IV).
+    The last-two-chars terms lift the range to ~35k (k-gram space
+    ~6e8), which corpus growth disperses over; still pure codegen, no
+    engine hash functions.  Zero-length tokens hash to 0 explicitly:
+    Spark's ascii('') is 0 but DuckDB's ord('') is -1."""
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.length(t) * 1009
+        + F.ascii(F.substring(t, 1, 1)) * 31
+        + F.ascii(t.substr(F.greatest(F.length(t) - 1, F.lit(1)), F.lit(1))) * 7
+        + F.ascii(t.substr(F.length(t), F.lit(1)))
+    )
+
+
+WINNOW_TOK_HASH_SQL = (
+    "CASE WHEN LENGTH(t) = 0 THEN 0 ELSE "
+    "LENGTH(t) * 1009 + ord(substr(t, 1, 1)) * 31 "
+    "+ ord(substr(t, greatest(LENGTH(t) - 1, 1), 1)) * 7 "
+    "+ ord(substr(t, LENGTH(t), 1)) END"
+)
+
+
 @spark_query(
     "q_doc_winnowing",
     oracle=f"""
@@ -890,7 +919,7 @@ WITH toks AS (
 ),
 sv AS (
   SELECT doc_id,
-         list_transform(ts, t -> LENGTH(t) * 31 + (ord(t[1]) % 97)) AS s,
+         list_transform(ts, t -> {WINNOW_TOK_HASH_SQL}) AS s,
          len(ts) AS n
   FROM toks
 ),
@@ -936,10 +965,7 @@ def q_doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     on fingerprints is the standard next stage (same banded-join shape
     as q_minhash_lsh)."""
     docs = load_table(spark, sf_dir, "documents")
-    s = F.transform(
-        F.split("text", " "),
-        lambda t: F.length(t) * 31 + (F.ascii(F.substring(t, 1, 1)) % 97),
-    )
+    s = F.transform(F.split("text", " "), _winnow_tok_hash)
     sv = docs.select("doc_id", s.alias("s"), F.size(s).alias("n"))
     poly = (
         lambda i: (
@@ -993,7 +1019,7 @@ WITH toks AS (
 ),
 sv AS (
   SELECT doc_id,
-         list_transform(ts, t -> LENGTH(t) * 31 + (ord(t[1]) % 97)) AS s,
+         list_transform(ts, t -> {WINNOW_TOK_HASH_SQL}) AS s,
          len(ts) AS n
   FROM toks
 ),
@@ -1053,10 +1079,7 @@ def q_winnow_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle; same design as q_corpus_boilerplate_ngrams' hot-n-gram
     cap."""
     docs = load_table(spark, sf_dir, "documents")
-    s = F.transform(
-        F.split("text", " "),
-        lambda t: F.length(t) * 31 + (F.ascii(F.substring(t, 1, 1)) % 97),
-    )
+    s = F.transform(F.split("text", " "), _winnow_tok_hash)
     sv = docs.select("doc_id", s.alias("s"), F.size(s).alias("n"))
     poly = (
         lambda i: (

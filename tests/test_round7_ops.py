@@ -348,7 +348,17 @@ def test_winnowing_shared_run_guarantee(spark, tmp_path):
         # semantics: equal checksums for doc 0/1 would be a fluke, so
         # assert set overlap directly with a python mirror
         def mirror(text):
-            s = [len(t) * 31 + (ord(t[0]) % 97) for t in text.split(" ")]
+            # the r10 (length, first char, last two chars) token hash —
+            # see textstats._winnow_tok_hash
+            s = [
+                0
+                if len(t) == 0
+                else len(t) * 1009
+                + ord(t[0]) * 31
+                + ord(t[max(len(t) - 2, 0)]) * 7
+                + ord(t[-1])
+                for t in text.split(" ")
+            ]
             h = [
                 (s[i] * 131 * 131 + s[i + 1] * 131 + s[i + 2]) % 1000000007
                 for i in range(len(s) - WINNOW_K + 1)
