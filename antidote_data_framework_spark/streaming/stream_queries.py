@@ -434,6 +434,10 @@ def q_stream_custom_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(_staged_schema(spark, src))
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
+        # prune to the fold's columns before the Arrow state boundary
+        # (column-pruning + pandas ns-timestamp safety — see
+        # q_stream_transform_with_state)
+        .select("event_type", "value")
     )
 
     def running_totals(key, pdfs, state: GroupState):
@@ -1439,6 +1443,14 @@ def q_stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame
         spark.readStream.schema(_staged_schema(spark, src))
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
+        # prune to the fold's columns BEFORE the stateful boundary:
+        # only (key, value) should ever cross the Arrow exchange — at
+        # scale the other columns are dead weight per micro-batch, and
+        # the timestamp column specifically cannot cross at all on
+        # far-future data (pandas datetime64[ns] caps at year 2262;
+        # the 27-replica scale fixture's shifted events overflow it —
+        # caught by the r10 sf2.7 checkpoint)
+        .select("user_id", "value")
     )
     out_schema = "user_id BIGINT, n_events BIGINT, total_cents BIGINT"
 
