@@ -1140,13 +1140,20 @@ def q_stream_ewma_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(_staged_schema(spark, src))
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
+        # the fold needs event-time ORDER, not the timestamp itself:
+        # ship epoch micros (8-byte long, monotone with ts) across the
+        # Arrow state boundary instead of the timestamp — pandas
+        # datetime64[ns] caps at year 2262 and the 27x scale point's
+        # shifted events overflow it (column pruning bonus: only the
+        # fold's 4 columns cross per micro-batch)
+        .select("user_id", F.unix_micros("ts").alias("ts_us"), "event_id", "value")
     )
 
     def fold_ewma(key, pdfs, state: GroupState):
         s, n = state.get if state.exists else (0.0, 0)
         frames = [pdf for pdf in pdfs]
         if frames:
-            allp = pd.concat(frames).sort_values(["ts", "event_id"])
+            allp = pd.concat(frames).sort_values(["ts_us", "event_id"])
             # floor(x+0.5): tie-free half-away cents, matching the
             # batch twin's quantization (operators/timeseries.py)
             for c in np.floor(allp["value"].to_numpy() * 100 + 0.5):
@@ -1244,6 +1251,9 @@ def q_stream_cusum_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(_staged_schema(spark, src))
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
+        # epoch micros across the Arrow state boundary, not the
+        # timestamp — see q_stream_ewma_stateful
+        .select("user_id", F.unix_micros("ts").alias("ts_us"), "event_id", "value")
     )
     K, H = 10000.0, 50000.0
 
@@ -1253,7 +1263,7 @@ def q_stream_cusum_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         frames = [pdf for pdf in pdfs]
         if frames:
-            allp = pd.concat(frames).sort_values(["ts", "event_id"])
+            allp = pd.concat(frames).sort_values(["ts_us", "event_id"])
             # floor(x+0.5): tie-free half-away cents, matching the
             # batch twin's quantization (operators/timeseries.py)
             for c in np.floor(allp["value"].to_numpy() * 100 + 0.5):
