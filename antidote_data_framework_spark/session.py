@@ -44,6 +44,12 @@ def get_spark(app_name: str = "antidote_data_framework_spark") -> SparkSession:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # Row-proportional demo results (per-row projections like
+        # q_scalar_math_cond) exceed the 1g default when collected at
+        # the synthetic 27x scale point (16.2M rows x 15 cols); 4g is
+        # still a fraction of driver memory.  On a real cluster
+        # results that large should land in a sink, not the driver.
+        .config("spark.driver.maxResultSize", "4g")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # The events fixture stores TIMESTAMP(NANOS), which Spark's parquet

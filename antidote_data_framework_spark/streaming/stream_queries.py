@@ -851,7 +851,11 @@ def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     candidates_stream = (
-        stream.withColumn("shard", F.col("user_id") % 8)
+        # only user_id crosses the Arrow state boundary (column
+        # pruning + pandas ns-timestamp safety — see
+        # q_stream_transform_with_state)
+        stream.select("user_id")
+        .withColumn("shard", F.col("user_id") % 8)
         .groupBy("shard")
         .applyInPandasWithState(
             mg_shard,
@@ -925,12 +929,20 @@ def q_stream_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(_staged_schema(spark, src))
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
+        # epoch micros across the Arrow state boundary, not the
+        # timestamp — see q_stream_ewma_stateful
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "event_id",
+            "event_type",
+        )
     )
 
     def detect(key, pdfs, state: GroupState):
         e1, e2, n = state.get if state.exists else ("", "", 0)
         batch = pd.concat(list(pdfs), ignore_index=True)
-        batch = batch.sort_values(["ts", "event_id"])
+        batch = batch.sort_values(["ts_us", "event_id"])
         for et in batch["event_type"]:
             if e1 == "view" and e2 == "click" and et == "purchase":
                 n += 1
