@@ -12,6 +12,8 @@ stays bounded when nobody drains (r6 ADVICE #4).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from antidote_data_framework_spark.ml import neighbors_cf
@@ -110,3 +112,53 @@ def test_listener_eviction_bounds_undrained_runs():
     assert lst.drain(f"run-{n-1}", timeout=1.0) == 7
     assert f"run-{n-1}" not in lst.terminated
     assert f"run-{n-1}" not in lst.rows_by_run
+
+
+def test_listener_bus_overflow_detector_fires(tmp_path):
+    """r10 VERDICT #6: the dropped-event detector must FIRE when the
+    listener bus overflows — silent event loss is how the
+    checkpoint-recovery accounting bug stayed invisible for five
+    rounds.  Queue capacity is a static SparkContext conf, so the
+    overflow is forced in a subprocess JVM with capacity=1: any job
+    burst then outruns the single-slot queue and Spark drops events
+    instead of blocking, which the detector must report as >0."""
+    import json
+    import subprocess
+    import sys
+    import textwrap
+
+    script = textwrap.dedent(
+        """
+        import json, sys
+        sys.path.insert(0, %r)
+        from pyspark.sql import SparkSession
+        from antidote_data_framework_spark.streaming.stream_queries import (
+            listener_bus_dropped_events,
+        )
+
+        spark = (
+            SparkSession.builder.master("local[2]")
+            .config("spark.scheduler.listenerbus.eventqueue.capacity", "1")
+            .config("spark.ui.enabled", "false")
+            .config("spark.sql.shuffle.partitions", "2")
+            .getOrCreate()
+        )
+        sc = spark.sparkContext
+        for _ in range(20):
+            sc.parallelize(range(100), 8).count()
+        drops = listener_bus_dropped_events(spark)
+        spark.stop()
+        print("DROPS=" + json.dumps(drops))
+        """
+    ) % (os.path.dirname(os.path.dirname(os.path.abspath(__file__))),)
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = [l for l in proc.stdout.splitlines() if l.startswith("DROPS=")][-1]
+    drops = json.loads(line[len("DROPS="):])
+    assert "<unavailable>" not in drops, "metric registry introspection broke"
+    assert sum(drops.values()) > 0, f"capacity-1 bus dropped nothing: {drops}"

@@ -344,6 +344,7 @@ def test_listener_accounting_exact_past_progress_ring_buffer(spark, tmp_path):
 
     from antidote_data_framework_spark.streaming.stream_queries import (
         _ensure_input_rows_listener,
+        listener_bus_dropped_events,
     )
 
     n_files = 110
@@ -353,6 +354,7 @@ def test_listener_accounting_exact_past_progress_ring_buffer(spark, tmp_path):
         pq.write_table(pa.table({"v": pa.array([i], type=pa.int64())}), src / f"f{i:04d}.parquet")
 
     listener = _ensure_input_rows_listener(spark)
+    drops_before = listener_bus_dropped_events(spark)
     stream = (
         spark.readStream.schema("v BIGINT")
         .option("maxFilesPerTrigger", 1)
@@ -370,6 +372,15 @@ def test_listener_accounting_exact_past_progress_ring_buffer(spark, tmp_path):
     q.awaitTermination()
     ring_sum = sum(int(p["numInputRows"]) for p in q.recentProgress)
     exact = listener.drain(str(q.runId))
+    # The listener's exactness claim holds only while the async bus
+    # dropped nothing (r10 VERDICT #6): on overflow Spark discards
+    # events rather than blocking, so under extreme suite load the
+    # claim is void, not violated — detect and skip instead of flaking.
+    drops_after = listener_bus_dropped_events(spark)
+    if drops_after != drops_before:
+        import pytest
+
+        pytest.skip(f"listener bus dropped events during run: {drops_after}")
     assert exact == n_files
     assert ring_sum < n_files  # the old accounting really does undercount
     [row] = spark.table("ring_buffer_regression").collect()
