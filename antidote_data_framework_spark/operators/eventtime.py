@@ -2,7 +2,11 @@
 
 These are the batch halves of the streaming pairs in
 ``streaming/stream_queries.py``: identical window semantics, so the
-streaming results can be asserted equal to these.  ``F.window`` /
+streaming results can be asserted equal to these.  Since r11 both
+halves emit tie-free integer cents (sum_cents = SUM(floor(value*100
++ 0.5))) — r10 moved the streaming side off ROUND(SUM(double),4) and
+this module follows, restoring the documented twin schema (r10
+ADVICE #5).  ``F.window`` /
 ``F.session_window`` group rows by event time, not arrival time — on a
 cluster the groupBy shuffles on (window, key), and AQE coalesces the
 mostly-empty buckets.
@@ -24,7 +28,7 @@ SELECT CAST(time_bucket(INTERVAL '1 day', ts) AS TIMESTAMP)                 AS w
        CAST(time_bucket(INTERVAL '1 day', ts) + INTERVAL 1 DAY AS TIMESTAMP) AS window_end,
        event_type,
        COUNT(*)             AS n_events,
-       ROUND(SUM(value), 4) AS sum_value
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
 FROM events
 GROUP BY 1, 2, 3
 """,
@@ -38,14 +42,14 @@ def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("sum_cents"),
         )
         .select(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),
             "event_type",
             "n_events",
-            "sum_value",
+            "sum_cents",
         )
     )
 
@@ -56,7 +60,7 @@ def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT CAST(time_bucket(INTERVAL '1 day', e.ts, o.off) AS TIMESTAMP)                 AS window_start,
        CAST(time_bucket(INTERVAL '1 day', e.ts, o.off) + INTERVAL 1 DAY AS TIMESTAMP) AS window_end,
        COUNT(*)             AS n_events,
-       ROUND(SUM(e.value), 4) AS sum_value
+       CAST(SUM(CAST(FLOOR(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
 FROM events e
 CROSS JOIN (SELECT UNNEST([INTERVAL '0' HOUR, INTERVAL '6' HOUR,
                            INTERVAL '12' HOUR, INTERVAL '18' HOUR]) AS off) o
@@ -72,13 +76,13 @@ def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.window("ts", "1 day", "6 hours").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("sum_cents"),
         )
         .select(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),
             "n_events",
-            "sum_value",
+            "sum_cents",
         )
     )
 
@@ -104,7 +108,7 @@ SELECT user_id,
        CAST(MIN(ts) AS TIMESTAMP)                      AS session_start,
        CAST(MAX(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
        COUNT(*)                         AS n_events,
-       ROUND(SUM(value), 4)             AS sum_value
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
 FROM sess
 GROUP BY user_id, sess_id
 """,
@@ -122,14 +126,14 @@ def q_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("sum_cents"),
         )
         .select(
             "user_id",
             F.col("w.start").alias("session_start"),
             F.col("w.end").alias("session_end"),
             "n_events",
-            "sum_value",
+            "sum_cents",
         )
     )
 

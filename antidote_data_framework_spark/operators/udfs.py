@@ -303,9 +303,9 @@ def q_sql_function_macro(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_maparrow_norms",
     oracle="""
 SELECT vec_id,
-       ROUND(SQRT(list_sum(list_transform(embedding,
-                                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
-             4) AS l2_norm
+       FLOOR(SQRT(list_sum(list_transform(embedding,
+                                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             * 10000 + 0.5) / 10000 AS l2_norm
 FROM embeddings
 """,
 )
@@ -316,9 +316,11 @@ FROM embeddings
 # bits so x*x is EXACT in float64, and the kernel below accumulates
 # the 64 squares SEQUENTIALLY (one vectorized column add per
 # dimension) — the same left-to-right order DuckDB's list_sum uses —
-# so the pre-sqrt doubles are bit-identical in both engines; IEEE
-# sqrt is correctly rounded, and ROUND(·,4) of the same double can
-# only differ on an exact decimal tie, which no binary double hits.
+# so the pre-sqrt doubles are bit-identical in both engines.  The 4-dp
+# quantization is FLOOR(x*1e4+0.5)/1e4 on BOTH sides (r10 ADVICE #2):
+# np.round is half-even while DuckDB ROUND is half-away, and dyadic
+# doubles (e.g. 0.03125) ARE exact 4-dp ties where the two rules
+# differ — the shared floor form is tie-free for the nonnegative norm.
 def q_maparrow_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``mapInArrow``: per-partition Arrow RecordBatch processing with
     NO pandas materialization — the lowest-overhead Python boundary.
@@ -361,7 +363,7 @@ def q_maparrow_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pa.RecordBatch.from_arrays(
                 [
                     tbl.column("vec_id").combine_chunks(),
-                    pa.array(np.round(n, 4), type=pa.float64()),
+                    pa.array(np.floor(n * 1e4 + 0.5) / 1e4, type=pa.float64()),
                 ],
                 names=["vec_id", "l2_norm"],
             )

@@ -193,7 +193,9 @@ ANN_PANEL_CAP = 5_000
 
 @spark_query(
     "q_ann_recall_curve",
-    oracle="""
+    # ANN_PANEL_CAP is interpolated (r10 ADVICE #3) so a future cap
+    # change cannot silently desynchronize implementation and oracle.
+    oracle=f"""
 WITH b AS (
   SELECT vec_id, embedding,
          (CASE WHEN embedding[1]  > 0 THEN 1 ELSE 0 END
@@ -203,7 +205,7 @@ WITH b AS (
   FROM embeddings
 ),
 q AS (SELECT vec_id AS q_id, embedding AS qe, bucket AS qb FROM b
-      WHERE vec_id % 100 = 0 AND vec_id < 5000),
+      WHERE vec_id % 100 = 0 AND vec_id < {ANN_PANEL_CAP}),
 scored AS (
   SELECT q.q_id, e.vec_id,
          list_sum(list_transform(list_zip(e.embedding, q.qe),

@@ -79,6 +79,10 @@ def _stage_events(
         "n_files": n_files,
         "src_mtime_ns": st.st_mtime_ns,
         "src_size": st.st_size,
+        # bumped when the bucket math changes (r10 ADVICE: v2 = exact
+        # integer-micros span) so stages laid out by the old math
+        # invalidate instead of silently mismatching law oracles
+        "staging_v": 2,
     }
     name = f"events_{os.path.basename(sf_dir.rstrip('/'))}_{copies}x{n_files}"
     path = os.path.join(SCRATCH, name)
@@ -95,11 +99,17 @@ def _stage_events(
     shutil.rmtree(tmp, ignore_errors=True)
 
     events = load_table(spark, sf_dir, "events")
-    lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
-    span_us = int((hi - lo).total_seconds() * 1_000_000) + 1
-    step = span_us // n_files + 1
+    # Exact integer micros end-to-end (r10 ADVICE #1): the old float
+    # timedelta.total_seconds()*1e6 span loses ~1-2 us at the
+    # century-scale spans of the far-future 27x fixture, which can
+    # shift `step` by 1 vs the oracle law's (hi-lo+1)//n_files+1 and
+    # land boundary rows in different buckets.
+    lo_us, hi_us = events.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).first()
+    step = (int(hi_us) - int(lo_us) + 1) // n_files + 1
     bucket = F.floor(
-        (F.unix_micros(F.col("ts")) - F.unix_micros(F.lit(lo))) / F.lit(step)
+        (F.unix_micros(F.col("ts")) - F.lit(int(lo_us))) / F.lit(step)
     ).alias("bucket")
     # one job: each bucket lands in exactly one task -> one file each
     (

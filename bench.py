@@ -264,14 +264,25 @@ def main() -> None:
         print(f"bench: shutdown warning: {exc}", file=sys.stderr)
 
     # Belt-and-braces: if anything below is interrupted, atexit still
-    # re-prints the headline as the true last line of stdout.
-    atexit.register(lambda: (print(headline_line), sys.stdout.flush()))
+    # re-prints the headline as the true last line of stdout.  The hook
+    # is a no-op once the normal print path completed (r10 ADVICE #4:
+    # unconditional re-print left a successful run ending in TWO
+    # identical headline lines, surprising a last-two-lines parser).
+    printed_ok = False
+
+    def _reprint_if_interrupted() -> None:
+        if not printed_ok:
+            print(headline_line)
+            sys.stdout.flush()
+
+    atexit.register(_reprint_if_interrupted)
 
     # Line 1: the full driver-contract JSON (metric + per-query map).
     print(contract_line)
     # Last line: compact headline — complete even under tail-capture.
     print(headline_line)
     sys.stdout.flush()
+    printed_ok = True
 
 
 if __name__ == "__main__":

@@ -15,27 +15,15 @@ def _cents(F):
 
 
 def test_stream_tumbling_matches_batch_twin(spark, sf_dir):
-    from antidote_data_framework_spark.sources import load_table
-    from pyspark.sql import functions as F
-
+    # vs the REGISTERED batch twin (r10 ADVICE #5): both halves emit
+    # integer sum_cents again, so the documented twin relationship is
+    # what this test exercises — not an inline re-implementation.
     batch = {
         (r["window_start"], r["window_end"], r["event_type"]): (
             r["n_events"],
             r["sum_cents"],
         )
-        for r in (
-            load_table(spark, sf_dir, "events")
-            .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
-            .agg(F.count(F.lit(1)).alias("n_events"), _cents(F))
-            .select(
-                F.col("w.start").alias("window_start"),
-                F.col("w.end").alias("window_end"),
-                "event_type",
-                "n_events",
-                "sum_cents",
-            )
-            .collect()
-        )
+        for r in QUERIES["q_window_tumbling"](spark, sf_dir).collect()
     }
     streamed = QUERIES["q_stream_tumbling_watermark"](spark, sf_dir).collect()
     assert len(streamed) > 0, "append mode emitted nothing — watermark never advanced"
@@ -70,27 +58,13 @@ def test_stream_session_matches_batch_twin(spark, sf_dir):
     """Every session the stream finalizes (append mode) must exist in
     the batch session-window result with identical bounds and aggregates
     — the merge logic is the same, only emission timing differs."""
-    from antidote_data_framework_spark.sources import load_table
-    from pyspark.sql import functions as F
-
+    # vs the REGISTERED batch twin (r10 ADVICE #5), same as tumbling.
     batch = {
         (r["user_id"], r["session_start"], r["session_end"]): (
             r["n_events"],
             r["sum_cents"],
         )
-        for r in (
-            load_table(spark, sf_dir, "events")
-            .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
-            .agg(F.count(F.lit(1)).alias("n_events"), _cents(F))
-            .select(
-                "user_id",
-                F.col("w.start").alias("session_start"),
-                F.col("w.end").alias("session_end"),
-                "n_events",
-                "sum_cents",
-            )
-            .collect()
-        )
+        for r in QUERIES["q_window_session"](spark, sf_dir).collect()
     }
     streamed = QUERIES["q_stream_session_window"](spark, sf_dir).collect()
     assert len(streamed) > 0, "append mode emitted no closed sessions"
