@@ -242,31 +242,115 @@ def q_agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@spark_query("q_agg_approx_quantile")  # rows-only: t-digest/GK sketch != DuckDB's
+# The four probed quantiles as exact rationals (label, num, den):
+# rank target = ceil(p*n) = (n*num + den - 1) DIV den, all integer.
+_QPROBES = [("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4), ("p99", 99, 100)]
+# GK sketch accuracy parameter: rank error <= n/_QACC (Spark doc
+# contract for approx_percentile(..., accuracy)).
+_QACC = 100
+
+
+def _approx_quantile_oracle() -> str:
+    cases = ",\n       ".join(
+        f"CAST(MAX(CASE WHEN rn = (n*{num} + {den - 1}) // {den} THEN v END)"
+        f" AS DOUBLE) AS {lbl}_exact"
+        for lbl, num, den in _QPROBES
+    )
+    return f"""
+WITH ranked AS (
+  SELECT l_returnflag, l_extendedprice AS v,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+)
+SELECT l_returnflag,
+       CAST(MAX(n) AS BIGINT) AS n_rows,
+       {cases},
+       TRUE AS sketch_within_bound
+FROM ranked
+GROUP BY l_returnflag
+"""
+
+
+@spark_query("q_agg_approx_quantile", oracle=_approx_quantile_oracle())
+# Oracle upgraded from rows-only in r11 (r10 VERDICT #4): the GK
+# sketch's ESTIMATES stay implementation-specific (DuckDB uses
+# t-digest — they can never hash-match), but the sketch's CONTRACT is
+# checkable: approx_percentile(v, p, acc) must return an element whose
+# exact rank lies within n/acc of ceil(p*n).  The operator verifies
+# that bound in-engine with pure integer arithmetic (rank interval
+# [count(<v)+1, count(<=v)] vs target +/- n DIV acc + 1, one unit of
+# slack so a documented "<=" boundary can never flake) and emits it as
+# sketch_within_bound, which the oracle pins TRUE — the same
+# law-boolean pattern as q_stream_lakehouse_ingest's exactly_once.
+# The exact rank-based quantiles ride along fully hash-matched
+# (ceil-rank definition, no interpolation, no FP: identical integer
+# DIV on both sides).
 def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles of l_extendedprice per returnflag via
-    Spark's Greenwald-Khanna sketch (approx_percentile, 1% accuracy).
+    Spark's Greenwald-Khanna sketch (approx_percentile, 1% accuracy),
+    VERIFIED against the exact rank-based quantiles in one operator.
 
     The sketch merges associatively across partitions — the scale path
-    when exact percentile's full sort-per-group is too expensive.
-    Rows-only: sketch estimates are implementation-specific (DuckDB
-    uses t-digest).  The exact twin q_agg_having_stats hash-matches
-    its median, bounding this one's error."""
-    li = load_table(spark, sf_dir, "lineitem")
-    q = F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75, 0.99], 100)
-    # One scalar column per quantile — array outputs crash the driver's
-    # rows-only hasher (r01 red row; ADVICE.md medium finding).
-    return (
-        li.groupBy("l_returnflag")
-        .agg(q.alias("qs"), F.count(F.lit(1)).alias("n_rows"))
-        .select(
-            "l_returnflag",
-            F.round(F.element_at("qs", 1), 4).alias("price_p25"),
-            F.round(F.element_at("qs", 2), 4).alias("price_p50"),
-            F.round(F.element_at("qs", 3), 4).alias("price_p75"),
-            F.round(F.element_at("qs", 4), 4).alias("price_p99"),
-            "n_rows",
+    when exact percentile's full sort-per-group is too expensive.  The
+    exact leg (row_number window per returnflag) is the verification
+    harness, not the production path: at 100 TB you keep the sketch
+    and run the exact leg on a sampled audit slice.  Three bounded
+    passes: the sketch agg, the rank window + target filter, and one
+    conditional-count agg against the broadcast 3-row sketch output
+    for the rank-bound booleans.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_extendedprice").alias("v")
+    )
+    probs = [num / den for _, num, den in _QPROBES]
+    approx = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("v", probs, _QACC).alias("qs"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+    # Exact leg: the ceil(p*n)-ranked element per group, integer math.
+    w = Window.partitionBy("l_returnflag").orderBy("v")
+    ranked = li.withColumn("rn", F.row_number().over(w)).join(
+        bcast(approx.select("l_returnflag", "n", "qs"), "3-row sketch output"),
+        "l_returnflag",
+    )
+    exact_cols = [
+        F.max(
+            F.when(
+                F.col("rn") == F.expr(f"(n*{num} + {den - 1}) div {den}"), F.col("v")
+            )
         )
+        .cast("double")
+        .alias(f"{lbl}_exact")
+        for lbl, num, den in _QPROBES
+    ]
+    # Rank-bound booleans: the sketch value's rank interval
+    # [lo+1, hi] must intersect [target - slack, target + slack],
+    # slack = n DIV 100 + 1 — evaluated with integer cross-multiplied
+    # comparisons (no FP anywhere).
+    bound_checks = []
+    for i, (lbl, num, den) in enumerate(_QPROBES):
+        v_k = F.element_at("qs", i + 1)
+        lo = F.sum((F.col("v") < v_k).cast("long"))
+        hi = F.sum((F.col("v") <= v_k).cast("long"))
+        bound_checks.append(
+            (
+                (hi * den >= F.max("n") * num - (F.expr("max(n) div 100") + 1) * den)
+                & ((lo + 1) * den <= F.max("n") * num + (F.expr("max(n) div 100") + 1) * den)
+            ).alias(f"{lbl}_ok")
+        )
+    per_group = ranked.groupBy("l_returnflag").agg(
+        F.max("n").cast("long").alias("n_rows"), *exact_cols, *bound_checks
+    )
+    ok = F.lit(True)
+    for lbl, _, _ in _QPROBES:
+        ok = ok & F.col(f"{lbl}_ok")
+    return per_group.select(
+        "l_returnflag",
+        "n_rows",
+        *[f"{lbl}_exact" for lbl, _, _ in _QPROBES],
+        ok.alias("sketch_within_bound"),
     )
 
 

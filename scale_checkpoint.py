@@ -229,6 +229,13 @@ def _query_list() -> list[str]:
         return TIER6_QUERIES
     if sel == "frontier":
         return FRONTIER_QUERIES
+    if sel == "tier7":
+        # r11: the proxy-registry shape representatives with no measured
+        # sibling (antidote_data_framework_spark/scale_proxies.py) —
+        # single source of truth so the curve and the claim map can't drift
+        from antidote_data_framework_spark.scale_proxies import TIER7_QUERIES
+
+        return TIER7_QUERIES
     if sel == "all":
         return (
             TOP_QUERIES

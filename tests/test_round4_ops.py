@@ -147,6 +147,42 @@ def test_stream_heavy_hitters_equals_batch(spark):
     assert len(out) == 15
 
 
+def test_stream_heavy_hitters_floor_law(spark):
+    """The Misra-Gries frequency-floor law at sf0.01 (a regime the
+    sf0.001 equality test doesn't reach): every emitted freq is the
+    user's EXACT batch count, and every user above its shard's
+    guarantee threshold n_shard/(K+1) whose exact count reaches the
+    emitted minimum MUST be in the output — the sketch may never drop
+    a guaranteed-retained user.  (At sf0.1 the fixture flattens past
+    the guarantee regime and membership becomes arrangement-dependent
+    — the documented reason the query stays rows-only.)"""
+    from antidote_data_framework_spark.sources import load_table
+
+    sf01 = "/root/testdata/sf0.01"
+    out = {
+        r["user_id"]: r["freq"]
+        for r in QUERIES["q_stream_heavy_hitters"](spark, sf01).collect()
+    }
+    assert len(out) == 15
+    ev = load_table(spark, sf01, "events")
+    exact = {
+        r["user_id"]: r["freq"]
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("freq")).collect()
+    }
+    shard_n: dict[int, int] = {}
+    for uid, c in exact.items():
+        shard_n[uid % 8] = shard_n.get(uid % 8, 0) + c
+    # 1. emitted frequencies are exact counts
+    for uid, freq in out.items():
+        assert freq == exact[uid], uid
+    # 2. frequency floor: guaranteed-retained users at/above the
+    #    emitted minimum must have been kept
+    floor = min(out.values())
+    for uid, c in exact.items():
+        if c > shard_n[uid % 8] / 65 and c > floor:
+            assert uid in out, (uid, c, floor)
+
+
 def test_cogroup_align_equals_jvm_twin(spark):
     """The cogroup/applyInPandas alignment must match the declarative
     range-join formulation (Python path == JVM path)."""
