@@ -32,26 +32,24 @@ SF0001 = "/root/testdata/sf0.001"
 # ROTATION (r9 ADVICE): the §2 contract has 53 SQL-oracled keys and the
 # window holds 50, so membership rotates each round — every oracled key
 # periodically gets EXTERNAL driver verification instead of three of
-# them relying permanently on the committed sweep artifacts.  r10:
-# O-56/O-58/O-60 rotate IN (outside since their r8 oracles landed);
-# O-10/O-26/O-36 rotate OUT (driver-hash-green every round since r1-r4;
-# each remains hash-verified by the sf0.01 AND sf0.1 sweeps, like every
-# registered key).  Next rotation: put the out-trio back, bench a
-# different trio of long-green slots.
+# them relying permanently on the committed sweep artifacts.  r11 (per
+# r10 VERDICT #3): O-10/O-26/O-36 rotate back IN after one round out
+# (re-verified externally by the r10 judge meanwhile); O-4/O-5/O-13
+# rotate OUT (driver-hash-green since r1 — the longest-tenured slots).
+# Every rotated-out key remains hash-verified by the sf0.01 AND sf0.1
+# sweeps, like every registered key.  Policy: no key stays outside the
+# window for more than ~2 consecutive rounds.
 CONTRACT_ORDER: list[str] = [
     # --- SQL-oracled SURVEY §2 keys (hash-checked by the driver) ---
     "q_scan_project_filter",      # O-1
     "q_source_csv_json_roundtrip",  # O-2 (SQL since r9)
     "q_sink_partitioned_parquet",   # O-3 (SQL since r9)
-    "q_join_inner",               # O-4
-    "q_join_broadcast",           # O-5
     "q_join_5way_star",           # O-6
     "q_join_outer",               # O-7
     "q_join_semi",                # O-8
     "q_join_anti",                # O-9
     "q_join_theta_range",         # O-11
     "q_join_asof",                # O-12
-    "q_agg_pricing_summary",      # O-13
     "q_agg_distinct",             # O-14
     "q_agg_rollup",               # O-16
     "q_agg_cube_sets",            # O-17
@@ -89,11 +87,15 @@ CONTRACT_ORDER: list[str] = [
     "q_dedup_exact",              # O-55
     "q_jaccard_block",            # O-56
     "q_cosine_topk",              # O-58
-    "q_embed_centroids",          # O-60 (slot 50 — last inside the window)
+    "q_embed_centroids",          # O-60
+    "q_join_cross",               # O-10 (rotated back in, r11)
+    "q_set_union",                # O-26 (rotated back in, r11)
+    "q_fairness_absolute",        # O-36 (rotated back in — slot 50)
     # --- SQL-oracled §2 keys rotated outside the window this round ---
-    "q_join_cross",               # O-10 (driver-green r1-r9)
-    "q_set_union",                # O-26 (driver-green r2-r9)
-    "q_fairness_absolute",        # O-36 (driver-green r3-r9)
+    "q_join_inner",               # O-4 (driver-green r1-r10)
+    "q_join_broadcast",           # O-5 (driver-green r1-r10)
+    "q_agg_pricing_summary",      # O-13 (driver-green r1-r10; still run
+                                  #       every round as entry())
     # --- rows-only SURVEY §2 keys (driver checks run + row count) ---
     "q_agg_approx_distinct",      # O-15
     "q_als_train_predict",        # O-40

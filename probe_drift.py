@@ -44,6 +44,12 @@ SUSPECTS = [
     "q_item_item_recommend",
 ]
 
+# r11: the suspect set is round-specific — override without editing
+# (same convention as SPARK_GRAFT_SCALE_QUERIES).
+_env_suspects = os.environ.get("SPARK_GRAFT_PROBE_QUERIES")
+if _env_suspects:
+    SUSPECTS = [k.strip() for k in _env_suspects.split(",") if k.strip()]
+
 
 def main() -> None:
     n_runs = int(sys.argv[1]) if len(sys.argv) > 1 else 4
