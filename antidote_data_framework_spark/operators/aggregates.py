@@ -293,12 +293,15 @@ def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The sketch merges associatively across partitions — the scale path
     when exact percentile's full sort-per-group is too expensive.  The
-    exact leg (row_number window per returnflag) is the verification
-    harness, not the production path: at 100 TB you keep the sketch
-    and run the exact leg on a sampled audit slice.  Three bounded
-    passes: the sketch agg, the rank window + target filter, and one
-    conditional-count agg against the broadcast 3-row sketch output
-    for the rank-bound booleans.
+    exact leg avoids the naive full-row sort (3 groups = 3 tasks, no
+    parallelism): it aggregates a (group, value) -> count HISTOGRAM
+    first (parallel partial agg), runs ONE cumulative-sum window over
+    the distinct values — orders of magnitude fewer rows than the
+    table — and reads both the ceil(p*n)-ranked elements AND the
+    sketch values' exact rank intervals (count(<v), count(<=v)) off
+    the same cumulative frame in one final aggregate.  That is the
+    100-TB shape for exact rank selection: shuffle distinct values,
+    never all rows, through the sort.
     """
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", F.col("l_extendedprice").alias("v")
@@ -309,16 +312,19 @@ def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
     )
 
-    # Exact leg: the ceil(p*n)-ranked element per group, integer math.
+    # value histogram + cumulative counts: cum = count(x <= v)
+    hist = li.groupBy("l_returnflag", "v").agg(F.count(F.lit(1)).alias("c"))
     w = Window.partitionBy("l_returnflag").orderBy("v")
-    ranked = li.withColumn("rn", F.row_number().over(w)).join(
+    cum = hist.withColumn("cum", F.sum("c").over(w)).join(
         bcast(approx.select("l_returnflag", "n", "qs"), "3-row sketch output"),
         "l_returnflag",
     )
+    # Exact leg: the ceil(p*n)-ranked element = the smallest value
+    # whose cumulative count reaches the integer rank target.
     exact_cols = [
-        F.max(
+        F.min(
             F.when(
-                F.col("rn") == F.expr(f"(n*{num} + {den - 1}) div {den}"), F.col("v")
+                F.col("cum") >= F.expr(f"(n*{num} + {den - 1}) div {den}"), F.col("v")
             )
         )
         .cast("double")
@@ -328,19 +334,21 @@ def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Rank-bound booleans: the sketch value's rank interval
     # [lo+1, hi] must intersect [target - slack, target + slack],
     # slack = n DIV 100 + 1 — evaluated with integer cross-multiplied
-    # comparisons (no FP anywhere).
+    # comparisons (no FP anywhere).  lo/hi come off the cumulative
+    # frame: hi = cum at the largest value <= v_k, lo = cum at the
+    # largest value strictly < v_k (0 when v_k is the minimum).
     bound_checks = []
     for i, (lbl, num, den) in enumerate(_QPROBES):
         v_k = F.element_at("qs", i + 1)
-        lo = F.sum((F.col("v") < v_k).cast("long"))
-        hi = F.sum((F.col("v") <= v_k).cast("long"))
+        lo = F.coalesce(F.max(F.when(F.col("v") < v_k, F.col("cum"))), F.lit(0))
+        hi = F.coalesce(F.max(F.when(F.col("v") <= v_k, F.col("cum"))), F.lit(0))
         bound_checks.append(
             (
                 (hi * den >= F.max("n") * num - (F.expr("max(n) div 100") + 1) * den)
                 & ((lo + 1) * den <= F.max("n") * num + (F.expr("max(n) div 100") + 1) * den)
             ).alias(f"{lbl}_ok")
         )
-    per_group = ranked.groupBy("l_returnflag").agg(
+    per_group = cum.groupBy("l_returnflag").agg(
         F.max("n").cast("long").alias("n_rows"), *exact_cols, *bound_checks
     )
     ok = F.lit(True)
