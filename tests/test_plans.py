@@ -43,6 +43,18 @@ def test_flagship_uses_partial_aggregation(spark, sf_dir):
     assert has_partial_aggregation(QUERIES["q_agg_pricing_summary"](spark, sf_dir))
 
 
+def test_approx_quantile_exact_leg_plan_shape(spark, sf_dir):
+    """r11: the exact-rank verifier must keep its scale shape — the
+    (group, value) histogram aggregates with a map-side partial pass
+    BEFORE the cumulative window (shuffling distinct values, never raw
+    rows, through the sort), and the 3-row sketch output joins in as a
+    broadcast, all JVM-side."""
+    df = QUERIES["q_agg_approx_quantile"](spark, sf_dir)
+    assert has_partial_aggregation(df)
+    assert broadcast_join_count(df) >= 1
+    assert not uses_python_eval(df)
+
+
 def test_no_python_udfs_on_oracled_paths(spark, sf_dir):
     """The engine-wide rule: every hash-matched query stays JVM-side
     in its TRANSFORMS (Python eval nodes only in declared UDF /
