@@ -29,8 +29,9 @@ SF0001 = "/root/testdata/sf0.001"
 # check), then the rows-only §2 operators, then the LLM-pipeline
 # north-star extras, then everything else in registration order.
 #
-# ROTATION (r9 ADVICE): the §2 contract has 53 SQL-oracled keys and the
-# window holds 50, so membership rotates each round — every oracled key
+# ROTATION (r9 ADVICE): the §2 contract has 55 SQL-oracled keys (53 +
+# O-15/O-41 law-boolean upgrades in r11) and the window holds 50, so
+# membership rotates each round — every oracled key
 # periodically gets EXTERNAL driver verification instead of three of
 # them relying permanently on the committed sweep artifacts.  r11 (per
 # r10 VERDICT #3): O-10/O-26/O-36 rotate back IN after one round out
@@ -96,10 +97,11 @@ CONTRACT_ORDER: list[str] = [
     "q_join_broadcast",           # O-5 (driver-green r1-r10)
     "q_agg_pricing_summary",      # O-13 (driver-green r1-r10; still run
                                   #       every round as entry())
+    "q_agg_approx_distinct",      # O-15 (SQL since r11 — law-boolean; sweep-
+                                  #       verified first, rotate in later)
+    "q_als_rmse_gate",            # O-41 (SQL since r11 — law-boolean; same)
     # --- rows-only SURVEY §2 keys (driver checks run + row count) ---
-    "q_agg_approx_distinct",      # O-15
     "q_als_train_predict",        # O-40
-    "q_als_rmse_gate",            # O-41
     "q_antidote_step",            # O-42
     "q_antidote_loop",            # O-43
     "q_minhash_lsh",              # O-57

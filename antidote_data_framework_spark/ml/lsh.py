@@ -94,7 +94,14 @@ def minhash_bands(docs: DataFrame, keep_shingles: bool = False) -> DataFrame:
     )
 
 
-@spark_query("q_minhash_lsh")  # rows-only: sketch-specific estimates
+# rows-only, re-surveyed r11: every signature value is xxhash64 (a
+# Spark-specific 64-bit hash with no DuckDB implementation), so
+# neither the minhash values, the band keys, nor therefore the
+# candidate-pair set is replayable in SQL — and the law-boolean
+# pattern has no purchase either (the banding guarantee is
+# probabilistic, not an invariant).  Determinism is pinned by the
+# rows-only golden + the recall test instead.
+@spark_query("q_minhash_lsh")
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded MinHash-LSH near-dup join — the scale path for
     q_jaccard_block.

@@ -88,16 +88,46 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@spark_query("q_agg_approx_distinct")  # rows-only: HLL sketch != DuckDB's sketch
+@spark_query(
+    "q_agg_approx_distinct",
+    oracle="""
+SELECT CAST(COUNT(DISTINCT l_partkey)  AS BIGINT) AS n_parts_exact,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders_exact,
+       TRUE AS parts_within_bound,
+       TRUE AS orders_within_bound
+FROM lineitem
+""",
+)
+# Oracle upgraded from rows-only in r11 (law-boolean pattern): the
+# HLL++ ESTIMATES are sketch-implementation-specific (DuckDB's
+# approx_count_distinct uses a different HLL) and stay out of the
+# hashed surface; what IS pinned is the sketch's accuracy contract —
+# |estimate - exact| <= 15% of exact (3x the rsd=0.05, far outside
+# HLL++'s observed error at every fixture SF; the estimate itself is
+# data-deterministic because register-max merging is commutative) —
+# alongside the exact distinct counts, fully hash-matched.  A broken
+# sketch flips a boolean; a broken distinct flips the counts.
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct count (rsd=0.05).  The sketch merges
-    associatively across partitions — constant memory per executor at
-    any scale, the 100 TB answer to COUNT(DISTINCT).  Rows-only: the
-    estimate is sketch-implementation-specific."""
+    """HyperLogLog++ distinct count (rsd=0.05), verified in-engine
+    against exact COUNT(DISTINCT).  The sketch merges associatively
+    across partitions — constant memory per executor at any scale, the
+    100 TB answer to COUNT(DISTINCT); the exact leg is the
+    verification harness (at 100 TB, run it on an audit slice)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_partkey", 0.05).alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey", 0.05).alias("approx_orders"),
+    row = li.agg(
+        F.approx_count_distinct("l_partkey", 0.05).alias("est_parts"),
+        F.approx_count_distinct("l_orderkey", 0.05).alias("est_orders"),
+        F.countDistinct("l_partkey").alias("n_parts_exact"),
+        F.countDistinct("l_orderkey").alias("n_orders_exact"),
+    )
+    within = lambda est, exact: (  # noqa: E731 — |est-exact|*20 <= 3*exact
+        F.abs(F.col(est) - F.col(exact)) * 20 <= F.col(exact) * 3
+    )
+    return row.select(
+        "n_parts_exact",
+        "n_orders_exact",
+        within("est_parts", "n_parts_exact").alias("parts_within_bound"),
+        within("est_orders", "n_orders_exact").alias("orders_within_bound"),
     )
 
 
