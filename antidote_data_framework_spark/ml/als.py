@@ -30,6 +30,9 @@ ALS_PARAMS = dict(rank=10, regParam=0.1, maxIter=10, seed=42, coldStartStrategy=
 # One fit per (session, sf_dir): O-41 evaluates O-40's model — retraining
 # for the evaluator would double the dominant cost at bench time.
 _MODEL_CACHE: dict[str, object] = {}
+# Train-row count observed by the fit (the block-sizing count): O-41
+# reuses it instead of re-scanning the ratings join (review r11).
+_TRAIN_COUNT_CACHE: dict[str, int] = {}
 
 
 def _als_fit_cached(spark: SparkSession, sf_dir: str, train: DataFrame):
@@ -43,6 +46,7 @@ def _als_fit_cached(spark: SparkSession, sf_dir: str, train: DataFrame):
         # formula grows the grid so a block never outgrows an
         # executor.
         n_ratings = train.count()
+        _TRAIN_COUNT_CACHE[key] = int(n_ratings)
         blocks = max(2, min(64, int(n_ratings // 60_000) or 2))
         als = ALS(
             userCol="user_id",
@@ -104,11 +108,12 @@ def q_als_rmse_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the REAL mechanism (model.transform + coldStartStrategy='drop'
     row census), which the oracle independently derives from the
     split + factor-coverage law."""
-    r = ratings_df(spark, sf_dir)
-    n_train = r.filter(is_train(F.col("user_id"), F.col("item_id"))).count()
     preds = q_als_train_predict(spark, sf_dir).withColumnRenamed(
         "prediction", "raw_prediction"
     )
+    # the fit (triggered above, or cached from O-40) already counted
+    # the train split for block sizing — reuse, don't re-scan the join
+    n_train = _TRAIN_COUNT_CACHE[f"{id(spark)}:{sf_dir}"]
     evaluator = RegressionEvaluator(
         metricName="rmse", labelCol="rating", predictionCol="raw_prediction"
     )

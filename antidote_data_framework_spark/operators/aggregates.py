@@ -372,10 +372,11 @@ def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         v_k = F.element_at("qs", i + 1)
         lo = F.coalesce(F.max(F.when(F.col("v") < v_k, F.col("cum"))), F.lit(0))
         hi = F.coalesce(F.max(F.when(F.col("v") <= v_k, F.col("cum"))), F.lit(0))
+        slack = F.expr(f"max(n) div {_QACC}") + 1  # n/acc GK bound + 1 unit
         bound_checks.append(
             (
-                (hi * den >= F.max("n") * num - (F.expr("max(n) div 100") + 1) * den)
-                & ((lo + 1) * den <= F.max("n") * num + (F.expr("max(n) div 100") + 1) * den)
+                (hi * den >= F.max("n") * num - slack * den)
+                & ((lo + 1) * den <= F.max("n") * num + slack * den)
             ).alias(f"{lbl}_ok")
         )
     per_group = cum.groupBy("l_returnflag").agg(

@@ -119,6 +119,7 @@ def clear_derived_caches(spark: SparkSession) -> None:
                 pass
     recsys_data._COMPONENT_CACHE.clear()
     als._MODEL_CACHE.clear()
+    als._TRAIN_COUNT_CACHE.clear()
     # Anything still pinned in the storage layer (MLlib internal caches,
     # stray persists) goes too — sweeps must not inherit warm blocks.
     spark.catalog.clearCache()

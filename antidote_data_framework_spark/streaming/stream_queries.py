@@ -319,7 +319,15 @@ def _checkpoint_committed_rows(ckpt: str) -> int:
     bus, no asynchrony, no drop-on-overflow: the same ledger the
     restarted query itself consults to avoid re-reads.  Driver-side
     cost is O(committed files) metadata reads — bounded by the staged
-    file count, never by data volume."""
+    file count, never by data volume.
+
+    Entries dedup by (path, batchId) — NOT by path alone: a .compact
+    rollup re-lists every prior entry under its ORIGINAL batchId
+    (dedup must collapse those), but a BROKEN recovery that re-ingests
+    an already-committed file logs the same path under a NEW batchId,
+    and that must COUNT AGAIN so the p1+p2 == corpus-total assert
+    catches the double-processing (review r11: a path-keyed dedup
+    would have silently reported the clean delta for a double-read)."""
     import json as _json
     from urllib.parse import unquote, urlparse
 
@@ -334,7 +342,7 @@ def _checkpoint_committed_rows(ckpt: str) -> int:
     src_dir = os.path.join(ckpt, "sources", "0")
     if not committed or not os.path.isdir(src_dir):
         return 0
-    files: dict[str, int] = {}  # path -> batchId (dedup across .compact rollups)
+    entries: set[tuple[str, int]] = set()  # (path, batchId)
     for name in os.listdir(src_dir):
         base = name[: -len(".compact")] if name.endswith(".compact") else name
         if not base.isdigit():
@@ -345,9 +353,9 @@ def _checkpoint_committed_rows(ckpt: str) -> int:
                 if not line or line.startswith("v"):
                     continue
                 entry = _json.loads(line)
-                files[entry["path"]] = int(entry["batchId"])
+                entries.add((entry["path"], int(entry["batchId"])))
     total = 0
-    for uri, batch_id in files.items():
+    for uri, batch_id in entries:
         if batch_id in committed:
             total += _pq.ParquetFile(unquote(urlparse(uri).path)).metadata.num_rows
     return total
@@ -873,6 +881,13 @@ def q_stream_lakehouse_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Misra-Gries sketch geometry for q_stream_heavy_hitters — module-level
+# so the floor-law test asserts the SAME constants the operator runs
+# with (review r11: the test previously mirrored 8/65 literals that
+# could silently diverge from a retuned sketch).
+MG_K = 64          # counters per shard; guarantee threshold n_shard/(MG_K+1)
+MG_SHARDS = 8      # user_id % MG_SHARDS
+
 # rows-only, surveyed for oracle upgrade r11 (r10 VERDICT #4 named it
 # the next law-oracle candidate) and kept, with proof: the top-15
 # MEMBERSHIP is not a function of the data multiset once the sketch
@@ -931,7 +946,7 @@ def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    K = 64
+    K = MG_K
 
     def mg_shard(key, pdfs, state: GroupState):
         if state.exists:
@@ -962,7 +977,7 @@ def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         # pruning + pandas ns-timestamp safety — see
         # q_stream_transform_with_state)
         stream.select("user_id")
-        .withColumn("shard", F.col("user_id") % 8)
+        .withColumn("shard", F.col("user_id") % MG_SHARDS)
         .groupBy("shard")
         .applyInPandasWithState(
             mg_shard,
@@ -1201,8 +1216,8 @@ def q_stream_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .start()
             )
             q.awaitTermination()
-            # rows this phase = committed-ledger total minus what was
-            # already committed when the phase started (delta law)
+            # CUMULATIVE committed-ledger total; the phase-2 call site
+            # subtracts phase 1's reading to get the delta
             return _checkpoint_committed_rows(ckpt)
 
         for f in all_files[:half]:

@@ -114,7 +114,7 @@ def test_listener_eviction_bounds_undrained_runs():
     assert f"run-{n-1}" not in lst.rows_by_run
 
 
-def test_listener_bus_overflow_detector_fires(tmp_path):
+def test_listener_bus_overflow_detector_fires():
     """r10 VERDICT #6: the dropped-event detector must FIRE when the
     listener bus overflows — silent event loss is how the
     checkpoint-recovery accounting bug stayed invisible for five

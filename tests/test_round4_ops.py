@@ -157,6 +157,10 @@ def test_stream_heavy_hitters_floor_law(spark):
     the guarantee regime and membership becomes arrangement-dependent
     — the documented reason the query stays rows-only.)"""
     from antidote_data_framework_spark.sources import load_table
+    from antidote_data_framework_spark.streaming.stream_queries import (
+        MG_K,
+        MG_SHARDS,
+    )
 
     sf01 = "/root/testdata/sf0.01"
     out = {
@@ -171,15 +175,17 @@ def test_stream_heavy_hitters_floor_law(spark):
     }
     shard_n: dict[int, int] = {}
     for uid, c in exact.items():
-        shard_n[uid % 8] = shard_n.get(uid % 8, 0) + c
+        shard_n[uid % MG_SHARDS] = shard_n.get(uid % MG_SHARDS, 0) + c
     # 1. emitted frequencies are exact counts
     for uid, freq in out.items():
         assert freq == exact[uid], uid
     # 2. frequency floor: guaranteed-retained users at/above the
-    #    emitted minimum must have been kept
+    #    emitted minimum must have been kept (threshold shares the
+    #    operator's own MG_K/MG_SHARDS constants, so a retuned sketch
+    #    retunes the law)
     floor = min(out.values())
     for uid, c in exact.items():
-        if c > shard_n[uid % 8] / 65 and c > floor:
+        if c > shard_n[uid % MG_SHARDS] / (MG_K + 1) and c > floor:
             assert uid in out, (uid, c, floor)
 
 
