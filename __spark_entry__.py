@@ -33,13 +33,18 @@ SF0001 = "/root/testdata/sf0.001"
 # O-15/O-41 law-boolean upgrades in r11) and the window holds 50, so
 # membership rotates each round — every oracled key
 # periodically gets EXTERNAL driver verification instead of three of
-# them relying permanently on the committed sweep artifacts.  r11 (per
-# r10 VERDICT #3): O-10/O-26/O-36 rotate back IN after one round out
-# (re-verified externally by the r10 judge meanwhile); O-4/O-5/O-13
-# rotate OUT (driver-hash-green since r1 — the longest-tenured slots).
-# Every rotated-out key remains hash-verified by the sf0.01 AND sf0.1
-# sweeps, like every registered key.  Policy: no key stays outside the
-# window for more than ~2 consecutive rounds.
+# them relying permanently on the committed sweep artifacts.  r12 (per
+# r11 VERDICT #2 + ADVICE #5): the two r11 law-boolean upgrades O-15
+# q_agg_approx_distinct and O-41 q_als_rmse_gate rotate IN for their
+# first external driver hash check (in-place slot swaps, so every
+# other key keeps its sweep position and the bench tracker compares
+# like with like); O-8 q_join_semi and O-14 q_agg_distinct rotate OUT
+# (driver-hash-green r1-r11, the longest-tenured remaining slots).
+# O-4/O-5/O-13 stay out a second round (judge-re-verified in r11) and
+# MUST rotate back in r13 under the policy.  Every rotated-out key
+# remains hash-verified by the sf0.01 AND sf0.1 sweeps, like every
+# registered key.  Policy: no key stays outside the window for more
+# than ~2 consecutive rounds.
 CONTRACT_ORDER: list[str] = [
     # --- SQL-oracled SURVEY §2 keys (hash-checked by the driver) ---
     "q_scan_project_filter",      # O-1
@@ -47,11 +52,15 @@ CONTRACT_ORDER: list[str] = [
     "q_sink_partitioned_parquet",   # O-3 (SQL since r9)
     "q_join_5way_star",           # O-6
     "q_join_outer",               # O-7
-    "q_join_semi",                # O-8
+    "q_als_rmse_gate",            # O-41 (rotated IN, r12 — first external
+                                  #       hash check of the law-boolean
+                                  #       oracle; swapped into O-8's slot)
     "q_join_anti",                # O-9
     "q_join_theta_range",         # O-11
     "q_join_asof",                # O-12
-    "q_agg_distinct",             # O-14
+    "q_agg_approx_distinct",      # O-15 (rotated IN, r12 — first external
+                                  #       hash check; swapped into O-14's
+                                  #       slot)
     "q_agg_rollup",               # O-16
     "q_agg_cube_sets",            # O-17
     "q_agg_having_stats",         # O-18
@@ -93,13 +102,15 @@ CONTRACT_ORDER: list[str] = [
     "q_set_union",                # O-26 (rotated back in, r11)
     "q_fairness_absolute",        # O-36 (rotated back in — slot 50)
     # --- SQL-oracled §2 keys rotated outside the window this round ---
-    "q_join_inner",               # O-4 (driver-green r1-r10)
-    "q_join_broadcast",           # O-5 (driver-green r1-r10)
+    "q_join_inner",               # O-4 (driver-green r1-r10; 2nd round out,
+                                  #      returns r13)
+    "q_join_broadcast",           # O-5 (driver-green r1-r10; 2nd round out,
+                                  #      returns r13)
     "q_agg_pricing_summary",      # O-13 (driver-green r1-r10; still run
-                                  #       every round as entry())
-    "q_agg_approx_distinct",      # O-15 (SQL since r11 — law-boolean; sweep-
-                                  #       verified first, rotate in later)
-    "q_als_rmse_gate",            # O-41 (SQL since r11 — law-boolean; same)
+                                  #       every round as entry(); 2nd round
+                                  #       out, returns r13)
+    "q_join_semi",                # O-8 (rotated OUT r12 after r1-r11 green)
+    "q_agg_distinct",             # O-14 (rotated OUT r12 after r1-r11 green)
     # --- rows-only SURVEY §2 keys (driver checks run + row count) ---
     "q_als_train_predict",        # O-40
     "q_antidote_step",            # O-42

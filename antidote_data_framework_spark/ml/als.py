@@ -75,6 +75,54 @@ def q_als_train_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Gate thresholds, calibrated against the fixture's MEASURED noise
+# floor (r12: rank-10/λ=0.1/seed-42 fit on the synthetic modulo-split
+# ratings; RMSE measured across all three SFs x {2,4,8}-block grids:
+# 1.768 / 1.819 / 1.768 at sf0.001, 1.794-1.818 at sf0.01,
+# 1.805-1.810 at sf0.1 — range [1.768, 1.819], partitioning spread
+# <= 0.052).  LOOSE = 2.0 catches outright divergence; TIGHT = 1.9
+# sits 0.081 above the measured max (vs ~1e-3 FP reduction-order
+# noise), so a quality regression short of divergence (e.g. 1.82 ->
+# 1.95) now flips a hashed boolean instead of hiding under the loose
+# gate (r11 ADVICE).  Both have forced-FALSE negative-control tests.
+RMSE_GATE_LOOSE = 2.0
+RMSE_GATE_TIGHT = 1.9
+
+
+def _rmse_gate_row(
+    spark: SparkSession,
+    sf_dir: str,
+    loose: float = RMSE_GATE_LOOSE,
+    tight: float = RMSE_GATE_TIGHT,
+) -> DataFrame:
+    """Shared gate body; the threshold parameters exist so the
+    negative-control tests can tighten them below the measured noise
+    floor and prove the booleans flip FALSE (non-tautology)."""
+    preds = q_als_train_predict(spark, sf_dir).withColumnRenamed(
+        "prediction", "raw_prediction"
+    )
+    # the fit (triggered above, or cached from O-40) already counted
+    # the train split for block sizing — reuse when warm.  .get, not
+    # [key]: the two caches are filled together by _als_fit_cached,
+    # but a partial clear or session-id reuse must degrade to a
+    # re-count, never a KeyError at sweep time (r11 ADVICE).
+    n_train = _TRAIN_COUNT_CACHE.get(f"{id(spark)}:{sf_dir}")
+    if n_train is None:
+        r = ratings_df(spark, sf_dir)
+        n_train = r.filter(is_train(F.col("user_id"), F.col("item_id"))).count()
+    evaluator = RegressionEvaluator(
+        metricName="rmse", labelCol="rating", predictionCol="raw_prediction"
+    )
+    preds = preds.cache()
+    rmse = evaluator.evaluate(preds)
+    n_test = preds.count()
+    preds.unpersist()
+    return spark.createDataFrame(
+        [(int(n_train), int(n_test), bool(rmse < loose), bool(rmse < tight))],
+        "n_train BIGINT, n_test BIGINT, passed BOOLEAN, rmse_tight BOOLEAN",
+    )
+
+
 @spark_query(
     "q_als_rmse_gate",
     oracle=f"""
@@ -86,45 +134,33 @@ SELECT (SELECT COUNT(*) FROM train) AS n_train,
          WHERE EXISTS (SELECT 1 FROM train u WHERE u.user_id = t.user_id)
            AND EXISTS (SELECT 1 FROM train i WHERE i.item_id = t.item_id))
          AS n_test,
-       TRUE AS passed
+       TRUE AS passed,
+       TRUE AS rmse_tight
 """,
 )
 # Oracle upgraded from rows-only in r11 (the q_agg_approx_quantile
 # law-boolean pattern): the RMSE VALUE is FP-nondeterministic across
 # partitionings and stays out of the hashed surface, but the gate's
-# two deterministic laws are pinned — (1) coldStartStrategy='drop'
+# deterministic laws are pinned — (1) coldStartStrategy='drop'
 # must drop EXACTLY the holdout rows whose user or item never appears
 # in the train split (the oracle restates that as two EXISTS
-# predicates over the modulo split), and (2) the rmse < 2.0 quality
-# gate itself (passed TRUE; a diverged fit flips the boolean and the
-# hash).  A wrong split, a cold-start leak, or a broken fit all fail
-# the hash; only the float's low-order digits are un-pinned.
+# predicates over the modulo split), and (2) the two-tier rmse
+# quality gate itself (passed = rmse < 2.0 divergence gate,
+# rmse_tight = rmse < 1.9 noise-floor-calibrated regression gate —
+# see RMSE_GATE_* above; both pinned TRUE, both mutation-tested
+# FALSE).  A wrong split, a cold-start leak, a broken fit, or a
+# sub-divergence quality regression all fail the hash; only the
+# float's low-order digits are un-pinned.
 def q_als_rmse_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RMSE of the ALS predictions on the holdout; emits one row
-    (n_train, n_test, passed) with passed = rmse < 2.0 — the paper §6
-    evaluation protocol as a deterministic divergence gate (threshold
-    calibrated to this fixture's noise floor; see the registration
-    comment).  n_test comes from
-    the REAL mechanism (model.transform + coldStartStrategy='drop'
-    row census), which the oracle independently derives from the
-    split + factor-coverage law."""
-    preds = q_als_train_predict(spark, sf_dir).withColumnRenamed(
-        "prediction", "raw_prediction"
-    )
-    # the fit (triggered above, or cached from O-40) already counted
-    # the train split for block sizing — reuse, don't re-scan the join
-    n_train = _TRAIN_COUNT_CACHE[f"{id(spark)}:{sf_dir}"]
-    evaluator = RegressionEvaluator(
-        metricName="rmse", labelCol="rating", predictionCol="raw_prediction"
-    )
-    preds = preds.cache()
-    rmse = evaluator.evaluate(preds)
-    n_test = preds.count()
-    preds.unpersist()
-    return spark.createDataFrame(
-        [(int(n_train), int(n_test), bool(rmse < 2.0))],
-        "n_train BIGINT, n_test BIGINT, passed BOOLEAN",
-    )
+    (n_train, n_test, passed, rmse_tight) with passed = rmse < 2.0
+    and rmse_tight = rmse < 1.9 — the paper §6 evaluation protocol as
+    a two-tier deterministic gate (thresholds calibrated to the
+    fixture's measured noise floor; see RMSE_GATE_* above).  n_test
+    comes from the REAL mechanism (model.transform +
+    coldStartStrategy='drop' row census), which the oracle
+    independently derives from the split + factor-coverage law."""
+    return _rmse_gate_row(spark, sf_dir)
 
 
 @spark_query("q_als_recommend_topk")  # rows-only: factor-dependent scores

@@ -113,6 +113,18 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     across partitions — constant memory per executor at any scale, the
     100 TB answer to COUNT(DISTINCT); the exact leg is the
     verification harness (at 100 TB, run it on an audit slice)."""
+    return _approx_distinct_frame(spark, sf_dir)
+
+
+def _approx_distinct_frame(
+    spark: SparkSession, sf_dir: str, est_bias: int = 0
+) -> DataFrame:
+    """q_agg_approx_distinct body.  ``est_bias`` is added to the HLL
+    estimates BEFORE the accuracy-law comparison — 0 in production;
+    the negative-control test injects a bias far outside the 15% band
+    and asserts both booleans flip FALSE, proving the law actually
+    reads the sketch output (r11 VERDICT #1: an accidentally
+    tautological bound would be invisibly always-TRUE)."""
     li = load_table(spark, sf_dir, "lineitem")
     row = li.agg(
         F.approx_count_distinct("l_partkey", 0.05).alias("est_parts"),
@@ -121,7 +133,8 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_orderkey").alias("n_orders_exact"),
     )
     within = lambda est, exact: (  # noqa: E731 — |est-exact|*20 <= 3*exact
-        F.abs(F.col(est) - F.col(exact)) * 20 <= F.col(exact) * 3
+        F.abs(F.col(est) + F.lit(est_bias) - F.col(exact)) * 20
+        <= F.col(exact) * 3
     )
     return row.select(
         "n_parts_exact",
@@ -323,71 +336,204 @@ def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The sketch merges associatively across partitions — the scale path
     when exact percentile's full sort-per-group is too expensive.  The
-    exact leg avoids the naive full-row sort (3 groups = 3 tasks, no
-    parallelism): it aggregates a (group, value) -> count HISTOGRAM
-    first (parallel partial agg), runs ONE cumulative-sum window over
-    the distinct values — orders of magnitude fewer rows than the
-    table — and reads both the ceil(p*n)-ranked elements AND the
-    sketch values' exact rank intervals (count(<v), count(<=v)) off
-    the same cumulative frame in one final aggregate.  That is the
-    100-TB shape for exact rank selection: shuffle distinct values,
-    never all rows, through the sort.
+    exact leg is the classic two-pass distributed rank selection
+    (r11 VERDICT #4 — the r11 distinct-value histogram degenerated to
+    ~row-sized window input on this near-unique column, serializing
+    into 3 giant single-task sorts at scale):
+
+    1. a fixed-width value pre-bin (``_QBIN_CENTS``-wide cents
+       buckets) bounds the cumulative-sum window input by the PRICE
+       DOMAIN (~2.6k bins/group), not by row or distinct-value count —
+       constant at any SF;
+    2. the ceil(p*n) rank target is located to one bin + a residual
+       within-bin rank, and only the target bins' rows (a broadcast
+       semi-filter, ~n/2600 of the table, collapsing map-side to
+       <= _QBIN_CENTS distinct cent values per probe) are refined
+       through a second bounded window.
+
+    The sketch's rank-interval law rides the same two passes: each
+    v_k's exact rank interval = the bin cumsum before its bin + a
+    within-bin conditional count off the refinement frame.  Total:
+    three projected scans, every shuffle and window bounded by
+    (groups x bins), the 100-TB shape regardless of value uniqueness.
+    Measured at sf0.1 (r12 interleaved A/B, fresh subprocesses): warm
+    median ~2.0 s vs r11's ~2.0 s — the pre-bin holds the constant
+    while removing the degenerate sort; sub-1 s is not reachable with
+    the exact-verification leg on (the r10 0.47 s was sketch-only).
     """
+    return _approx_quantile_frame(spark, sf_dir)
+
+
+# Exact-leg pre-bin width in cents.  l_extendedprice spans roughly
+# [90_091, 10_494_950] cents, so 4096-cent bins give <= ~2.6k bins per
+# group — a DOMAIN constant: rows and distinct values grow with SF,
+# the bin count does not.  Bin id = round(v*100) div _QBIN_CENTS is
+# monotone in v (round is monotone), which is all stage-1/stage-2
+# consistency needs — no cents-exactness assumption.
+_QBIN_CENTS = 4096
+
+
+def _approx_quantile_frame(
+    spark: SparkSession, sf_dir: str, qs_shift: float = 0.0
+) -> DataFrame:
+    """q_agg_approx_quantile body.  ``qs_shift`` displaces the GK
+    sketch outputs BEFORE the rank-interval law — 0.0 in production;
+    the negative-control test shifts them far outside every interval
+    and asserts sketch_within_bound flips FALSE (proving the law reads
+    the sketch and the interval arithmetic points the right way)."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", F.col("l_extendedprice").alias("v")
     )
     probs = [num / den for _, num, den in _QPROBES]
+    binned = li.withColumn(
+        "b", F.expr(f"cast(round(v * 100) as bigint) div {_QBIN_CENTS}")
+    )
+
+    # ---- stage 1: GK sketch scan + bounded bin-histogram scan ------
+    # Two independent scans (AQE materializes independent query stages
+    # concurrently); the 3-row sketch output broadcast-joins onto the
+    # bin rows.  Rejected alternatives, all measured (r12 BUILDLOG):
+    # a GROUPING SETS fusion of the two scans computes a useless GK
+    # sketch per bin whose ~2.6k x 32-partial buffer merge cost 1.9 s;
+    # sharing one (group, bin, value) histogram between this leg and
+    # stage 2 re-executes the subtree (ReuseExchange does not fire
+    # across the broadcast-nested copy), and pinning it with
+    # localCheckpoint cost more than the scan it saved.
     approx = li.groupBy("l_returnflag").agg(
         F.percentile_approx("v", probs, _QACC).alias("qs"),
         F.count(F.lit(1)).alias("n"),
     )
-
-    # value histogram + cumulative counts: cum = count(x <= v)
-    hist = li.groupBy("l_returnflag", "v").agg(F.count(F.lit(1)).alias("c"))
-    w = Window.partitionBy("l_returnflag").orderBy("v")
-    cum = hist.withColumn("cum", F.sum("c").over(w)).join(
-        bcast(approx.select("l_returnflag", "n", "qs"), "3-row sketch output"),
-        "l_returnflag",
+    binhist = binned.groupBy("l_returnflag", "b").agg(
+        F.count(F.lit(1)).alias("c")
     )
-    # Exact leg: the ceil(p*n)-ranked element = the smallest value
-    # whose cumulative count reaches the integer rank target.
-    exact_cols = [
-        F.min(
-            F.when(
-                F.col("cum") >= F.expr(f"(n*{num} + {den - 1}) div {den}"), F.col("v")
+    wb = Window.partitionBy("l_returnflag").orderBy("b")
+    bincum = binhist.withColumn("cum", F.sum("c").over(wb)).join(
+        bcast(approx, "3-row sketch output"), "l_returnflag"
+    )
+    # Per group, off the SAME bin frame: (a) each rank target
+    # r = ceil(p*n) is located to its first bin with cum >= r plus the
+    # cumulative count just before it (= max cum among bins with
+    # cum < r; cum is strictly increasing over present bins), and
+    # (b) each sketch value v_k is located to its bin bv (bin id is
+    # monotone in v, so every row in an earlier bin is < v_k and every
+    # row in a later bin is > v_k) plus the cumulative count before
+    # THAT bin.  Both legs then only need within-bin refinement.
+    tgt_aggs = [F.max("n").alias("n")]
+    for i, (lbl, num, den) in enumerate(_QPROBES):
+        r = F.expr(f"(n*{num} + {den - 1}) div {den}")
+        v_k = F.element_at("qs", i + 1) + F.lit(float(qs_shift))
+        bv = F.expr(
+            f"cast(round((element_at(qs, {i + 1}) + {float(qs_shift)!r}) * 100)"
+            f" as bigint) div {_QBIN_CENTS}"
+        )
+        tgt_aggs += [
+            F.min(F.when(F.col("cum") >= r, F.col("b"))).alias(f"tb_{lbl}"),
+            F.coalesce(F.max(F.when(F.col("cum") < r, F.col("cum"))), F.lit(0))
+            .alias(f"cb_{lbl}"),
+            F.max(bv).alias(f"bv_{lbl}"),
+            F.max(v_k).alias(f"vk_{lbl}"),
+            F.coalesce(
+                F.max(F.when(F.col("b") < bv, F.col("cum"))), F.lit(0)
+            ).alias(f"cbv_{lbl}"),
+        ]
+    tgt = bincum.groupBy("l_returnflag").agg(tgt_aggs[0], *tgt_aggs[1:])
+    # long-form bin map: one row per (group, probe) for the rank
+    # targets AND one per (group, sketch value) — <= 24 rows total.
+    # Each entry carries everything the final assembly needs (n, the
+    # cum-before-bin counts) so `tgt` has exactly ONE consumer — a
+    # two-branch reuse would re-execute the whole stage-1 subtree
+    # (plan-verified: the first cut ran 5 parquet scans, this runs 3).
+    probe_structs = []
+    for lbl, num, den in _QPROBES:
+        probe_structs.append(
+            F.struct(
+                F.lit(lbl).alias("probe"),
+                F.col(f"tb_{lbl}").alias("b"),
+                (
+                    F.expr(f"(n*{num} + {den - 1}) div {den}")
+                    - F.col(f"cb_{lbl}")
+                ).alias("rw"),
+                F.lit(None).cast("double").alias("vk"),
+                F.lit(None).cast("long").alias("cbv"),
+                F.col("n").alias("n"),
             )
         )
-        .cast("double")
-        .alias(f"{lbl}_exact")
-        for lbl, num, den in _QPROBES
-    ]
-    # Rank-bound booleans: the sketch value's rank interval
-    # [lo+1, hi] must intersect [target - slack, target + slack],
-    # slack = n DIV 100 + 1 — evaluated with integer cross-multiplied
-    # comparisons (no FP anywhere).  lo/hi come off the cumulative
-    # frame: hi = cum at the largest value <= v_k, lo = cum at the
-    # largest value strictly < v_k (0 when v_k is the minimum).
-    bound_checks = []
-    for i, (lbl, num, den) in enumerate(_QPROBES):
-        v_k = F.element_at("qs", i + 1)
-        lo = F.coalesce(F.max(F.when(F.col("v") < v_k, F.col("cum"))), F.lit(0))
-        hi = F.coalesce(F.max(F.when(F.col("v") <= v_k, F.col("cum"))), F.lit(0))
-        slack = F.expr(f"max(n) div {_QACC}") + 1  # n/acc GK bound + 1 unit
-        bound_checks.append(
-            (
-                (hi * den >= F.max("n") * num - slack * den)
-                & ((lo + 1) * den <= F.max("n") * num + slack * den)
-            ).alias(f"{lbl}_ok")
+        probe_structs.append(
+            F.struct(
+                F.lit(f"sk_{lbl}").alias("probe"),
+                F.col(f"bv_{lbl}").alias("b"),
+                F.lit(None).cast("long").alias("rw"),
+                F.col(f"vk_{lbl}").alias("vk"),
+                F.col(f"cbv_{lbl}").alias("cbv"),
+                F.col("n").alias("n"),
+            )
         )
-    per_group = cum.groupBy("l_returnflag").agg(
-        F.max("n").cast("long").alias("n_rows"), *exact_cols, *bound_checks
+    tgt_long = tgt.select(
+        "l_returnflag", F.explode(F.array(*probe_structs)).alias("t")
+    ).select("l_returnflag", "t.*")
+
+    # ---- stage 2: ONE refinement pass over only the mapped bins ----
+    # broadcast join = map-side filter of the scan; survivors collapse
+    # map-side to <= _QBIN_CENTS distinct cent values per map entry,
+    # so the within-bin window input is domain-bounded too.
+    cand = binned.join(
+        bcast(tgt_long, "groups x (probes + sketch bins) map, <= 24 rows"),
+        ["l_returnflag", "b"],
     )
-    ok = F.lit(True)
+    vhist = cand.groupBy("l_returnflag", "probe", "v").agg(
+        F.count(F.lit(1)).alias("c2"),
+        F.max("rw").alias("rw"),
+        F.max("vk").alias("vk"),
+        F.max("cbv").alias("cbv"),
+        F.max("n").alias("n"),
+    )
+    wv = Window.partitionBy("l_returnflag", "probe").orderBy("v")
+    vcum = vhist.withColumn("cum2", F.sum("c2").over(wv))
+    fine_aggs = [F.max("n").alias("n")]
     for lbl, _, _ in _QPROBES:
-        ok = ok & F.col(f"{lbl}_ok")
+        # exact quantile: the rw-th smallest value inside the target bin
+        fine_aggs.append(
+            F.min(
+                F.when(
+                    (F.col("probe") == lbl) & (F.col("cum2") >= F.col("rw")),
+                    F.col("v"),
+                )
+            )
+            .cast("double")
+            .alias(f"{lbl}_exact")
+        )
+        # within-bin halves of the sketch value's exact rank interval
+        sk = F.col("probe") == f"sk_{lbl}"
+        fine_aggs += [
+            F.coalesce(
+                F.sum(F.when(sk & (F.col("v") < F.col("vk")), F.col("c2"))),
+                F.lit(0),
+            ).alias(f"loin_{lbl}"),
+            F.coalesce(
+                F.sum(F.when(sk & (F.col("v") <= F.col("vk")), F.col("c2"))),
+                F.lit(0),
+            ).alias(f"hiin_{lbl}"),
+            F.max(F.when(sk, F.col("cbv"))).alias(f"cbv_{lbl}"),
+        ]
+    per_group = vcum.groupBy("l_returnflag").agg(fine_aggs[0], *fine_aggs[1:])
+
+    # ---- assemble: rank-interval law with integer arithmetic only --
+    # [lo+1, hi] (exact rank interval of v_k: lo = count(< v_k) =
+    # cum-before-bin + within-bin count, hi likewise with <=) must
+    # intersect [target - slack, target + slack], slack = n DIV acc
+    # + 1 — integer cross-multiplied comparisons, no FP anywhere.
+    slack = F.expr(f"n div {_QACC}") + 1
+    ok = F.lit(True)
+    for lbl, num, den in _QPROBES:
+        lo = F.col(f"cbv_{lbl}") + F.col(f"loin_{lbl}")
+        hi = F.col(f"cbv_{lbl}") + F.col(f"hiin_{lbl}")
+        ok = ok & (
+            (hi * den >= F.col("n") * num - slack * den)
+            & ((lo + 1) * den <= F.col("n") * num + slack * den)
+        )
     return per_group.select(
         "l_returnflag",
-        "n_rows",
+        F.col("n").cast("long").alias("n_rows"),
         *[f"{lbl}_exact" for lbl, _, _ in _QPROBES],
         ok.alias("sketch_within_bound"),
     )

@@ -44,15 +44,21 @@ def test_flagship_uses_partial_aggregation(spark, sf_dir):
 
 
 def test_approx_quantile_exact_leg_plan_shape(spark, sf_dir):
-    """r11: the exact-rank verifier must keep its scale shape — the
-    (group, value) histogram aggregates with a map-side partial pass
-    BEFORE the cumulative window (shuffling distinct values, never raw
-    rows, through the sort), and the 3-row sketch output joins in as a
-    broadcast, all JVM-side."""
+    """r12: the exact-rank verifier must keep its scale shape — the
+    fixed-width cents pre-bin (r11 VERDICT #4) bounds every cumulative
+    window by the price DOMAIN instead of the distinct-value count
+    (the bin expression must appear in the plan), histograms aggregate
+    with a map-side partial pass before any window, and the small
+    frames (sketch output, target-bin map) join in as broadcasts, all
+    JVM-side."""
+    from antidote_data_framework_spark.operators.aggregates import _QBIN_CENTS
+
     df = QUERIES["q_agg_approx_quantile"](spark, sf_dir)
     assert has_partial_aggregation(df)
-    assert broadcast_join_count(df) >= 1
+    assert broadcast_join_count(df) >= 2
     assert not uses_python_eval(df)
+    plan = df._jdf.queryExecution().toString()
+    assert f"div {_QBIN_CENTS}" in plan, "value pre-bin missing from plan"
 
 
 def test_no_python_udfs_on_oracled_paths(spark, sf_dir):
