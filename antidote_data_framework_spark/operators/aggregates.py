@@ -454,7 +454,12 @@ def _approx_quantile_frame(
                     - F.col(f"cb_{lbl}")
                 ).alias("rw"),
                 F.lit(None).cast("double").alias("vk"),
-                F.lit(None).cast("long").alias("cbv"),
+                # the sk-sibling's cum-before-bin rides on the rank
+                # row too: rank target bins are never empty (cum
+                # reaches r there), so cbv survives to the final agg
+                # even when the SKETCH bin holds no rows (a displaced
+                # v_k past the domain — the negative-control case)
+                F.col(f"cbv_{lbl}").alias("cbv"),
                 F.col("n").alias("n"),
             )
         )
@@ -513,22 +518,29 @@ def _approx_quantile_frame(
                 F.sum(F.when(sk & (F.col("v") <= F.col("vk")), F.col("c2"))),
                 F.lit(0),
             ).alias(f"hiin_{lbl}"),
-            F.max(F.when(sk, F.col("cbv"))).alias(f"cbv_{lbl}"),
+            # cbv rides on BOTH row kinds (sk and rank-target) so it
+            # survives even when the sketch bin is empty
+            F.max(
+                F.when(F.col("probe").isin(lbl, f"sk_{lbl}"), F.col("cbv"))
+            ).alias(f"cbv_{lbl}"),
         ]
     per_group = vcum.groupBy("l_returnflag").agg(fine_aggs[0], *fine_aggs[1:])
 
     # ---- assemble: rank-interval law with integer arithmetic only --
     # [lo+1, hi] (exact rank interval of v_k: lo = count(< v_k) =
-    # cum-before-bin + within-bin count, hi likewise with <=) must
-    # intersect [target - slack, target + slack], slack = n DIV acc
-    # + 1 — integer cross-multiplied comparisons, no FP anywhere.
+    # cum-before-bin + within-bin count, hi likewise with <=) must be
+    # NON-EMPTY (hi > lo: the sketch returned an actual element of the
+    # column, not a phantom value) and intersect [target - slack,
+    # target + slack], slack = n DIV acc + 1 — integer cross-
+    # multiplied comparisons, no FP anywhere.
     slack = F.expr(f"n div {_QACC}") + 1
     ok = F.lit(True)
     for lbl, num, den in _QPROBES:
         lo = F.col(f"cbv_{lbl}") + F.col(f"loin_{lbl}")
         hi = F.col(f"cbv_{lbl}") + F.col(f"hiin_{lbl}")
         ok = ok & (
-            (hi * den >= F.col("n") * num - slack * den)
+            (hi > lo)
+            & (hi * den >= F.col("n") * num - slack * den)
             & ((lo + 1) * den <= F.col("n") * num + slack * den)
         )
     return per_group.select(

@@ -874,11 +874,20 @@ def q_stream_lakehouse_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 int(n_versions),
                 int(n_rows),
                 int(n_src),
-                bool(n_rows == n_src and n_distinct == n_src),
+                _ingest_conservation(n_rows, n_distinct, n_src),
             )
         ],
         "n_commits INT, n_rows_ingested BIGINT, n_source_rows BIGINT, exactly_once BOOLEAN",
     )
+
+
+def _ingest_conservation(n_rows: int, n_distinct: int, n_src: int) -> bool:
+    """The exactly-once law: every source row is in the table exactly
+    once — no loss (n_rows == n_src), no replay (n_distinct == n_src).
+    Module-level so the negative-control test can feed it counts from
+    a REAL double-ingest (append replayed under a fresh txn id) and
+    prove the boolean flips FALSE (r11 VERDICT #1)."""
+    return bool(n_rows == n_src and n_distinct == n_src)
 
 
 # Misra-Gries sketch geometry for q_stream_heavy_hitters — module-level

@@ -151,11 +151,13 @@ def test_stream_heavy_hitters_floor_law(spark):
     """The Misra-Gries frequency-floor law at sf0.01 (a regime the
     sf0.001 equality test doesn't reach): every emitted freq is the
     user's EXACT batch count, and every user above its shard's
-    guarantee threshold n_shard/(K+1) whose exact count reaches the
-    emitted minimum MUST be in the output — the sketch may never drop
-    a guaranteed-retained user.  (At sf0.1 the fixture flattens past
-    the guarantee regime and membership becomes arrangement-dependent
-    — the documented reason the query stays rows-only.)"""
+    guarantee threshold n_shard/(K+1) whose exact count strictly
+    exceeds the emitted minimum MUST be in the output (ties AT the
+    floor may legitimately be displaced by user_id ordering) — the
+    sketch may never drop a user guaranteed-retained by that strict
+    bound.  (At sf0.1 the fixture flattens past the guarantee regime
+    and membership becomes arrangement-dependent — the documented
+    reason the query stays rows-only.)"""
     from antidote_data_framework_spark.sources import load_table
     from antidote_data_framework_spark.streaming.stream_queries import (
         MG_K,

@@ -350,7 +350,15 @@ def test_listener_accounting_exact_past_progress_ring_buffer(spark, tmp_path):
     # dropped nothing (r10 VERDICT #6): on overflow Spark discards
     # events rather than blocking, so under extreme suite load the
     # claim is void, not violated — detect and skip instead of flaking.
+    # When the metric registry is unavailable, BOTH snapshots read the
+    # identical {"<unavailable>": -1} sentinel, so inequality alone
+    # would silently pass while drops go unobserved (r11 ADVICE #3):
+    # treat the sentinel as indeterminate and skip.
     drops_after = listener_bus_dropped_events(spark)
+    if "<unavailable>" in drops_before or "<unavailable>" in drops_after:
+        import pytest
+
+        pytest.skip("listener-bus drop metric unavailable — exactness unverifiable")
     if drops_after != drops_before:
         import pytest
 
