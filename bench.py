@@ -64,6 +64,58 @@ from pyspark.sql import types as T  # noqa: E402
 
 _ARROW_UNFRIENDLY = (T.ArrayType, T.MapType, T.StructType)
 
+# ---------------------------------------------------------------------
+# Host-drift canaries (r11 VERDICT #3).  The box's speed moves between
+# driver rounds on BYTE-IDENTICAL code (r11: ~+6% fleet-wide, ~1.5x on
+# Python-boundary operators vs r9 — proven environmental by interleaved
+# A/B on the same SHA), so raw round-over-round ratios conflate host
+# drift with real regressions.  Three frozen queries — one per
+# execution class — act as drift meters: the tracker divides every
+# query's ratio by its class canary's ratio before flagging.  The
+# canaries' SOURCE is pinned by tests/test_bench_canaries.py (edit one
+# and the test forces an explicit re-pin decision), so a canary move
+# is by construction host drift, not code.
+CANARIES = {
+    "scan": "q_scan_project_filter",     # codegen parquet scan+filter
+    "shuffle": "q_join_5way_star",       # multi-join shuffle pipeline
+    "pandas": "q_image_phash_neardup",   # Arrow/pandas boundary kernel
+}
+# Queries whose HOT PATH crosses the Python boundary (mapInPandas /
+# applyInPandas / pandas_udf / mapInArrow / Python data source /
+# Python-driven micro-batches) — normalized by the pandas canary;
+# everything else by the shuffle canary (the scan canary only meters
+# itself; scan-bound and shuffle-bound JVM code drift together).
+PANDAS_CLASS = {
+    # streaming with Python-boundary stages / Python sources
+    "q_stream_custom_stateful", "q_stream_heavy_hitters",
+    "q_stream_pattern_match", "q_stream_checkpoint_recovery",
+    "q_stream_ewma_stateful", "q_stream_cusum_stateful",
+    "q_stream_outer_join", "q_stream_python_source",
+    "q_stream_transform_with_state",
+    # applyInPandas recurrences
+    "q_holt_linear", "q_holt_linear_chunked", "q_ewma_recurrence_chunked",
+    # declared UDF-surface demos
+    "q_udf_surface", "q_cogroup_align", "q_udtf_chunker", "q_maparrow_norms",
+    # multimodal decode kernels
+    "q_multimodal_features", "q_image_phash_neardup",
+    "q_video_framesample", "q_multimodal_framesample",
+    # Python sources / codecs
+    "q_source_custom_pyds", "q_source_binaryfile", "q_source_avro_roundtrip",
+    # pandas-stage ML / feature ops
+    "q_isotonic_pav", "q_compression_ratio", "q_heavy_hitters",
+    "q_countmin_sketch", "q_als_recommend_ann", "q_als_warmstart_refit",
+    "q_antidote_step", "q_antidote_loop", "q_antidote_grad_sharded",
+    "q_antidote_step_fairness", "q_embed_gram", "q_pca_project",
+}
+
+
+def _drift_class(name: str) -> str:
+    if name in PANDAS_CLASS:
+        return "pandas"
+    if name == CANARIES["scan"]:
+        return "scan"
+    return "shuffle"
+
 
 def _wants_collect(df) -> bool:
     """Pick the driver-side materialization path from the schema alone
@@ -172,22 +224,41 @@ def main() -> None:
         prev_stats = prev_doc.get("queries", {})
     except Exception:
         prev_stats = {}
+    canary_ratios: dict[str, float] = {}
     if prev_sf == sf:
+        # canary drift ratios first (1.0 when a canary is missing or
+        # failed — no adjustment rather than a bogus one)
+        for cls, cname in CANARIES.items():
+            was = prev_stats.get(cname, {}).get("median")
+            now = times.get(cname, -1.0)
+            canary_ratios[cls] = (
+                round(now / was, 3) if was and was > 0 and now > 0 else 1.0
+            )
         for name, now in times.items():
             was = prev_stats.get(name, {}).get("median")
             if was is None or was <= 0 or now <= 0:
                 continue
             was_min = prev_stats.get(name, {}).get("min", was)
             now_min = stats[name]["min"]
-            median_reg = now >= 1.5 * was and now - was >= 0.5
-            min_reg = now_min >= 1.5 * was_min and now_min - was_min >= 0.5
-            if median_reg and min_reg:
+            # canary-adjusted ratios (r11 VERDICT #3): divide by the
+            # class canary's drift so only code-attributable moves
+            # flag.  Canaries themselves are never flagged — their
+            # source is test-pinned, so their movement IS the meter.
+            cls = _drift_class(name)
+            drift = max(canary_ratios.get(cls, 1.0), 0.1)
+            adj = (now / was) / drift
+            adj_min = (now_min / was_min) / drift if was_min > 0 else adj
+            median_reg = adj >= 1.5 and now - was >= 0.5
+            min_reg = adj_min >= 1.5 and now_min - was_min >= 0.5
+            if median_reg and min_reg and name not in CANARIES.values():
                 regressions[name] = {
                     "prev_median": was,
                     "median": now,
                     "prev_min": was_min,
                     "min": now_min,
                     "ratio": round(now / was, 2),
+                    "drift_class": cls,
+                    "canary_adjusted_ratio": round(adj, 2),
                 }
     # Budget-guard visibility (r4 VERDICT #7): record how close the
     # sweep loop came to the budget so a silent drop from 3 sweeps to
@@ -209,6 +280,7 @@ def main() -> None:
                 "elapsed_sec": elapsed,
                 "budget_headroom_sec": round(budget - elapsed, 1),
                 "min_runs_any_query": min_runs,
+                "canary_ratios": canary_ratios,
                 "regressions_vs_prev": regressions,
                 "queries": stats,
             },
@@ -236,6 +308,7 @@ def main() -> None:
             "sweeps": sweeps_done,
             "budget_headroom_sec": round(budget - elapsed, 1),
             "n_regressions_vs_prev": len(regressions),
+            "canary_ratios": canary_ratios,
             "queries_file": os.path.basename(queries_file),
         }
     )
