@@ -50,7 +50,15 @@ def get_spark(app_name: str = "antidote_data_framework_spark") -> SparkSession:
         # still a fraction of driver memory.  On a real cluster
         # results that large should land in a sink, not the driver.
         .config("spark.driver.maxResultSize", "4g")
-        .config("spark.ui.enabled", "false")
+        # UI off for the bench/test paths (driver-side listener and
+        # HTTP overhead); the scale harness opts IN via env to read
+        # per-stage shuffle/spill bytes from the status REST API
+        # (r11 VERDICT #5) — the only metrics surface available
+        # without a JVM-side listener.
+        .config(
+            "spark.ui.enabled",
+            "true" if os.environ.get("SPARK_GRAFT_UI") == "1" else "false",
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # The events fixture stores TIMESTAMP(NANOS), which Spark's parquet
         # reader rejects; read as epoch-nanos long, converted in the loader.

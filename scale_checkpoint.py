@@ -319,7 +319,45 @@ def gen(point: str) -> None:
         print(f"gen[{point}]: {t} {base.num_rows} -> {out.num_rows} rows", flush=True)
 
 
+def _stage_bytes(spark, since_ms: int) -> dict[str, int]:
+    """Sum shuffle read/write and memory/disk spill bytes over every
+    stage SUBMITTED after ``since_ms``, via the status REST API
+    (r11 VERDICT #5: the scale curve measured wall-time only, so a
+    byte-level quadratic could hide under CPU-bound wall at small
+    multipliers).  Windowed by submission time so UI stage-retention
+    eviction of OLD stages can never corrupt a per-query diff."""
+    import urllib.request
+    from datetime import datetime, timezone
+
+    ui = spark.sparkContext.uiWebUrl
+    if not ui:
+        return {}
+    app = spark.sparkContext.applicationId
+    url = f"{ui}/api/v1/applications/{app}/stages?status=complete"
+    try:
+        stages = json.loads(urllib.request.urlopen(url, timeout=10).read())
+    except Exception:
+        return {}
+    tot = {"shuffle_read": 0, "shuffle_write": 0, "spill_mem": 0, "spill_disk": 0}
+    for s in stages:
+        sub = s.get("submissionTime")
+        if not sub:
+            continue
+        # "2026-08-16T20:45:20.605GMT" -> epoch ms
+        ts = datetime.strptime(sub[:23], "%Y-%m-%dT%H:%M:%S.%f").replace(
+            tzinfo=timezone.utc
+        )
+        if ts.timestamp() * 1000 < since_ms:
+            continue
+        tot["shuffle_read"] += int(s.get("shuffleReadBytes", 0))
+        tot["shuffle_write"] += int(s.get("shuffleWriteBytes", 0))
+        tot["spill_mem"] += int(s.get("memoryBytesSpilled", 0))
+        tot["spill_disk"] += int(s.get("diskBytesSpilled", 0))
+    return tot
+
+
 def run(points: list[str]) -> None:
+    os.environ.setdefault("SPARK_GRAFT_UI", "1")  # byte metrics source
     import __spark_entry__ as entrymod
     from antidote_data_framework_spark.session import (
         clear_derived_caches,
@@ -335,7 +373,7 @@ def run(points: list[str]) -> None:
     qs = entrymod.queries()
     n_runs = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "2"))
 
-    def run_once(name: str, sf_dir: str) -> float:
+    def run_once(name: str, sf_dir: str) -> tuple[float, dict]:
         t0 = time.time()
         df = qs[name](spark, sf_dir)
         if any(isinstance(f.dataType, arrow_unfriendly) for f in df.schema.fields):
@@ -354,7 +392,8 @@ def run(points: list[str]) -> None:
                 for f in df.schema.fields
             ]
             df.select(cols).toPandas()
-        return time.time() - t0
+        wall = time.time() - t0
+        return wall, _stage_bytes(spark, int(t0 * 1000))
 
     out_path = os.path.join(HERE, "SCALE_CHECKPOINT.json")
     results: dict[str, dict] = {}
@@ -366,28 +405,53 @@ def run(points: list[str]) -> None:
         sf_dir = SRC if sf_name == "sf0.1" else _dst(sf_name)
         load_table(spark, sf_dir, "lineitem").count()  # footer warm-up
         for name in _query_list():
-            best = None
+            best, best_bytes = None, {}
             for _ in range(n_runs):
                 clear_derived_caches(spark)
                 try:
-                    sec = run_once(name, sf_dir)
+                    sec, b = run_once(name, sf_dir)
                 except Exception as exc:
                     print(f"{sf_name}: {name} FAILED: {exc}", flush=True)
                     sec = -1.0
                     break
-                best = sec if best is None else min(best, sec)
-            results.setdefault(name, {})[sf_name] = (
-                round(best, 2) if best is not None else -1.0
+                if best is None or sec < best:
+                    best, best_bytes = sec, b
+            rec = results.setdefault(name, {})
+            rec[sf_name] = round(best, 2) if best is not None else -1.0
+            if best_bytes:
+                rec[f"shuffle_bytes_{sf_name}"] = (
+                    best_bytes["shuffle_read"] + best_bytes["shuffle_write"]
+                )
+                rec[f"spill_bytes_{sf_name}"] = (
+                    best_bytes["spill_mem"] + best_bytes["spill_disk"]
+                )
+            print(
+                f"{sf_name}: {name} {rec[sf_name]}s "
+                f"sh={rec.get(f'shuffle_bytes_{sf_name}', 'n/a')}",
+                flush=True,
             )
-            print(f"{sf_name}: {name} {results[name][sf_name]}s", flush=True)
 
+    bytes_flags: dict[str, dict] = {}
     for name, r in results.items():
         base = r.get("sf0.1", -1)
+        base_sh = r.get("shuffle_bytes_sf0.1", 0)
         for point, mult in POINTS.items():
             b = r.get(point, -1)
-            r[f"ratio_{mult}x"] = (
+            wall_ratio = (
                 round(b / base, 2) if base and base > 0 and b > 0 else None
             )
+            r[f"ratio_{mult}x"] = wall_ratio
+            sh = r.get(f"shuffle_bytes_{point}")
+            if sh is not None and base_sh and base_sh > 0:
+                br = round(sh / base_sh, 2)
+                r[f"bytes_ratio_{mult}x"] = br
+                # byte-level super-linearity hiding under CPU-bound
+                # wall (r11 VERDICT #5): flag for BUILDLOG adjudication
+                if wall_ratio and br > wall_ratio * 1.5 and br > mult:
+                    bytes_flags.setdefault(name, {})[f"{mult}x"] = {
+                        "bytes_ratio": br,
+                        "wall_ratio": wall_ratio,
+                    }
         r.pop("ratio", None)  # legacy single-ratio field
 
     doc = {
@@ -397,7 +461,12 @@ def run(points: list[str]) -> None:
         "note": "min-of-runs wall seconds; Nx data -> linear operator "
         "expects ratio_Nx <= ~N (streaming queries carry a fixed "
         "micro-batch + checkpoint floor, so their ratios read BELOW "
-        "the data ratio)",
+        "the data ratio).  shuffle/spill bytes come from the status "
+        "REST API summed over the best run's stages; bytes_flags "
+        "lists queries whose bytes-step exceeds wall-step x1.5 AND "
+        "the data multiplier (candidates for a byte-level "
+        "super-linearity adjudication in BUILDLOG).",
+        "bytes_flags": bytes_flags,
         "queries": results,
     }
     with open(out_path, "w") as f:
