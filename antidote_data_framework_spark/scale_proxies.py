@@ -50,6 +50,11 @@ TIER7_QUERIES: list[str] = [
     "q_pca_project",          # wide Gram-aggregate linear-algebra representative
     "q_upsert_merge",         # MERGE join+rewrite write-path representative
     "q_timeseries_gapfill",   # spine-generation + outer-join representative
+    # r12: plan shape changed (cents pre-bin + target-bin refinement
+    # replaced the distinct-value histogram window — r11 VERDICT #4),
+    # so per the registry rule it moves onto the curve in the same
+    # round instead of proxying to q_equidepth_histogram.
+    "q_agg_approx_quantile",
 ]
 
 SCALE_PROXIES: dict[str, str] = {
@@ -64,7 +69,6 @@ SCALE_PROXIES: dict[str, str] = {
     "q_reagg_partial": "q_agg_rollup",
     "q_reagg_hll_sketch": "q_agg_rollup",
     # rank-target windows per group (WINDOW over lineitem)
-    "q_agg_approx_quantile": "q_equidepth_histogram",
     "q_agg_exact_median_mode": "q_equidepth_histogram",
     # --- als / antidote: iterative ALS fits dominate ---
     "q_als_rmse_gate": "q_als_train_predict",
