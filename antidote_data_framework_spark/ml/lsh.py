@@ -47,12 +47,21 @@ def _shingles_col():
     )
 
 
-def minhash_bands(docs: DataFrame, keep_shingles: bool = False) -> DataFrame:
-    """Banded MinHash signature table for ``docs(doc_id, text)``:
-    one row per (doc, band) with (doc_id, sig, band_id, band_key)
-    [+ shingles when ``keep_shingles``] — the persisted-index layout
-    an incremental dedup pipeline maintains (see q_dedup_incremental).
-    Pure JVM expressions; no fit step, no vocabulary state."""
+def minhash_sigs(docs: DataFrame, keep_shingles: bool = False) -> DataFrame:
+    """MinHash signature table for ``docs(doc_id, text)``: ONE row per
+    doc with (doc_id, sig) [+ shingles when ``keep_shingles``].  Pure
+    JVM expressions; no fit step, no vocabulary state.
+
+    r12 optimization-round split (guide §2.3/§8 — shuffle keys, not
+    payloads): the old ``minhash_bands`` exploded each doc into 16 band
+    rows that CARRIED the 64-long signature (and optionally the full
+    shingle array) on every row, so the checkpoint, the band-bucket
+    join, and the candidate ``distinct`` all moved ~16x the payload
+    bytes they needed.  Signatures now live here (1x payload, the table
+    that gets checkpointed) and ``band_rows`` derives the narrow
+    (doc_id, band_id, band_key) rows the bucket join actually keys on;
+    consumers re-attach sig/shingles by doc_id AFTER candidate pairs
+    are deduped.  Same band keys, same candidate set, same output."""
     sig = F.array(
         *[
             F.array_min(
@@ -61,17 +70,21 @@ def minhash_bands(docs: DataFrame, keep_shingles: bool = False) -> DataFrame:
             for i in range(MINHASH_K)
         ]
     )
-    sigs = (
+    return (
         docs.withColumn("shingles", _shingles_col())
         .filter(F.size("shingles") > 0)
         .select(
             "doc_id", sig.alias("sig"), *(["shingles"] if keep_shingles else [])
         )
     )
+
+
+def band_rows(sigs: DataFrame) -> DataFrame:
+    """Narrow banded layout (doc_id, band_id, band_key) — one row per
+    (doc, band), 3 longs wide, derived from a ``minhash_sigs`` table.
+    This is the only shape the band-bucket equi-join needs."""
     return sigs.select(
         "doc_id",
-        "sig",
-        *(["shingles"] if keep_shingles else []),
         F.explode(
             F.array(
                 *[
@@ -85,13 +98,7 @@ def minhash_bands(docs: DataFrame, keep_shingles: bool = False) -> DataFrame:
                 ]
             )
         ).alias("band"),
-    ).select(
-        "doc_id",
-        "sig",
-        *(["shingles"] if keep_shingles else []),
-        "band.band_id",
-        "band.band_key",
-    )
+    ).select("doc_id", "band.band_id", "band.band_key")
 
 
 # rows-only, re-surveyed r11: every signature value is xxhash64 (a
@@ -121,13 +128,19 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     regardless of document size, and there is no vocabulary or model
     state — every stage is embarrassingly parallel."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    # Materialize the banded signature table ONCE (n_docs×bands small
-    # rows): a lazy self-join recomputes the 64-minhash pipeline for
-    # BOTH sides — the same double-cost the simhash operator had.  At
-    # cluster scale this is a persisted signatures table.
-    bands = minhash_bands(docs).localCheckpoint()
+    # Materialize the SIGNATURE table once (n_docs rows, sig payload
+    # 1x): a lazy self-join recomputes the 64-minhash pipeline for BOTH
+    # sides — the same double-cost the simhash operator had.  At
+    # cluster scale this is a persisted signatures table.  The band
+    # join itself runs on the NARROW (doc_id, band_id, band_key)
+    # derivation and candidate pairs dedup as bare id pairs; signatures
+    # re-attach afterwards by doc_id (r12, guide §2.3/§8: the old shape
+    # carried both 64-long sigs through the join AND the distinct —
+    # ~130x the bytes the dedup shuffle needed).
+    sigs = minhash_sigs(docs).localCheckpoint()
+    bands = band_rows(sigs)
     a, b = bands.alias("a"), bands.alias("b")
-    cands = (
+    pair_ids = (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -137,10 +150,15 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
         )
         .distinct()
+    )
+    cands = pair_ids.join(
+        sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")),
+        "doc_a",
+    ).join(
+        sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")),
+        "doc_b",
     )
     est = (
         F.aggregate(
@@ -318,12 +336,19 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     # one signature pass over ALL docs, split afterwards: batch and
     # corpus need identical minhash pipelines, so computing them in
-    # separate passes doubles the 64-hash shingle work (measured ~2x)
-    all_bands = minhash_bands(docs, keep_shingles=True).localCheckpoint()
+    # separate passes doubles the 64-hash shingle work (measured ~2x).
+    # The checkpointed table is ONE row per doc (sig + shingles, 1x
+    # payload); the band-bucket join runs on the narrow band rows and
+    # candidate pairs dedup as bare id pairs — sig/shingles re-attach
+    # by doc_id only for the deduped survivors (r12, guide §2.3/§8:
+    # the old banded layout duplicated both payloads 16x through the
+    # checkpoint, the join and the distinct).
+    all_sigs = minhash_sigs(docs, keep_shingles=True).localCheckpoint()
+    bands = band_rows(all_sigs)
     is_new = F.col("doc_id") % 10 == 9
-    corpus_idx = all_bands.filter(~is_new)
-    batch = all_bands.filter(is_new)
-    cands = (
+    corpus_idx = bands.filter(~is_new)
+    batch = bands.filter(is_new)
+    pair_ids = (
         batch.alias("n")
         .join(
             corpus_idx.alias("c"),
@@ -333,12 +358,23 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("n.doc_id").alias("new_doc_id"),
             F.col("c.doc_id").alias("dup_of_doc_id"),
-            F.col("n.sig").alias("sig_n"),
-            F.col("c.sig").alias("sig_c"),
-            F.col("n.shingles").alias("sh_n"),
-            F.col("c.shingles").alias("sh_c"),
         )
         .distinct()
+    )
+    cands = pair_ids.join(
+        all_sigs.select(
+            F.col("doc_id").alias("new_doc_id"),
+            F.col("sig").alias("sig_n"),
+            F.col("shingles").alias("sh_n"),
+        ),
+        "new_doc_id",
+    ).join(
+        all_sigs.select(
+            F.col("doc_id").alias("dup_of_doc_id"),
+            F.col("sig").alias("sig_c"),
+            F.col("shingles").alias("sh_c"),
+        ),
+        "dup_of_doc_id",
     )
     est = (
         F.aggregate(

@@ -167,14 +167,20 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pair_counts(spark, sf_dir)
 
 
-def _transitions(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int]:
-    """(cached) transition-probability table (src, dst, p) and node
-    count for the co-purchase graph."""
+def _transitions(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame, int]:
+    """(cached) transition-probability table (src, dst, p), node table
+    (one row per src), and node count for the co-purchase graph.
+
+    r12: the node set IS ``outw``'s key set (one row per src by
+    construction), so it is cached and counted directly — the old
+    shape re-derived it with a distinct() shuffle over the 2.4M-row
+    cached transition table, a full extra exchange per sweep (guide
+    §2.4: a distinct on data that is already unique)."""
     key = f"{id(spark)}:{sf_dir}"
     if key in _TRANSITION_CACHE:
         return _TRANSITION_CACHE[key]
     edges = _edges(spark, sf_dir)
-    outw = edges.groupBy("src").agg(F.sum("w").alias("totw"))
+    outw = edges.groupBy("src").agg(F.sum("w").alias("totw")).cache()
     e = (
         edges.join(outw, "src")
         .select(
@@ -182,8 +188,8 @@ def _transitions(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int]:
         )
         .cache()
     )
-    n = e.select("src").distinct().count()
-    _TRANSITION_CACHE[key] = (e, n)
+    n = outw.count()
+    _TRANSITION_CACHE[key] = (e, outw, n)
     return _TRANSITION_CACHE[key]
 
 
@@ -248,11 +254,12 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     + normalize, ~5 s for the 3 iterations — real iterative-graph
     cost, the transition table is cached per (session, sf_dir) for
     any follow-on graph queries."""
-    e, n = _transitions(spark, sf_dir)
-    ranks = (
-        e.select("src")
-        .distinct()
-        .select(F.col("src").alias("node"), (F.lit(1.0) / F.lit(float(n))).alias("rank"))
+    e, nodes, n = _transitions(spark, sf_dir)
+    # rank init straight off the cached node table (one row per src by
+    # construction) — the old e.select("src").distinct() paid another
+    # full exchange over the 2.4M-row transition table (r12).
+    ranks = nodes.select(
+        F.col("src").alias("node"), (F.lit(1.0) / F.lit(float(n))).alias("rank")
     )
     # Rank state is one row per NODE (20k at sf0.1) while e is one row
     # per EDGE (2.39M); broadcast_bounded ships the rank state to every

@@ -139,9 +139,23 @@ def q_winsorize_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx_percentile (the engine's q_agg_approx_quantile pattern) and
     keep the same capping join."""
     li = load_table(spark, sf_dir, "lineitem")
-    bounds = li.groupBy(F.col("l_returnflag").alias("rf")).agg(
-        F.percentile("l_extendedprice", F.lit(0.05)).alias("p05"),
-        F.percentile("l_extendedprice", F.lit(0.95)).alias("p95"),
+    # ONE percentile aggregation buffer for both probes (r12): two
+    # scalar F.percentile aggs each build + merge their own per-group
+    # value-counts map over the same 600k values — the array form
+    # shares one map and interpolates both probes from it, same
+    # algorithm, bit-identical doubles (guide §1.2 per-task work).
+    bounds = (
+        li.groupBy(F.col("l_returnflag").alias("rf"))
+        .agg(
+            F.percentile(
+                "l_extendedprice", F.array(F.lit(0.05), F.lit(0.95))
+            ).alias("ps")
+        )
+        .select(
+            "rf",
+            F.element_at("ps", 1).alias("p05"),
+            F.element_at("ps", 2).alias("p95"),
+        )
     )
     capped = F.least(F.greatest(F.col("l_extendedprice"), F.col("p05")), F.col("p95"))
     return (

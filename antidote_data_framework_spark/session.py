@@ -97,11 +97,12 @@ def clear_derived_caches(spark: SparkSession) -> None:
         except Exception:
             pass
     text._DEDUP_CACHE.clear()
-    for e, _n in graph._TRANSITION_CACHE.values():
-        try:
-            e.unpersist()
-        except Exception:
-            pass
+    for e, nodes, _n in graph._TRANSITION_CACHE.values():
+        for df in (e, nodes):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
     graph._TRANSITION_CACHE.clear()
     for df in list(graph._SUPPORT2_CACHE.values()) + list(
         graph._PAIR_CACHE.values()
