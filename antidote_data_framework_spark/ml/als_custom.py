@@ -130,14 +130,32 @@ def custom_als(
     - U seeded → (V-step, U-step): the first solve CONSUMES the seeded
       U, so both factor tables genuinely warm-start the refit.
     """
-    if V is None:
+    # Entity counts are loop-invariant: measure once, reuse per step.
+    # r12: the cold path takes BOTH distinct counts from one
+    # aggregation instead of a distinct+count job per side
+    # (countDistinct(item_id) == the row count of the freshly built V
+    # by construction).  Checkpoints stay EAGER: an interleaved A/B of
+    # lazy checkpoints (materialize inside the consumer job) measured
+    # FLAT here and regressed the label-propagation loops ~15-20% —
+    # cache-on-compute inside a shuffle-heavy consumer job beats a
+    # dedicated materialization job on none of these shapes.
+    cold_v = V is None
+    if cold_v:
         V = _det_factors(ratings.select("item_id").distinct(), "item_id")
         V = V.localCheckpoint(eager=True)
     if U is not None:
         U = U.localCheckpoint(eager=True)
-    # entity counts are loop-invariant: measure once, reuse per step
-    n_items = V.count()
-    n_users = U.count() if U is not None else ratings.select("user_id").distinct().count()
+    if U is not None:
+        n_items, n_users = V.count(), U.count()
+    elif cold_v:
+        row = ratings.agg(
+            F.countDistinct("item_id").alias("ni"),
+            F.countDistinct("user_id").alias("nu"),
+        ).first()
+        n_items, n_users = int(row["ni"]), int(row["nu"])
+    else:  # V seeded, U cold: V's bound must reflect the PASSED table
+        n_items = V.count()
+        n_users = ratings.select("user_id").distinct().count()
     u_seeded = U is not None
     for _ in range(alternations):
         if u_seeded:

@@ -335,10 +335,15 @@ def q_slopeone_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.avg("rating").alias("r"))
     )
     wcap = Window.partitionBy("user_id").orderBy("item_id")
+    # Materialize the capped train cells ONCE (r12): the plan reads tr
+    # three times (both pair self-join sides + the scoring join), and
+    # only the dedup-agg exchange is runtime-reused — the cap window
+    # re-ran per branch.  Narrow |train cells| rows, eager checkpoint.
     tr = (
         tr0.withColumn("rn", F.row_number().over(wcap))
         .filter(F.col("rn") <= CAP)
         .drop("rn")
+        .localCheckpoint()
     )
     te = (
         ratings.filter(split >= 8)

@@ -576,11 +576,18 @@ def q_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines, so even the tie-broken top-50 cut hash-matches.
     """
     li = load_table(spark, sf_dir, "lineitem")
+    # Materialize the capped item list ONCE (r12): the plan consumed
+    # this subtree FIVE times (self-join a/b sides, two frequency
+    # broadcasts, the order total) and runtime exchange reuse only
+    # covers the distinct's exchange — the cap window re-ran per
+    # branch (plan evidence: plans/r12/q_market_basket_lift_before.txt,
+    # five Window/WindowGroupLimit chains).  One eager checkpoint of
+    # the ~|order,item| narrow rows replaces four recomputes.
     items = cap_distinct_items(
         li.select(
             F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("item")
         ).distinct()
-    )
+    ).localCheckpoint()
     total = items.agg(F.countDistinct("ok").alias("n_orders"))
     freq = items.groupBy("item").agg(F.count(F.lit(1)).alias("c"))
     a, b = items.alias("a"), items.alias("b")
