@@ -32,6 +32,7 @@ from pyspark.ml.recommendation import ALS
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.hints import broadcast_bounded
 from ..registry import spark_query
 from .recsys_data import ratings_df
 
@@ -104,7 +105,9 @@ def _det_factors(m: int, rank: int) -> np.ndarray:
     return (((j + 1) * 7 + (f + 1) * 13) % 11) / 11.0 - 0.5
 
 
-def fused_item_summary(pred: DataFrame, uf: DataFrame, rank: int) -> DataFrame:
+def fused_item_summary(
+    pred: DataFrame, uf: DataFrame, rank: int, n_users: int | None = None
+) -> DataFrame:
     """The ONE fused per-item summary pass of the bilevel gradient
     (r7 budget work) — everything the driver-side assembly needs in a
     single m-row aggregation over pred⋈userFactors:
@@ -124,12 +127,22 @@ def fused_item_summary(pred: DataFrame, uf: DataFrame, rank: int) -> DataFrame:
     double casts below Spark would round every PRODUCT to float32
     before summing (float*float→float), costing ~7 significant digits
     exactly where the Σx̂·u − μ·Σu cancellation needs them (measured:
-    1e-7 → 1e-12 relative error vs the float64 replay)."""
+    1e-7 → 1e-12 relative error vs the float64 replay).
+
+    ``n_users`` (optional): measured user-factor row count — when
+    given, the factor side is broadcast via the bounded hint (r12:
+    the un-hinted join planned sort-merge because factor-table size
+    estimates are unknown post-RDD, shuffling the prediction rows by
+    user per iteration; one row per user × rank doubles is
+    comfortably bounded at any bench SF and degrades to the shuffle
+    join past the limit)."""
     p_d = F.col("prediction").cast("double")
 
     def f_d(p: int):
         return F.col("features")[p].cast("double")
 
+    if n_users is not None:
+        uf = broadcast_bounded(uf, n_users)
     return (
         pred.join(uf, "user_id")
         .groupBy("item_id")
@@ -302,6 +315,10 @@ def q_antidote_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     # outgrows executor memory — this is the knob's actual purpose.
     n_ratings = base.count()
     als_blocks = max(2, min(64, int(n_ratings // 60_000) or 2))
+    # user-factor row bound for the fused summary's broadcast hint
+    # (combined users = cohort users + the k antidote users; constant
+    # across iterations, so measured once)
+    n_users = base.select("user_id").distinct().count() + k
 
     def _fit(df):
         als = ALS(
@@ -382,7 +399,7 @@ def q_antidote_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
         # original-observer part comes from the same pred⋈uf join
         # (every combined user and item is in training, so factor rows
         # exist for all and the inner joins are lossless).
-        s_rows = fused_item_summary(_orig_pred(model), uf, rank).collect()
+        s_rows = fused_item_summary(_orig_pred(model), uf, rank, n_users=n_users).collect()
         pol = float(np.mean([r["v"] for r in s_rows])) if s_rows else 0.0
         trajectory.append((it, pol, len(s_rows)))
 

@@ -44,17 +44,22 @@ def q_bucketed_join_noshuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     join+aggregate over the source parquet, with revenue in the exact
     decimal-money form both engines share.  The no-Exchange property
     stays plan-asserted in tests; the hash check now pins the data."""
-    for name, key, cols in (
-        ("lineitem", "l_orderkey", ["l_orderkey", "l_extendedprice", "l_discount"]),
-        ("orders", "o_orderkey", ["o_orderkey", "o_orderpriority"]),
-    ):
+    import shutil
+    from concurrent.futures import ThreadPoolExecutor
+    from urllib.parse import urlparse
+
+    # The two bucketed-table builds are INDEPENDENT write chains over
+    # different source tables — submitted concurrently so the small
+    # orders write back-fills the lineitem write's task tail (guide
+    # §2.6, same pattern as q_sink_codec_tradeoff).  Catalog ops on
+    # distinct table names are thread-safe; bucket layout and data are
+    # deterministic per table, so the joined result is unchanged.
+    def _build(spec):
+        name, key, cols = spec
         table = f"bkt_{name}"
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         # a prior SESSION's managed-table files survive in the warehouse
         # dir while the in-memory catalog forgets them — clear the path
-        import shutil
-        from urllib.parse import urlparse
-
         wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
         shutil.rmtree(f"{wh}/{table}", ignore_errors=True)
         (
@@ -65,6 +70,18 @@ def q_bucketed_join_noshuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             .sortBy(key)
             .format("parquet")
             .saveAsTable(table)
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        list(
+            pool.map(
+                _build,
+                (
+                    ("lineitem", "l_orderkey",
+                     ["l_orderkey", "l_extendedprice", "l_discount"]),
+                    ("orders", "o_orderkey", ["o_orderkey", "o_orderpriority"]),
+                ),
+            )
         )
     li = spark.table("bkt_lineitem")
     orders = spark.table("bkt_orders")

@@ -85,10 +85,23 @@ def q_source_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = "l_orderkey BIGINT, l_linenumber INT, l_quantity DOUBLE, l_returnflag STRING"
     csv_path = _scratch_dir("roundtrip_csv")
     json_path = _scratch_dir("roundtrip_json")
-    li.write.mode("overwrite").option("header", True).csv(csv_path)
-    li.write.mode("overwrite").json(json_path)
-    n_csv = spark.read.schema(schema).option("header", True).csv(csv_path).count()
-    n_json = spark.read.schema(schema).json(json_path).count()
+
+    # The CSV and JSON legs are independent write+count chains —
+    # overlapped so each leg's tail back-fills the other's idle cores
+    # (guide §2.6); counts are cardinalities, layout-independent.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _csv_leg() -> int:
+        li.write.mode("overwrite").option("header", True).csv(csv_path)
+        return spark.read.schema(schema).option("header", True).csv(csv_path).count()
+
+    def _json_leg() -> int:
+        li.write.mode("overwrite").json(json_path)
+        return spark.read.schema(schema).json(json_path).count()
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_csv, f_json = pool.submit(_csv_leg), pool.submit(_json_leg)
+        n_csv, n_json = f_csv.result(), f_json.result()
     return spark.createDataFrame(
         [(int(n_csv), int(n_json))], "n_csv BIGINT, n_json BIGINT"
     )
