@@ -116,16 +116,39 @@ def _pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = f"{id(spark)}:{sf_dir}"
     if key in _PAIR_CACHE:
         return _PAIR_CACHE[key]
-    li = cap_order_lines(
-        load_table(spark, sf_dir, "lineitem").select(
-            "l_orderkey", "l_partkey", "l_linenumber"
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_linenumber"
+    )
+    # r12 shape: ONE per-order aggregation replaces the window cap +
+    # blocked self-join — collect each order's lines, sort + slice to
+    # the same deterministic (l_linenumber, l_partkey)-first-CAP
+    # survivor set cap_order_lines defines, and emit every ordered
+    # line pair with differing parts from the array in place.  Same
+    # pair multiset (a line self-paired has src == dst and is dropped
+    # in both shapes), same cap bound (<= CAP*(CAP-1) pairs per
+    # order), one less per-partition sort of the full fact and no
+    # join hash build; the per-order arrays are <= CAP structs so the
+    # interpreted higher-order functions touch bounded state per row.
+    capped = li.groupBy("l_orderkey").agg(
+        F.slice(
+            F.sort_array(F.collect_list(F.struct("l_linenumber", "l_partkey"))),
+            1,
+            SKEW_LINE_CAP,
+        ).alias("ls")
+    )
+    parts_arr = F.transform("ls", lambda s: s["l_partkey"])
+    pair_structs = F.flatten(
+        F.transform(
+            parts_arr,
+            lambda a: F.filter(
+                F.transform(parts_arr, lambda b: F.struct(a.alias("src"), b.alias("dst"))),
+                lambda p: p["src"] != p["dst"],
+            ),
         )
     )
-    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
-    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
     pairs = (
-        a.join(b, "k")
-        .filter(F.col("src") != F.col("dst"))
+        capped.select(F.explode(pair_structs).alias("p"))
+        .select("p.src", "p.dst")
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("w"))
         .persist(StorageLevel.MEMORY_AND_DISK)
