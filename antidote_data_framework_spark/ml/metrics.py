@@ -43,9 +43,17 @@ def grouped_discrepancies(pred: DataFrame) -> DataFrame:
     return g0.join(g1, "item_id")
 
 
-def fairness_value(pred: DataFrame, decimals: int = 6) -> DataFrame:
-    """U_val = mean_j |(Ey0−Er0) − (Ey1−Er1)| [YH §3]."""
-    d = grouped_discrepancies(pred)
+def fairness_value(pred: DataFrame, decimals: int = 6, disc: DataFrame | None = None) -> DataFrame:
+    """U_val = mean_j |(Ey0−Er0) − (Ey1−Er1)| [YH §3].
+
+    ``disc`` lets a caller pass a pre-materialized
+    ``grouped_discrepancies`` frame: the three per-item Yao-Huang
+    metrics aggregate the IDENTICAL discrepancy table, so a session
+    that runs them together computes it once (see
+    recsys_data.bias_discrepancies) instead of re-running the
+    groupBy + self-join per metric.  Same plan, same rows — only the
+    materialization point moves."""
+    d = disc if disc is not None else grouped_discrepancies(pred)
     term = F.abs((F.col("ey0") - F.col("er0")) - (F.col("ey1") - F.col("er1")))
     return d.agg(
         F.round(F.avg(term), decimals).alias("value_unfairness"),
@@ -53,9 +61,9 @@ def fairness_value(pred: DataFrame, decimals: int = 6) -> DataFrame:
     )
 
 
-def fairness_absolute(pred: DataFrame, decimals: int = 6) -> DataFrame:
+def fairness_absolute(pred: DataFrame, decimals: int = 6, disc: DataFrame | None = None) -> DataFrame:
     """U_abs = mean_j ||Ey0−Er0| − |Ey1−Er1|| [YH §3]."""
-    d = grouped_discrepancies(pred)
+    d = disc if disc is not None else grouped_discrepancies(pred)
     term = F.abs(
         F.abs(F.col("ey0") - F.col("er0")) - F.abs(F.col("ey1") - F.col("er1"))
     )
@@ -65,9 +73,9 @@ def fairness_absolute(pred: DataFrame, decimals: int = 6) -> DataFrame:
     )
 
 
-def fairness_under_over(pred: DataFrame, decimals: int = 6) -> DataFrame:
+def fairness_under_over(pred: DataFrame, decimals: int = 6, disc: DataFrame | None = None) -> DataFrame:
     """U_under / U_over — the max(0,·)-clamped one-sided variants [YH §3]."""
-    d = grouped_discrepancies(pred)
+    d = disc if disc is not None else grouped_discrepancies(pred)
     zero = F.lit(0.0)
     under = F.abs(
         F.greatest(zero, F.col("er0") - F.col("ey0"))

@@ -32,6 +32,7 @@ from .recsys_data import (
     BIAS_MODEL_CTES,
     RATINGS_CTE,
     bias_components,
+    bias_discrepancies,
     bias_predictions,
     is_train,
     ratings_df,
@@ -221,8 +222,11 @@ FROM both_grps
 def q_fairness_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Value unfairness U_val: mean over items of
     |(Ey_0 − Er_0) − (Ey_1 − Er_1)| — signed over/under-estimation
-    inconsistency between groups [YH §3]."""
-    return metrics.fairness_value(bias_predictions(spark, sf_dir))
+    inconsistency between groups [YH §3].  The three per-item YH
+    metrics aggregate one shared, cached discrepancy table (r12)."""
+    return metrics.fairness_value(
+        bias_predictions(spark, sf_dir), disc=bias_discrepancies(spark, sf_dir)
+    )
 
 
 @spark_query(
@@ -237,7 +241,9 @@ FROM both_grps
 def q_fairness_absolute(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Absolute unfairness U_abs: ||Ey_0−Er_0| − |Ey_1−Er_1|| averaged
     over items — error-magnitude gap, sign-blind [YH §3]."""
-    return metrics.fairness_absolute(bias_predictions(spark, sf_dir))
+    return metrics.fairness_absolute(
+        bias_predictions(spark, sf_dir), disc=bias_discrepancies(spark, sf_dir)
+    )
 
 
 @spark_query(
@@ -253,7 +259,9 @@ FROM both_grps
 def q_fairness_under_over(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Underestimation and overestimation unfairness U_under / U_over:
     the clamped (max(0,·)) one-sided variants, both in one row [YH §3]."""
-    return metrics.fairness_under_over(bias_predictions(spark, sf_dir))
+    return metrics.fairness_under_over(
+        bias_predictions(spark, sf_dir), disc=bias_discrepancies(spark, sf_dir)
+    )
 
 
 @spark_query(

@@ -90,6 +90,7 @@ def is_train(user_col, item_col):
 # observed support is persisted once on top of them.
 _COMPONENT_CACHE: dict[str, tuple[DataFrame, DataFrame, DataFrame]] = {}
 _PRED_CACHE: dict[str, DataFrame] = {}
+_DISC_CACHE: dict[str, DataFrame] = {}
 
 
 def bias_components(
@@ -160,3 +161,25 @@ def bias_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _PRED_CACHE[key] = pred.cache()
     return _PRED_CACHE[key]
+
+
+def bias_discrepancies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-item Yao-Huang group-discrepancy table
+    (item_id, ey0, er0, ey1, er1) over the bias predictions, cached
+    per (session, sf_dir) — r12: q_fairness_value / _absolute /
+    _under_over each re-ran the identical groupBy((item_id, grp)) +
+    both-groups self-join over the cached pred table (~1 s apiece on
+    the sf0.1 bench); the table itself is |items|-row-bounded, so one
+    persisted materialization serves all three metric aggregations.
+    Same plan as metrics.grouped_discrepancies — only the
+    materialization point moves, so every metric value is bit-
+    identical.  Cleared by session.clear_derived_caches like
+    _PRED_CACHE, so bench sweeps still start cold."""
+    from . import metrics
+
+    key = f"{id(spark)}:{sf_dir}"
+    if key in _DISC_CACHE:
+        return _DISC_CACHE[key]
+    disc = metrics.grouped_discrepancies(bias_predictions(spark, sf_dir)).cache()
+    _DISC_CACHE[key] = disc
+    return disc

@@ -575,9 +575,17 @@ def q_mi_feature_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("fv"),
         "t",
     ).select(F.col("fv.feature").alias("feature"), F.col("fv.fval").alias("fval"), "t")
+    # Materialize the cell-bounded joint table ONCE (r12, guide §2.4 /
+    # batch-2 pattern): marg_f, marg_t, tot, and the mi join all read
+    # `joint`, and each consumer branch re-ran the scan + 3x stack
+    # explode + partial aggregation (the docstring's "never second
+    # scans" held only for the shuffle files, not the map side).  The
+    # table is <=~70 cells per feature — an eager localCheckpoint makes
+    # every downstream marginal a local re-aggregation of counted
+    # integers, so results are unchanged by construction.
     joint = stacked.groupBy("feature", "fval", "t").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
-    )
+    ).localCheckpoint()
     marg_f = joint.groupBy("feature", "fval").agg(
         F.sum("n").cast("bigint").alias("n_f")
     )

@@ -759,35 +759,48 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     split = "2024-01-16"
     ref = ev.filter(F.col("ts") < split).select("value")
-    cur = ev.filter(F.col("ts") >= split).select("value")
     edges = ref.agg(
         F.expr("percentile(value, 0.25D)").alias("e1"),
         F.expr("percentile(value, 0.50D)").alias("e2"),
         F.expr("percentile(value, 0.75D)").alias("e3"),
     )
 
-    def census(d: DataFrame, cname: str) -> DataFrame:
-        return (
-            d.crossJoin(bcast(edges, "node-bounded edge list, measured small"))
-            .select(
-                F.when(F.col("value") <= F.col("e1"), 1)
-                .when(F.col("value") <= F.col("e2"), 2)
-                .when(F.col("value") <= F.col("e3"), 3)
-                .otherwise(4)
-                .alias("bucket")
-            )
-            .groupBy("bucket")
-            .agg(F.count(F.lit(1)).alias(cname))
-        )
+    from pyspark.sql import Window
 
-    ref_b = census(ref, "rc")
-    cur_b = census(cur, "cc")
-    ref_n = ref_b.agg(F.sum("rc").alias("rn"))
-    cur_n = cur_b.agg(F.sum("cc").alias("cn"))
+    # Single-pass census (r12, guide §1.2/§2.4): the old shape ran the
+    # per-period bucket census as FOUR plan branches (ref_b, cur_b, and
+    # a re-derivation of each under ref_n / cur_n) — five scans of
+    # `events` per run counting the edges pass.  One scan now buckets
+    # every row and takes both periods' counts as conditional sums;
+    # the period totals are window sums over the <=4-row census (exact
+    # integer arithmetic — identical rn/cn by construction), taken
+    # BEFORE the both-periods filter so a bucket observed in only one
+    # period still contributes to its period's total, exactly like the
+    # old per-period censuses.  The both-periods inner join becomes a
+    # rc>0 AND cc>0 filter (same surviving bucket set).
+    census = (
+        ev.select("ts", "value")
+        .crossJoin(bcast(edges, "node-bounded edge list, measured small"))
+        .select(
+            F.when(F.col("value") <= F.col("e1"), 1)
+            .when(F.col("value") <= F.col("e2"), 2)
+            .when(F.col("value") <= F.col("e3"), 3)
+            .otherwise(4)
+            .alias("bucket"),
+            (F.col("ts") < split).alias("is_ref"),
+            (F.col("ts") >= split).alias("is_cur"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("rc"),
+            F.sum(F.when(F.col("is_cur"), 1).otherwise(0)).alias("cc"),
+        )
+    )
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     terms = (
-        ref_b.join(cur_b, "bucket")
-        .crossJoin(bcast(ref_n, "1-row reference-count agg"))
-        .crossJoin(bcast(cur_n, "1-row current-count agg"))
+        census.withColumn("rn", F.sum("rc").over(wall))
+        .withColumn("cn", F.sum("cc").over(wall))
+        .filter((F.col("rc") > 0) & (F.col("cc") > 0))
         .withColumn("p_ref", F.col("rc") * 1.0 / F.col("rn"))
         .withColumn("p_cur", F.col("cc") * 1.0 / F.col("cn"))
         .withColumn(
@@ -796,7 +809,6 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.log(F.col("p_cur") / F.col("p_ref")),
         )
     )
-    from pyspark.sql import Window
 
     return terms.select(
         "bucket",

@@ -120,6 +120,12 @@ def clear_derived_caches(spark: SparkSession) -> None:
         except Exception:
             pass
     recsys_data._PRED_CACHE.clear()
+    for df in recsys_data._DISC_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    recsys_data._DISC_CACHE.clear()
     for comps in recsys_data._COMPONENT_CACHE.values():
         for df in comps:
             try:

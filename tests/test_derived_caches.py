@@ -162,3 +162,30 @@ def test_listener_bus_overflow_detector_fires():
     drops = json.loads(line[len("DROPS="):])
     assert "<unavailable>" not in drops, "metric registry introspection broke"
     assert sum(drops.values()) > 0, f"capacity-1 bus dropped nothing: {drops}"
+
+
+def test_bias_discrepancies_cached_cleared_and_value_identical(spark, sf_dir):
+    """r12: the three per-item Yao-Huang fairness queries share one
+    persisted discrepancy table.  Pins (a) cache share + eviction like
+    the sims cache, and (b) that the cached frame aggregates to the
+    exact same metric row as the uncached grouped_discrepancies path
+    (the materialization point moves, the values may not)."""
+    from antidote_data_framework_spark.ml import metrics, recsys_data
+
+    clear_derived_caches(spark)
+    assert not recsys_data._DISC_CACHE
+    first = recsys_data.bias_discrepancies(spark, sf_dir)
+    again = recsys_data.bias_discrepancies(spark, sf_dir)
+    assert again is first, "second metric must ride the cached table"
+    assert first.storageLevel.useMemory, "discrepancy table must be persisted"
+
+    pred = recsys_data.bias_predictions(spark, sf_dir)
+    via_cache = metrics.fairness_value(pred, disc=first).collect()
+    uncached = metrics.fairness_value(pred).collect()
+    assert via_cache == uncached
+
+    clear_derived_caches(spark)
+    assert not recsys_data._DISC_CACHE
+    rebuilt = recsys_data.bias_discrepancies(spark, sf_dir)
+    assert rebuilt is not first, "clear must force a cold rebuild"
+    clear_derived_caches(spark)
