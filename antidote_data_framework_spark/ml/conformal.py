@@ -27,9 +27,8 @@ from ..registry import spark_query
 from .recsys_data import (
     BIAS_MODEL_CTES,
     RATINGS_CTE,
-    bias_components,
+    bias_predictions,
     is_train,
-    ratings_df,
 )
 
 
@@ -92,28 +91,16 @@ def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no global sort), and coverage is an exact fraction.  At 100 TB:
     two scan-speed aggregations + a <=40k-row window; the quantile
     never touches per-row state."""
-    r = ratings_df(spark, sf_dir)
-    cells = r.groupBy("user_id", "item_id").agg(F.avg("rating").alias("rating"))
-    mu, bu, bi = bias_components(spark, sf_dir)
-    pred = (
-        cells.crossJoin(bcast(mu, "1-row global-mean aggregate"))
-        .join(bu, "user_id", "left")
-        .join(bi, "item_id", "left")
-        .select(
-            "user_id",
-            "item_id",
-            "rating",
-            F.least(
-                F.lit(5.0),
-                F.greatest(
-                    F.lit(1.0),
-                    F.col("mu")
-                    + F.coalesce("bu", F.lit(0.0))
-                    + F.coalesce("bi", F.lit(0.0)),
-                ),
-            ).alias("pred"),
-        )
-    )
+    # Shared, persisted predictor (r12, guide §5 cache-when-reused):
+    # this query used to rebuild cells + the clipped bias prediction
+    # inline — the IDENTICAL formula bias_predictions already persists
+    # for the six social-metric queries — and its four consumers
+    # (ncal, byval, ev, the final ncal read) each re-ran the full
+    # fact-table dedup shuffle.  Reading the cached table makes every
+    # consumer an in-memory filter+aggregate; same columns, same
+    # expression tree, so the residual grid is unchanged (hash-match
+    # re-proven at sf0.001/0.01/0.1).
+    pred = bias_predictions(spark, sf_dir)
     holdout = pred.filter(~is_train(F.col("user_id"), F.col("item_id"))).select(
         F.round(F.abs(F.col("rating") - F.col("pred")), 4).alias("score"),
         ((F.col("user_id") * 17 + F.col("item_id") * 3) % 2 == 0).alias("is_cal"),

@@ -914,7 +914,12 @@ def q_text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     tri = base.select("doc_id", "lang", "source", F.explode(tri_col).alias("g"))
-    cnt = tri.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # Per-doc trigram-set size WITHOUT a third explode + shuffle (r12,
+    # guide §2.4): tri_col is already array_distinct, so |set| is a
+    # per-row size() projection — the old explode + groupBy(doc_id)
+    # recount re-ran the tokenize/explode map pass and added an
+    # exchange for a number the array already knows.  Exact same n.
+    cnt = base.select("doc_id", F.size(tri_col).cast("bigint").alias("n"))
     a, b = tri.alias("a"), tri.alias("b")
     pairs = (
         a.join(
