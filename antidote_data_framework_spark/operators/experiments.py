@@ -143,12 +143,23 @@ def q_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("t"),
         F.when(F.col("tc").isNotNull(), F.lit(1)).otherwise(F.lit(0)).alias("ev"),
     )
-    tbl = dur.groupBy("grp", "t").agg(
-        F.sum("ev").alias("d"), F.count(F.lit(1)).alias("r")
+    # Materialize the (grp, day) life table once (r12, guide §5): tot,
+    # times, groups and the exit-union below all consumed `dur`, each
+    # re-running the events scan + per-user aggregation (the before
+    # plan shows 10 scan nodes).  tbl is groups×days rows — tiny — and
+    # every downstream quantity is exactly derivable from it:
+    # n0 = Σ_t r (integer sum of the per-day counts = the per-group
+    # subject count) and groups(tbl) == groups(dur) because the
+    # groupBy is unfiltered.  Eager localCheckpoint per the measured
+    # batch-2 result (lazy persists lost on every shape tried).
+    tbl = (
+        dur.groupBy("grp", "t")
+        .agg(F.sum("ev").alias("d"), F.count(F.lit(1)).alias("r"))
+        .localCheckpoint()
     )
-    tot = dur.groupBy("grp").agg(F.count(F.lit(1)).alias("n0"))
+    tot = tbl.groupBy("grp").agg(F.sum("r").alias("n0"))
     times = tbl.filter(F.col("d") > 0).select("t").distinct()
-    groups = dur.select("grp").distinct()
+    groups = tbl.select("grp").distinct()
     grid = groups.crossJoin(bcast(times, "distinct event-day grid, span-bounded"))
     # r5 ADVICE fix: the risk set must shrink at EVERY exit day, not
     # only at pooled death days — subjects censored on a death-free

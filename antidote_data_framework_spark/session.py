@@ -82,9 +82,15 @@ def clear_derived_caches(spark: SparkSession) -> None:
     staging are fixture plumbing, not query work, and are NOT cleared.
     """
     from .ml import als, neighbors_cf, recsys_data
-    from .operators import graph, lakehouse_ops, text
+    from .operators import graph, lakehouse_ops, text, tokenizer
 
     lakehouse_ops._DEMO_TABLE_CACHE.clear()
+    for vocab, _learned in tokenizer._BPE_CACHE.values():
+        try:
+            vocab.unpersist()
+        except Exception:
+            pass
+    tokenizer._BPE_CACHE.clear()
     for df in neighbors_cf._SIMS_CACHE.values():
         try:
             df.unpersist()

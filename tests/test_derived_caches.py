@@ -38,6 +38,28 @@ def test_item_sims_cached_per_session_and_cleared(spark, sf_dir):
     clear_derived_caches(spark)
 
 
+def test_bpe_learn_cached_per_session_and_cleared(spark, sf_dir):
+    """r12: q_bpe_merges and q_bpe_encode share one merge-learning run
+    per (session, sf_dir); the cache must share (same vocab object,
+    same learned list), stay persisted, and evict on
+    clear_derived_caches so bench sweeps start cold."""
+    from antidote_data_framework_spark.operators import tokenizer
+
+    clear_derived_caches(spark)
+    assert not tokenizer._BPE_CACHE
+    vocab1, learned1 = tokenizer._learn_bpe(spark, sf_dir)
+    vocab2, learned2 = tokenizer._learn_bpe(spark, sf_dir)
+    assert vocab2 is vocab1, "second consumer must ride the cached vocab"
+    assert learned2 is learned1
+    assert vocab1.storageLevel.useMemory, "cached vocab must be persisted"
+    clear_derived_caches(spark)
+    assert not tokenizer._BPE_CACHE
+    vocab3, learned3 = tokenizer._learn_bpe(spark, sf_dir)
+    assert vocab3 is not vocab1, "clear must force a cold rebuild"
+    assert learned3 == learned1, "relearned merges must be identical"
+    clear_derived_caches(spark)
+
+
 def test_slopeone_upper_triangle_matches_naive(spark):
     """dev(j,i) = -dev(i,j) with equal co-counts: the upper-triangle
     build + antisymmetric union must reproduce the naive both-
