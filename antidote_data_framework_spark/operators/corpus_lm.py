@@ -213,8 +213,18 @@ def q_bigram_lm_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p"),
     ).select("doc_id", "lang", "p.w1", "p.w2")
     train = bi.filter(F.col("lang") == "en")
-    train_bi = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
-    train_uni = train.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
+    # The unigram-context table is an exact integer rollup of the
+    # bigram table — cu(w1) = Σ_w2 cb(w1, w2), every bi row has both
+    # columns — so deriving it from the checkpointed vocabulary²-
+    # bounded train_bi removes one full corpus explode + aggregation
+    # pass (r12, guide §1.2; the before plan ran the tokenize/explode
+    # map side three times: both train aggs + the scoring probe).
+    train_bi = (
+        train.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cb"))
+        .localCheckpoint()
+    )
+    train_uni = train_bi.groupBy("w1").agg(F.sum("cb").alias("cu"))
     vocab = (
         docs.filter(F.col("lang") == "en")
         .select(F.explode(F.split("text", " ")).alias("tok"))

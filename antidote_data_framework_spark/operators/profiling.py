@@ -1092,18 +1092,26 @@ def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(4)
         .alias("band"),
     )
-    cls = banded.groupBy("c_nationkey", "c_mktsegment").agg(
-        F.count(F.lit(1)).cast("bigint").alias("class_sz")
+    # One banding pass, not three (r12, guide §1.2/§5): cls and gband
+    # are exact integer rollups of the (nation, segment, band) census
+    # — class_sz = Σ_band n, global band count = Σ_class n — so the
+    # record stream is banded ONCE and the ≤125×4-row census is
+    # checkpointed; before, each of the three aggregations re-ran the
+    # customer scan + quartile broadcast (before-plan: 12 scan nodes).
+    cell_counts = (
+        banded.groupBy("c_nationkey", "c_mktsegment", "band")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
+    cls = cell_counts.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("n").cast("bigint").alias("class_sz")
     )
     gband = (
-        banded.groupBy("band")
-        .agg(F.count(F.lit(1)).alias("n"))
+        cell_counts.groupBy("band")
+        .agg(F.sum("n").alias("n"))
         .select(
             "band", (F.col("n") * 1.0 / F.sum("n").over(Window.partitionBy())).alias("gfrac")
         )
-    )
-    cell_counts = banded.groupBy("c_nationkey", "c_mktsegment", "band").agg(
-        F.count(F.lit(1)).alias("n")
     )
     cells = (
         cls.crossJoin(bcast(gband, "literal band-fraction dim (4 rows)"))

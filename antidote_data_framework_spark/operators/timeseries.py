@@ -265,6 +265,13 @@ def q_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     cents = F.round(F.col("value") * 100, 0).cast("long")
+    # Each tier is read TWICE (its own union branch + the tier above),
+    # and without a materialization point the three union branches
+    # re-ran the whole cascade from the fact table — the before plan
+    # shows 6 scan nodes, i.e. the "raw scan happens exactly once"
+    # promise of the docstring was not what executed.  Checkpointing
+    # the calendar-bounded hourly/daily frames (|buckets|×|types|
+    # rows) makes the cascade literal (r12, guide §5).
     hourly = (
         ev.groupBy(
             F.window("ts", "1 hour").start.alias("bucket"), "event_type"
@@ -273,12 +280,14 @@ def q_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.sum(cents).alias("cents"),
         )
+        .localCheckpoint()
     )
     daily = (
         hourly.groupBy(
             F.window("bucket", "1 day").start.alias("bucket"), "event_type"
         )
         .agg(F.sum("n").alias("n"), F.sum("cents").alias("cents"))
+        .localCheckpoint()
     )
     weekly = (
         daily.groupBy(
