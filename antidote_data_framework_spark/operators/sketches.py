@@ -182,27 +182,43 @@ def q_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     (engine-native hash() builtins differ, so none are used).
     """
     ev = load_table(spark, sf_dir, "events").select("user_id")
-    hashed = None
-    for i, (a, b) in enumerate(CMS_ROWS):
-        part = ev.select(
-            F.lit(i).alias("r"),
-            ((F.col("user_id") * a + b) % CMS_P % CMS_W).alias("col"),
-            "user_id",
+
+    # One scan emitting all d hash rows per event (r12, guide §1.2):
+    # the old 4-branch unionAll ran the events scan once PER HASH ROW.
+    # Same (r, col, user_id) multiset — the affine maps are unchanged
+    # — so the sketch counts are identical.
+    def hash_rows(of):
+        return F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("r"),
+                        ((of * a + b) % CMS_P % CMS_W).alias("col"),
+                    )
+                    for i, (a, b) in enumerate(CMS_ROWS)
+                ]
+            )
         )
-        hashed = part if hashed is None else hashed.unionAll(part)
+
+    hashed = ev.select(hash_rows(F.col("user_id")).alias("h"), "user_id").select(
+        F.col("h.r").alias("r"), F.col("h.col").alias("col"), "user_id"
+    )
     sketch = hashed.groupBy("r", "col").agg(F.count(F.lit(1)).alias("c"))
 
     truth = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_count"))
-    top = truth.orderBy(F.col("true_count").desc(), "user_id").limit(10)
+    # The 10-row top table feeds the d probe branches AND the final
+    # join — five consumers, each of which re-ran the full groupBy +
+    # global TakeOrdered before this checkpoint (before plan: 18 scan
+    # nodes; guide §5).
+    top = (
+        truth.orderBy(F.col("true_count").desc(), "user_id")
+        .limit(10)
+        .localCheckpoint()
+    )
 
-    probes = None
-    for i, (a, b) in enumerate(CMS_ROWS):
-        p = top.select(
-            F.lit(i).alias("r"),
-            ((F.col("user_id") * a + b) % CMS_P % CMS_W).alias("col"),
-            "user_id",
-        )
-        probes = p if probes is None else probes.unionAll(p)
+    probes = top.select(hash_rows(F.col("user_id")).alias("h"), "user_id").select(
+        F.col("h.r").alias("r"), F.col("h.col").alias("col"), "user_id"
+    )
     est = (
         probes.join(sketch, ["r", "col"])
         .groupBy("user_id")

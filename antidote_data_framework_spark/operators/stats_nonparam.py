@@ -557,11 +557,20 @@ def q_autocorr_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("nd"),
         F.sum("x").cast("bigint").alias("sx"),
     )
-    centered = daily.crossJoin(bcast(tot, "1-row total aggregate")).select(
-        F.row_number().over(Window.orderBy("day")).cast("bigint").alias("idx"),
-        (F.col("nd") * F.col("x") - F.col("sx"))
-        .cast("decimal(19,0)")
-        .alias("y"),
+    # The day-bounded centered series feeds den + both lag-join sides;
+    # without a materialization point each of the three consumers (and
+    # tot above them) re-ran the events scan + daily aggregation — the
+    # before plan shows 12 scan nodes for a ~30-row series (r12,
+    # guide §5).  One eager checkpoint makes them in-memory reads.
+    centered = (
+        daily.crossJoin(bcast(tot, "1-row total aggregate"))
+        .select(
+            F.row_number().over(Window.orderBy("day")).cast("bigint").alias("idx"),
+            (F.col("nd") * F.col("x") - F.col("sx"))
+            .cast("decimal(19,0)")
+            .alias("y"),
+        )
+        .localCheckpoint()
     )
     den = centered.agg(
         F.sum(F.col("y") * F.col("y")).cast("decimal(38,0)").alias("d")
