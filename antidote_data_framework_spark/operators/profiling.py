@@ -508,11 +508,16 @@ def q_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     15-term sum is rounded to 4 dp.
     """
     orders = load_table(spark, sf_dir, "orders")
+    # The 15-cell contingency table feeds FIVE consumers (row/col
+    # totals, N, the cells join, plus the two driver-side cardinality
+    # counts below) — each re-ran the orders scan + groupBy before
+    # this checkpoint (before plan: 8 scan nodes; r12, guide §5).
     obs = (
         orders.groupBy(
             F.col("o_orderpriority").alias("p"), F.col("o_orderstatus").alias("s")
         )
         .agg(F.count(F.lit(1)).alias("o"))
+        .localCheckpoint()
     )
     # row_tot / col_tot are re-aggregations of the |p| x |s| contingency
     # table — bounded by category cardinality (5 and 3 rows), never by SF.

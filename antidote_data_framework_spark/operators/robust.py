@@ -66,11 +66,15 @@ def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.unix_micros("ts") / _US_PER_DAY).cast("bigint").alias("d_abs"),
     ).agg(F.sum("value").alias("y"))
     w = Window.partitionBy("event_type")
+    # Both consumers (Theil–Sen: self-join a/b + intercept pass; AR(1):
+    # mu + lagged + final join) read this types×days-bounded series
+    # three times each, re-running the events scan + aggregation per
+    # read before this checkpoint (r12, guide §5).
     return daily0.select(
         "event_type",
         (F.col("d_abs") - F.min("d_abs").over(w)).alias("d"),
         "y",
-    )
+    ).localCheckpoint()
 
 
 @spark_query(

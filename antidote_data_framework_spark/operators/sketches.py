@@ -304,12 +304,14 @@ def q_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only doubles are two final ratios of exact ints, rounded.
     """
     orders = load_table(spark, sf_dir, "orders")
+    # One scan emitting the per-status row AND the merged __all__ row
+    # per order (r12, guide §1.2) — the old unionAll ran the orders
+    # scan twice per consumer; the exploded multiset is identical.
     keyed = orders.select(
-        F.col("o_orderstatus").alias("grp"), F.col("o_orderkey").alias("key")
-    ).unionAll(
-        orders.select(
-            F.lit("__all__").alias("grp"), F.col("o_orderkey").alias("key")
-        )
+        F.explode(
+            F.array(F.col("o_orderstatus"), F.lit("__all__"))
+        ).alias("grp"),
+        F.col("o_orderkey").alias("key"),
     )
     hashed = keyed.select(
         "grp", ((F.col("key") * KMV_A + KMV_B) % KMV_P).alias("h")
