@@ -25,7 +25,21 @@ def get_spark(app_name: str = "antidote_data_framework_spark") -> SparkSession:
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(cpus))
+        # Initial shuffle-partition count: cores locally (the driver's
+        # bench posture, unchanged), overridable for bigger inputs.
+        # The r12 scale curve's byte columns showed WHY the override
+        # matters: at the 27x synthetic point the pair-expansion family
+        # spills tens of GB (q_item_item_cosine 84 GB, q_slopeone_rmse
+        # 54 GB disk+mem) because 32 partitions give each task a
+        # multi-GB sort buffer — AQE can only coalesce DOWN from the
+        # initial count, and uniform oversize partitions never trip the
+        # skew-join splitter.  On a real cluster this is ~2-3x total
+        # executor cores (AQE coalesces down); the scale harness's
+        # 27x A/B measuring the spill removal is in SCALE.md §Round-12.
+        .config(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(cpus)),
+        )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         # AQE's coalescing floor models cost as BYTES, which is right
