@@ -313,12 +313,20 @@ def q_antidote_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 4 blocks = 2.0 s/fit, identical learning quality.  At 100 TB the
     # same formula scales blocks UP with the cohort so a block never
     # outgrows executor memory — this is the knob's actual purpose.
-    n_ratings = base.count()
+    # One aggregation returns both loop-invariant counts (r12: was a
+    # count() job plus a distinct().count() job — two full passes over
+    # the data-sized cohort table; count/countDistinct are exact, so
+    # als_blocks and the broadcast bound are unchanged).
+    _counts = base.agg(
+        F.count(F.lit(1)).alias("n_ratings"),
+        F.countDistinct("user_id").alias("n_users"),
+    ).first()
+    n_ratings = int(_counts["n_ratings"])
     als_blocks = max(2, min(64, int(n_ratings // 60_000) or 2))
     # user-factor row bound for the fused summary's broadcast hint
     # (combined users = cohort users + the k antidote users; constant
     # across iterations, so measured once)
-    n_users = base.select("user_id").distinct().count() + k
+    n_users = int(_counts["n_users"]) + k
 
     def _fit(df):
         als = ALS(
