@@ -33,16 +33,17 @@ SF0001 = "/root/testdata/sf0.001"
 # O-15/O-41 law-boolean upgrades in r11) and the window holds 50, so
 # membership rotates each round — every oracled key
 # periodically gets EXTERNAL driver verification instead of three of
-# them relying permanently on the committed sweep artifacts.  r12 (per
-# r11 VERDICT #2 + ADVICE #5): the two r11 law-boolean upgrades O-15
-# q_agg_approx_distinct and O-41 q_als_rmse_gate rotate IN for their
-# first external driver hash check (in-place slot swaps, so every
-# other key keeps its sweep position and the bench tracker compares
-# like with like); O-8 q_join_semi and O-14 q_agg_distinct rotate OUT
-# (driver-hash-green r1-r11, the longest-tenured remaining slots).
-# O-4/O-5/O-13 stay out a second round (judge-re-verified in r11) and
-# MUST rotate back in r13 under the policy.  Every rotated-out key
-# remains hash-verified by the sf0.01 AND sf0.1 sweeps, like every
+# them relying permanently on the committed sweep artifacts.
+# r13 (per r12 VERDICT #4): O-4 q_join_inner, O-5 q_join_broadcast and
+# O-13 q_agg_pricing_summary hit their 2-round out-tenure limit and
+# rotate BACK IN via in-place slot swaps (every other key keeps its
+# sweep position so the bench tracker compares like with like); the
+# three longest-tenured never-rotated join keys rotate OUT to make
+# room — O-7 q_join_outer, O-9 q_join_anti, O-11 q_join_theta_range
+# (driver-hash-green r1-r12; their out-tenure clock starts now, return
+# by r15).  O-8 q_join_semi / O-14 q_agg_distinct (rotated out r12)
+# are in their first out-round and return by r14.  Every rotated-out
+# key remains hash-verified by the sf0.01 AND sf0.1 sweeps, like every
 # registered key.  Policy: no key stays outside the window for more
 # than ~2 consecutive rounds.
 CONTRACT_ORDER: list[str] = [
@@ -51,12 +52,17 @@ CONTRACT_ORDER: list[str] = [
     "q_source_csv_json_roundtrip",  # O-2 (SQL since r9)
     "q_sink_partitioned_parquet",   # O-3 (SQL since r9)
     "q_join_5way_star",           # O-6
-    "q_join_outer",               # O-7
+    "q_join_inner",               # O-4 (rotated back IN, r13 — swapped
+                                  #      into O-7's slot at its tenure
+                                  #      limit)
     "q_als_rmse_gate",            # O-41 (rotated IN, r12 — first external
                                   #       hash check of the law-boolean
                                   #       oracle; swapped into O-8's slot)
-    "q_join_anti",                # O-9
-    "q_join_theta_range",         # O-11
+    "q_join_broadcast",           # O-5 (rotated back IN, r13 — swapped
+                                  #      into O-9's slot)
+    "q_agg_pricing_summary",      # O-13 (rotated back IN, r13 — swapped
+                                  #       into O-11's slot; also still
+                                  #       run every round as entry())
     "q_join_asof",                # O-12
     "q_agg_approx_distinct",      # O-15 (rotated IN, r12 — first external
                                   #       hash check; swapped into O-14's
@@ -102,15 +108,17 @@ CONTRACT_ORDER: list[str] = [
     "q_set_union",                # O-26 (rotated back in, r11)
     "q_fairness_absolute",        # O-36 (rotated back in — slot 50)
     # --- SQL-oracled §2 keys rotated outside the window this round ---
-    "q_join_inner",               # O-4 (driver-green r1-r10; 2nd round out,
-                                  #      returns r13)
-    "q_join_broadcast",           # O-5 (driver-green r1-r10; 2nd round out,
-                                  #      returns r13)
-    "q_agg_pricing_summary",      # O-13 (driver-green r1-r10; still run
-                                  #       every round as entry(); 2nd round
-                                  #       out, returns r13)
-    "q_join_semi",                # O-8 (rotated OUT r12 after r1-r11 green)
-    "q_agg_distinct",             # O-14 (rotated OUT r12 after r1-r11 green)
+    "q_join_outer",               # O-7 (rotated OUT r13 after r1-r12 green;
+                                  #      returns by r15)
+    "q_join_anti",                # O-9 (rotated OUT r13 after r1-r12 green;
+                                  #      returns by r15)
+    "q_join_theta_range",         # O-11 (rotated OUT r13 after r1-r12
+                                  #       green; returns by r15)
+    "q_join_semi",                # O-8 (rotated OUT r12 after r1-r11 green;
+                                  #      1st round out, returns by r14)
+    "q_agg_distinct",             # O-14 (rotated OUT r12 after r1-r11
+                                  #       green; 1st round out, returns by
+                                  #       r14)
     # --- rows-only SURVEY §2 keys (driver checks run + row count) ---
     "q_als_train_predict",        # O-40
     "q_antidote_step",            # O-42

@@ -74,6 +74,22 @@ def get_spark(app_name: str = "antidote_data_framework_spark") -> SparkSession:
             "true" if os.environ.get("SPARK_GRAFT_UI") == "1" else "false",
         )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Pin BLAS/OpenMP to one thread per executor Python worker
+        # (r12 VERDICT #2 / guide §4): the Arrow-batch numpy kernels
+        # (q_als_recommend_ann's matmul, the antidote gradient stages,
+        # PCA partials) run in up to `cpus` CONCURRENT Python workers —
+        # a threaded BLAS inside each worker oversubscribes the box by
+        # the BLAS thread count (this host's OpenBLAS is built
+        # MAX_THREADS=2, so the local exposure is bounded at 2x; on a
+        # production image with default OpenBLAS, 32 workers x 32 BLAS
+        # threads is a 32x oversubscription collapse).  One thread per
+        # worker is the correct posture whenever Spark owns the
+        # parallelism.  Result-identical: the kernels' GEMM K-dims
+        # (rank<=64) are never split across BLAS threads, so float
+        # summation order is unchanged (goldens + oracle sweeps green).
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
         # The events fixture stores TIMESTAMP(NANOS), which Spark's parquet
         # reader rejects; read as epoch-nanos long, converted in the loader.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

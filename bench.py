@@ -117,6 +117,83 @@ def _drift_class(name: str) -> str:
     return "shuffle"
 
 
+# Mid-sweep / end-of-sweep canary replicas (r12 VERDICT #2/#4): the
+# fixed-position canaries proved blind to IN-SWEEP pressure twice in
+# r12 (canaries ~1.0 while the late-sweep tail ran ~1.3x), so each
+# sweep re-times every pinned canary at the sweep midpoint and after
+# the last query under reserved "__canary_<class>_{mid,end}" keys.
+# Replicas run the SAME hash-pinned query functions (the source pin in
+# tests/test_bench_canaries.py covers them by construction), are
+# EXCLUDED from the suite total and from regression flagging, and give
+# the tracker a drift ratio per (class, sweep position): each query is
+# normalized by its class's nearest-position canary sample instead of
+# one fixed-position sample.
+_REPLICA_PREFIX = "__canary_"
+
+
+def _replica_keys() -> dict[str, str]:
+    """replica key -> canary class, for both sweep positions."""
+    return {
+        f"{_REPLICA_PREFIX}{cls}_{pos}": cls
+        for cls in CANARIES
+        for pos in ("mid", "end")
+    }
+
+
+def _class_ratio_points(
+    cls: str,
+    qnames: list[str],
+    ratio_at: "callable",
+) -> list[tuple[int, float]]:
+    """Drift-ratio sample points (sweep index, now/prev ratio) for one
+    canary class: the registered canary's own sweep position plus the
+    mid/end replicas.  Points whose prev or now median is missing are
+    dropped (first run after the replica feature lands, or a failed
+    canary)."""
+    points: list[tuple[int, float]] = []
+    cname = CANARIES[cls]
+    if cname in qnames:
+        r = ratio_at(cname)
+        if r is not None:
+            points.append((qnames.index(cname), r))
+    n_q = len(qnames)
+    for pos, idx in (("mid", max(0, n_q // 2 - 1)), ("end", n_q - 1)):
+        r = ratio_at(f"{_REPLICA_PREFIX}{cls}_{pos}")
+        if r is not None:
+            points.append((idx, r))
+    return points
+
+
+def _nearest_ratio(points: list[tuple[int, float]], idx: int) -> float:
+    """Drift ratio of the sample point nearest to sweep index `idx`
+    (1.0 when no points exist — no adjustment rather than a bogus
+    one)."""
+    if not points:
+        return 1.0
+    return min(points, key=lambda p: abs(p[0] - idx))[1]
+
+
+def _record_paths(here: str, cpus: str, subset: str) -> tuple[str, str | None]:
+    """(record_file, prev_file_for_comparison) for this run.
+
+    r12 VERDICT #3 (bench self-clobber): the driver's 8-core scaling
+    run used to overwrite ``bench_queries.json`` — the 32-core tracker
+    anchor — destroying the anchor AND its flags.  Full runs now
+    always write ``bench_queries_c<cpus>.json``; ``bench_queries.json``
+    IS the c32 file (the anchor) and is only produced when cpus == 32.
+    Comparison is keyed on cpus too: a run compares against the
+    previous record AT ITS OWN core count, never across core counts.
+    Subset runs keep writing ``bench_queries_subset.json`` and never
+    compare."""
+    if subset:
+        return os.path.join(here, "bench_queries_subset.json"), None
+    if cpus == "32":
+        path = os.path.join(here, "bench_queries.json")
+        return path, path
+    path = os.path.join(here, f"bench_queries_c{cpus}.json")
+    return path, path
+
+
 def _wants_collect(df) -> bool:
     """Pick the driver-side materialization path from the schema alone
     (plan analysis only — no execution)."""
@@ -163,7 +240,32 @@ def main() -> None:
         if unknown:
             raise SystemExit(f"bench: unknown query keys: {sorted(unknown)}")
         qs = {k: v for k, v in qs.items() if k in want}
+    # canary replicas run on FULL runs only (subset probes stay lean);
+    # the mid replicas fire after the sweep's midpoint query, the end
+    # replicas after its last query.
+    replicas = _replica_keys() if not subset else {}
+    qnames = list(qs)
+    mid_name = qnames[max(0, len(qnames) // 2 - 1)] if replicas else None
     runs: dict[str, list[float]] = {name: [] for name in qs}
+    runs.update({rk: [] for rk in replicas})
+
+    def _time_replicas(sweep: int, pos: str) -> None:
+        for rk, cls in replicas.items():
+            if not rk.endswith(f"_{pos}"):
+                continue
+            try:
+                sec = _run_once(spark, sf_dir, qs[CANARIES[cls]])
+                runs[rk].append(sec)
+                print(
+                    f"bench[{sweep + 1}/{n_sweeps}]: {rk} {sec:.2f}s",
+                    file=sys.stderr,
+                )
+            except Exception as exc:
+                print(
+                    f"bench[{sweep + 1}/{n_sweeps}]: {rk} failed: {exc}",
+                    file=sys.stderr,
+                )
+
     t_start = time.time()
     sweeps_done = 0
     for sweep in range(n_sweeps):
@@ -182,6 +284,9 @@ def main() -> None:
                 print(f"bench[{sweep + 1}/{n_sweeps}]: {name} {sec:.2f}s", file=sys.stderr)
             except Exception as exc:  # a failing query must not kill the bench
                 print(f"bench[{sweep + 1}/{n_sweeps}]: {name} failed: {exc}", file=sys.stderr)
+            if name == mid_name:
+                _time_replicas(sweep, "mid")
+        _time_replicas(sweep, "end")
         sweeps_done = sweep + 1
 
     times: dict[str, float] = {}
@@ -199,7 +304,14 @@ def main() -> None:
             times[name] = -1.0
             stats[name] = {"median": -1.0, "min": -1.0, "n_runs": 0, "runs": []}
 
-    total = round(sum(t for t in times.values() if t >= 0), 3)
+    total = round(
+        sum(
+            t
+            for name, t in times.items()
+            if t >= 0 and not name.startswith(_REPLICA_PREFIX)
+        ),
+        3,
+    )
 
     # Per-query regression tracking (r5 VERDICT #4): compare this run's
     # medians against the COMMITTED bench_queries.json (the previous
@@ -214,38 +326,53 @@ def main() -> None:
     # the tail and can move the median of 3, but a real regression
     # shifts the BEST observation too).
     here = os.path.dirname(os.path.abspath(__file__))
-    queries_file = os.path.join(here, "bench_queries.json")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    queries_file, prev_file = _record_paths(here, cpus, subset)
     regressions: dict[str, dict] = {}
     prev_sf = None
-    try:
-        with open(queries_file) as f:
-            prev_doc = json.load(f)
-        prev_sf = prev_doc.get("sf")
-        prev_stats = prev_doc.get("queries", {})
-    except Exception:
-        prev_stats = {}
+    prev_stats: dict[str, dict] = {}
+    if prev_file is not None:
+        try:
+            with open(prev_file) as f:
+                prev_doc = json.load(f)
+            prev_sf = prev_doc.get("sf")
+            prev_stats = prev_doc.get("queries", {})
+        except Exception:
+            prev_stats = {}
     canary_ratios: dict[str, float] = {}
+    canary_points: dict[str, list[tuple[int, float]]] = {}
     if prev_sf == sf:
-        # canary drift ratios first (1.0 when a canary is missing or
-        # failed — no adjustment rather than a bogus one)
+        def _ratio_at(key: str):
+            was = prev_stats.get(key, {}).get("median")
+            now = times.get(key, -1.0)
+            if was and was > 0 and now > 0:
+                return round(now / was, 3)
+            return None
+
+        # canary drift ratios (1.0 when a canary is missing or failed —
+        # no adjustment rather than a bogus one); per-position sample
+        # points feed the nearest-position normalization below.
         for cls, cname in CANARIES.items():
-            was = prev_stats.get(cname, {}).get("median")
-            now = times.get(cname, -1.0)
-            canary_ratios[cls] = (
-                round(now / was, 3) if was and was > 0 and now > 0 else 1.0
-            )
+            canary_ratios[cls] = _ratio_at(cname) or 1.0
+            canary_points[cls] = _class_ratio_points(cls, qnames, _ratio_at)
         for name, now in times.items():
+            if name.startswith(_REPLICA_PREFIX):
+                continue  # replicas are meters, never flagged
             was = prev_stats.get(name, {}).get("median")
             if was is None or was <= 0 or now <= 0:
                 continue
             was_min = prev_stats.get(name, {}).get("min", was)
             now_min = stats[name]["min"]
-            # canary-adjusted ratios (r11 VERDICT #3): divide by the
-            # class canary's drift so only code-attributable moves
-            # flag.  Canaries themselves are never flagged — their
-            # source is test-pinned, so their movement IS the meter.
+            # canary-adjusted ratios (r11 VERDICT #3, position-aware
+            # since r13): divide by the drift of the class canary
+            # sample NEAREST this query's sweep position, so in-sweep
+            # pressure (late-sweep tails running hot while the early
+            # canaries read 1.0) is metered too.  Canaries themselves
+            # are never flagged — their source is test-pinned, so
+            # their movement IS the meter.
             cls = _drift_class(name)
-            drift = max(canary_ratios.get(cls, 1.0), 0.1)
+            idx = qnames.index(name) if name in qnames else 0
+            drift = max(_nearest_ratio(canary_points.get(cls, []), idx), 0.1)
             adj = (now / was) / drift
             adj_min = (now_min / was_min) / drift if was_min > 0 else adj
             median_reg = adj >= 1.5 and now - was >= 0.5
@@ -266,14 +393,11 @@ def main() -> None:
     # readable straight from the artifact.
     elapsed = round(time.time() - t_start, 1)
     min_runs = min((len(rs) for rs in runs.values()), default=0)
-    if subset:
-        # a subset run must not clobber the full per-query record the
-        # round-over-round tracker anchors on
-        queries_file = os.path.join(here, "bench_queries_subset.json")
     with open(queries_file, "w") as f:
         json.dump(
             {
                 "sf": sf,
+                "cpus": cpus,
                 "total_query_sec": total,
                 "sweeps": sweeps_done,
                 "budget_sec": budget,
@@ -281,6 +405,10 @@ def main() -> None:
                 "budget_headroom_sec": round(budget - elapsed, 1),
                 "min_runs_any_query": min_runs,
                 "canary_ratios": canary_ratios,
+                "canary_ratio_points": {
+                    cls: [[i, r] for i, r in pts]
+                    for cls, pts in canary_points.items()
+                },
                 "regressions_vs_prev": regressions,
                 "queries": stats,
             },
@@ -303,8 +431,17 @@ def main() -> None:
             "value": total,
             "unit": "sec",
             "sf": sf,
-            "n_queries": len(times),
-            "n_failed": sum(1 for t in times.values() if t < 0),
+            "n_queries": sum(
+                1 for n in times if not n.startswith(_REPLICA_PREFIX)
+            ),
+            "n_failed": sum(
+                1
+                for n, t in times.items()
+                if t < 0 and not n.startswith(_REPLICA_PREFIX)
+            ),
+            "canary_replicas": sum(
+                1 for n in times if n.startswith(_REPLICA_PREFIX)
+            ),
             "sweeps": sweeps_done,
             "budget_headroom_sec": round(budget - elapsed, 1),
             "n_regressions_vs_prev": len(regressions),

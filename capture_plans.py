@@ -1,5 +1,5 @@
 """Capture .explain('formatted') output for named queries into
-plans/r12/<query>_<tag>.txt — the optimization-round evidence trail.
+plans/r13/<query>_<tag>.txt — the optimization-round evidence trail.
 
 Usage: python capture_plans.py <tag> <query> [<query> ...]
 """
@@ -15,7 +15,7 @@ import __spark_entry__ as entrymod
 from antidote_data_framework_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "plans", "r12")
+OUT_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "plans", "r13")
 
 
 def main() -> None:
