@@ -193,6 +193,53 @@ def q_als_recommend_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-worker scoring scratch (guide §4.5 heavyweight-state-once): the
+# b x M score matrix is 41 MB at the 2048-row chunk bound — allocating
+# it FRESH per chunk mmaps new pages whose first-touch faults, not the
+# arithmetic, dominated the kernel (measured: an 8.5k x 2500 matmul is
+# 1.38 s into fresh pages vs 0.03 s into warm ones on this host class;
+# in-worker kernel walls read 0.8-10.8 s for the same data purely on
+# allocation weather).  Python workers are reused across tasks, so a
+# module-level buffer keyed by shape keeps the pages warm for the
+# whole session.  Bounded: <= chunk(2048) x M(<=4096) doubles = 67 MB
+# per worker that ever ran an ann task.
+_ANN_SCRATCH: dict = {}
+
+
+def _top3_stable(S):
+    """Row-wise top-3 column indices of ``S`` ordered by (value DESC,
+    index ASC) — bit-identical to
+    ``np.argsort(-S, axis=1, kind="stable")[:, :3]`` but O(M) per row
+    instead of O(M log M), and allocation-free beyond b x 3 outputs.
+
+    The full stable argsort was 75-80% of the ann scoring kernel
+    (measured 2.5-4.2 s single-threaded at sf0.1 for a 15k x 2500
+    score matrix vs 0.35-1.1 s for the matmul it ranks — guide §4.2:
+    make the per-batch native work proportional to what the operator
+    returns, here 3 of M candidates).  Three argmax passes with
+    -inf masking select them exactly: ``argmax`` returns the FIRST
+    occurrence of the maximum, i.e. the lowest index among ties, which
+    IS the stable order; masking each winner makes the next pass pick
+    the next (value DESC, index ASC) element.  The masked cells are
+    restored afterwards, so the caller's S is unchanged.  Equivalence
+    is pinned by tests/test_als_ann_topk_kernel.py over adversarial
+    tie layouts.
+    """
+    import numpy as np
+
+    b, _m = S.shape
+    rows = np.arange(b)
+    top = np.empty((b, 3), dtype=np.int64)
+    vals = np.empty((b, 3))
+    for k in range(3):
+        i = S.argmax(axis=1)
+        top[:, k] = i
+        vals[:, k] = S[rows, i]
+        S[rows, i] = -np.inf
+    S[rows[:, None], top] = vals  # restore the caller's matrix
+    return top
+
+
 @spark_query("q_als_recommend_ann")  # rows-only: approximate, factor-dependent
 def q_als_recommend_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Norm-pruned approximate top-3 recommendations with per-user
@@ -253,14 +300,19 @@ def q_als_recommend_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids = np.array([r["item_id"] for r in cand], dtype=np.int64)
 
     def _score(batches):
+        # score-matrix scratch: allocate once per (worker, M), slice
+        # for partial chunks — see _ANN_SCRATCH above
+        Ct = C.T
         for pdf in batches:
             for lo in range(0, len(pdf), 2048):  # bound S to ~40 MB
                 chunk = pdf.iloc[lo : lo + 2048]
                 U = np.stack(chunk["ufeat"].to_numpy())  # b x rank
-                S = U @ C.T  # b x M
-                # stable argsort of -S with candidates pre-sorted by
-                # item_id == ordering by (score DESC, item_id ASC)
-                top = np.argsort(-S, axis=1, kind="stable")[:, :3]
+                buf = _ANN_SCRATCH.get(len(ids))
+                if buf is None:
+                    buf = np.empty((2048, len(ids)))
+                    _ANN_SCRATCH[len(ids)] = buf
+                S = np.matmul(U, Ct, out=buf[: len(chunk)])  # b x M
+                top = _top3_stable(S)
                 rows = np.arange(len(chunk))
                 s_top = S[rows[:, None], top]  # b x 3
                 unorm = np.linalg.norm(U, axis=1)
@@ -283,7 +335,23 @@ def q_als_recommend_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("user_id"),
         F.col("features").cast("array<double>").alias("ufeat"),
     )
-    return users.mapInPandas(
+    # Scale-adaptive task sizing (guide §2.2/§4.2): the factor RDD's
+    # partitioning is the ALS *block grid* (7 blocks ≈ 2.1k users each
+    # at sf0.1) — post-kernel-fix the per-task numpy work is ~0.1 s,
+    # so per-task Python-worker overhead dominated and its variance
+    # (worker spawn waves under late-sweep pressure) WAS the measured
+    # 3-12 s driver-posture spread.  Re-batch to ≥ ~8k users per
+    # scoring task: A/B at sf0.1 (6 rounds, same session) — 7 tasks
+    # median 1.99 s spread 0.78-6.6; 2 tasks median 1.05 s spread
+    # 0.91-1.25.  coalesce never splits, so at scale (n_users/8192 ≥
+    # block count) this is a no-op and parallelism is untouched;
+    # coalesce also preserves partition-order concatenation, so the
+    # output rows are identical INCLUDING order (verified, golden
+    # tests green).  The count is one job over the already-persisted
+    # factor RDD (~0.1 s).
+    n_users = users.count()
+    score_parts = max(1, min(users.rdd.getNumPartitions(), -(-n_users // 8192)))
+    return users.coalesce(score_parts).mapInPandas(
         _score,
         schema="user_id int, rnk int, item_id int, score double, certified boolean",
     )
