@@ -119,16 +119,49 @@ def _pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_linenumber"
     )
-    # r12 shape: ONE per-order aggregation replaces the window cap +
-    # blocked self-join — collect each order's lines, sort + slice to
-    # the same deterministic (l_linenumber, l_partkey)-first-CAP
-    # survivor set cap_order_lines defines, and emit every ordered
-    # line pair with differing parts from the array in place.  Same
-    # pair multiset (a line self-paired has src == dst and is dropped
-    # in both shapes), same cap bound (<= CAP*(CAP-1) pairs per
-    # order), one less per-partition sort of the full fact and no
-    # join hash build; the per-order arrays are <= CAP structs so the
-    # interpreted higher-order functions touch bounded state per row.
+    pairs = _build_pair_counts(li).persist(StorageLevel.MEMORY_AND_DISK)
+    _PAIR_CACHE[key] = pairs
+    return pairs
+
+
+def _build_pair_counts(li: DataFrame) -> DataFrame:
+    """Directed co-purchase pair counts from a (l_orderkey, l_partkey,
+    l_linenumber) frame — the shared build behind ``_pair_counts``,
+    factored out so the giant-order bound below is testable on
+    synthetic inputs (tests/test_graph_skew_cap.py).
+
+    r12 shape: ONE per-order aggregation replaces the window cap +
+    blocked self-join — collect each order's lines, sort + slice to
+    the same deterministic (l_linenumber, l_partkey)-first-CAP
+    survivor set cap_order_lines defines, and emit every ordered
+    line pair with differing parts from the array in place.  Same
+    pair multiset (a line self-paired has src == dst and is dropped
+    in both shapes), same cap bound (<= CAP*(CAP-1) pairs per
+    order), one less per-partition sort of the full fact and no
+    join hash build; the per-order arrays are <= CAP structs so the
+    interpreted higher-order functions touch bounded state per row.
+
+    Bounded aggregation state (r12 VERDICT #5): ``collect_list``
+    buffers a WHOLE order before the slice, so one pathological
+    mega-order would hold an unbounded in-memory array where the old
+    window shape at least spilled through sort.  The build therefore
+    first measures max(lines/order) — one cheap partial-aggregated
+    count pass — and only takes the direct one-agg path when every
+    order fits the CAP (every bench fixture: baskets <= 7 lines, so
+    the committed hashes ride the unchanged fast path).  Otherwise it
+    routes through ``cap_order_lines`` first: the window's
+    row_number sort spills gracefully and hands the SAME survivor set
+    (first-CAP by (l_linenumber, l_partkey)) to an aggregation whose
+    per-key buffer is then provably <= CAP structs.  Both paths emit
+    the identical pair multiset (test-pinned past CAP x 6)."""
+    max_lines = (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n"))
+        .first()[0]
+    )
+    if max_lines is not None and max_lines > SKEW_LINE_CAP:
+        li = cap_order_lines(li)
     capped = li.groupBy("l_orderkey").agg(
         F.slice(
             F.sort_array(F.collect_list(F.struct("l_linenumber", "l_partkey"))),
@@ -146,15 +179,12 @@ def _pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    pairs = (
+    return (
         capped.select(F.explode(pair_structs).alias("p"))
         .select("p.src", "p.dst")
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("w"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    _PAIR_CACHE[key] = pairs
-    return pairs
 
 
 def support2_edges(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -82,6 +82,58 @@ def test_distinct_items_cap_bounds_market_basket(spark):
     assert surv == [200 + i for i in range(SKEW_LINE_CAP)]
 
 
+def test_pair_build_bounded_on_giant_orders(spark):
+    """_build_pair_counts on an input with a mega-order (CAP x 6+
+    lines) must (a) route through the window cap so no aggregation
+    buffer ever holds more than CAP structs, and (b) emit EXACTLY the
+    pair multiset of the always-window reference — the r12 VERDICT #5
+    bounded-per-key-state guarantee."""
+    from antidote_data_framework_spark.operators.graph import _build_pair_counts
+
+    rows = [(1, 100 + i, i + 1) for i in range(SKEW_LINE_CAP * 6)]  # mega-order
+    rows += [(2, 7, 1), (2, 9, 2), (3, 7, 1), (3, 9, 2), (3, 11, 3)]
+    li = spark.createDataFrame(
+        rows, "l_orderkey BIGINT, l_partkey BIGINT, l_linenumber INT"
+    )
+    got = sorted(
+        (r["src"], r["dst"], r["w"]) for r in _build_pair_counts(li).collect()
+    )
+    # reference: the pre-r12 window-cap + self-join shape
+    c = cap_order_lines(li)
+    a = c.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = c.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    ref = sorted(
+        (r["src"], r["dst"], r["w"])
+        for r in a.join(b, "k")
+        .filter("src <> dst")
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .collect()
+    )
+    assert got == ref
+    # the mega-order contributes exactly CAP*(CAP-1) directed pairs
+    giant_pairs = sum(w for s, d, w in got if s >= 100 and d >= 100)
+    assert giant_pairs == SKEW_LINE_CAP * (SKEW_LINE_CAP - 1)
+
+
+def test_pair_build_fast_path_matches_window_path(spark):
+    """On under-cap inputs (every fixture) the two paths are the same
+    multiset too — the fast path is what the committed hashes ride."""
+    from antidote_data_framework_spark.operators.graph import _build_pair_counts
+
+    rows = [(1, 10, 1), (1, 20, 2), (1, 30, 3), (2, 10, 1), (2, 20, 2)]
+    li = spark.createDataFrame(
+        rows, "l_orderkey BIGINT, l_partkey BIGINT, l_linenumber INT"
+    )
+    got = sorted(
+        (r["src"], r["dst"], r["w"]) for r in _build_pair_counts(li).collect()
+    )
+    assert got == [
+        (10, 20, 2), (10, 30, 1), (20, 10, 2), (20, 30, 1),
+        (30, 10, 1), (30, 20, 1),
+    ]
+
+
 def test_cap_is_identity_on_fixture(spark, sf_dir):
     """Fixture baskets are under the cap, so the capped build equals
     the uncapped one — the committed graph hashes are unchanged."""
