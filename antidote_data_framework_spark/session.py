@@ -127,6 +127,7 @@ def clear_derived_caches(spark: SparkSession) -> None:
         except Exception:
             pass
     neighbors_cf._SIMS_CACHE.clear()
+    neighbors_cf._PACKABLE_CACHE.clear()
     for df in text._DEDUP_CACHE.values():
         try:
             df.unpersist()
