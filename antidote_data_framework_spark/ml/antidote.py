@@ -316,7 +316,11 @@ def q_antidote_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One aggregation returns both loop-invariant counts (r12: was a
     # count() job plus a distinct().count() job — two full passes over
     # the data-sized cohort table; count/countDistinct are exact, so
-    # als_blocks and the broadcast bound are unchanged).
+    # als_blocks and the broadcast bound are unchanged).  NOTE
+    # (r12 ADVICE): countDistinct ignores NULLs where the replaced
+    # distinct().count() counted a NULL group — equivalent here ONLY
+    # because the cohort filter (user_id % 5 == 0) guarantees non-null
+    # user_id; revisit this line if that filter ever changes.
     _counts = base.agg(
         F.count(F.lit(1)).alias("n_ratings"),
         F.countDistinct("user_id").alias("n_users"),

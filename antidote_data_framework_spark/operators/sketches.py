@@ -304,14 +304,20 @@ def q_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only doubles are two final ratios of exact ints, rounded.
     """
     orders = load_table(spark, sf_dir, "orders")
-    # One scan emitting the per-status row AND the merged __all__ row
-    # per order (r12, guide §1.2) — the old unionAll ran the orders
-    # scan twice per consumer; the exploded multiset is identical.
+    # Two-branch unionAll, each branch its own scan (r13: REVERTED the
+    # r12 single-scan explode fold per the r12 VERDICT #8 criterion —
+    # the 27x A/B read the explode shape consistently SLOWER, old warm
+    # walls 2.45-2.92 s vs new 3.58-4.44 s, with shuffle write 64.3 ->
+    # 86.5 MB: the Generate node breaks the scan->project codegen span
+    # and defeats the map-side partial DISTINCT's dedup locality,
+    # which costs more than the second columnar scan saves at every
+    # measured point).
     keyed = orders.select(
-        F.explode(
-            F.array(F.col("o_orderstatus"), F.lit("__all__"))
-        ).alias("grp"),
-        F.col("o_orderkey").alias("key"),
+        F.col("o_orderstatus").alias("grp"), F.col("o_orderkey").alias("key")
+    ).unionAll(
+        orders.select(
+            F.lit("__all__").alias("grp"), F.col("o_orderkey").alias("key")
+        )
     )
     hashed = keyed.select(
         "grp", ((F.col("key") * KMV_A + KMV_B) % KMV_P).alias("h")
