@@ -154,13 +154,17 @@ def _build_pair_counts(li: DataFrame) -> DataFrame:
     (first-CAP by (l_linenumber, l_partkey)) to an aggregation whose
     per-key buffer is then provably <= CAP structs.  Both paths emit
     the identical pair multiset (test-pinned past CAP x 6)."""
-    max_lines = (
+    bounds = (
         li.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .agg(F.max("n"))
-        .first()[0]
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_partkey").alias("mn"),
+            F.max("l_partkey").alias("mx"),
+        )
+        .agg(F.max("n").alias("n"), F.min("mn").alias("mn"), F.max("mx").alias("mx"))
+        .first()
     )
-    if max_lines is not None and max_lines > SKEW_LINE_CAP:
+    if bounds["n"] is not None and bounds["n"] > SKEW_LINE_CAP:
         li = cap_order_lines(li)
     capped = li.groupBy("l_orderkey").agg(
         F.slice(
@@ -170,6 +174,40 @@ def _build_pair_counts(li: DataFrame) -> DataFrame:
         ).alias("ls")
     )
     parts_arr = F.transform("ls", lambda s: s["l_partkey"])
+    # Packed pair key when every part id fits 31 bits (r13, same
+    # physical-plan choice as neighbors_cf._pair_agg and measured the
+    # same direction): the ordered pair (a, b) is emitted as ONE long
+    # (a << 32) | b, so the explode output, the aggregation hash key
+    # and the shuffle rows carry one word instead of a two-field
+    # struct.  The id bounds ride the SAME job as the giant-order
+    # check above (zero extra passes).  Out-of-range ids keep the
+    # struct-pair path; the pair multiset is identical either way
+    # (test-pinned in tests/test_graph_skew_cap.py).
+    packable = (
+        bounds["mn"] is not None
+        and int(bounds["mn"]) >= 0
+        and int(bounds["mx"]) < 2**31
+    )
+    if packable:
+        pair_keys = F.flatten(
+            F.transform(
+                parts_arr,
+                lambda a: F.transform(
+                    F.filter(parts_arr, lambda b: a != b),
+                    lambda b: F.shiftleft(a, 32).bitwiseOR(b),
+                ),
+            )
+        )
+        return (
+            capped.select(F.explode(pair_keys).alias("k"))
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("w"))
+            .select(
+                F.shiftrightunsigned("k", 32).alias("src"),
+                F.col("k").bitwiseAND(F.lit(0xFFFFFFFF)).alias("dst"),
+                "w",
+            )
+        )
     pair_structs = F.flatten(
         F.transform(
             parts_arr,

@@ -134,6 +134,34 @@ def test_pair_build_fast_path_matches_window_path(spark):
     ]
 
 
+def test_pair_build_unpackable_ids_fall_back(spark):
+    """Part ids beyond 31 bits must take the struct-pair path and
+    still produce the same multiset as the window reference — the
+    packed-key fast path is a guarded physical choice, never a
+    semantic one."""
+    from antidote_data_framework_spark.operators.graph import _build_pair_counts
+
+    big = 2**31  # one id past the pack guard
+    rows = [(1, big + 7, 1), (1, big + 9, 2), (2, big + 7, 1), (2, big + 9, 2),
+            (2, 5, 3), (3, big + 7, 1), (3, 5, 2)]
+    li = spark.createDataFrame(
+        rows, "l_orderkey BIGINT, l_partkey BIGINT, l_linenumber INT"
+    )
+    got = sorted(
+        (r["src"], r["dst"], r["w"]) for r in _build_pair_counts(li).collect()
+    )
+    c = cap_order_lines(li)
+    a = c.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = c.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    ref = sorted(
+        (r["src"], r["dst"], r["w"])
+        for r in a.join(b, "k").filter("src <> dst")
+        .groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w")).collect()
+    )
+    assert got == ref
+    assert any(s >= big or d >= big for s, d, _w in got)
+
+
 def test_cap_is_identity_on_fixture(spark, sf_dir):
     """Fixture baskets are under the cap, so the capped build equals
     the uncapped one — the committed graph hashes are unchanged."""
